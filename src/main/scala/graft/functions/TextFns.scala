@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text projection / scalar functions (SURVEY §2.2).
+  *
+  * All of these are built from `org.apache.spark.sql.functions` so they stay inside
+  * whole-stage codegen — no UDFs in the hot path.
+  */
+object TextFns {
+
+  /** The reference's 9-rule regex rewrite chain, in order, then rstrip + lowercase
+    * (reference: utils/formatting.py:7-36). Rule order is semantically significant
+    * (rule 2 collapses the whitespace that rules 3-5 then match around).
+    *
+    * `regexp_replace` replaces every occurrence (same as Python `re.sub`), and Java
+    * regex semantics for `\s`, `^`, lazy `*?` and capture-group `$1`/`\1` replacement
+    * match the reference's `re` usage on this rule set.
+    */
+  def cleanText(c: Column, removePunctuation: Boolean = false): Column = {
+    val rules: Seq[(String, String)] = Seq(
+      ">\\s+" -> ">",                              // remove spaces after a tag opens/closes
+      "\\s+" -> " ",                               // collapse consecutive whitespace
+      "\\s*<br\\s*/?>\\s*" -> "\n",                // newline after a <br>
+      "</(div)\\s*>\\s*" -> "\n",                  // newline after </div>
+      "</(p|h\\d)\\s*>\\s*" -> "\n\n",             // two newlines after </p>, </hN>
+      "<head>.*<\\s*(/head|body)[^>]*>" -> "",     // remove <head>..</head|body>
+      "<a\\s+href=\"([^\"]+)\"[^>]*>.*</a>" -> "$1", // show link target instead of text
+      "[ \\t]*<[^<]*?/?>" -> "",                   // remove remaining tags
+      "^\\s+" -> ""                                // strip leading whitespace
+    ) ++ (if (removePunctuation)
+            Seq("[.,\\/#!$%\\^&\\*;:{}=\\-_`~()]" -> "")
+          else Nil)
+    val rewritten = rules.foldLeft(c) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+    lower(regexp_replace(rewritten, "\\s+$", "")) // rstrip, then lowercase
+  }
+
+  /** Split cleaned text on single spaces, exactly as the reference's
+    * `abstract.split(" ")` (adaptation/dataset.py:198) — note: split on the literal
+    * space, not `\s+`, so empty tokens can appear if cleaning left edge cases. */
+  def words(c: Column): Column = split(c, " ")
+
+  /** Whitespace token count (text-analysis extension; BASELINE.json north star). */
+  def tokenCount(c: Column): Column = size(split(c, "\\s+"))
+
+  /** BPE-ish subword-piece count: tokens are runs of letters, digits, or single
+    * punctuation marks — a deterministic stand-in for a real BPE vocab. */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character n-gram shingles of the whitespace-normalized text (dedup building
+    * block). Returns ARRAY<STRING> of the distinct `n`-grams. */
+  def charShingles(c: Column, n: Int): Column = {
+    val norm = regexp_replace(trim(c), "\\s+", " ")
+    array_distinct(
+      filter(
+        transform(
+          sequence(lit(0), greatest(length(norm) - n, lit(0))),
+          i => substring(norm, lit(1) + i, lit(n))),
+        s => length(s) === n))
+  }
+
+  /** Word w-shingles (w consecutive words) of cleaned text. */
+  def wordShingles(c: Column, w: Int): Column = {
+    val toks = split(regexp_replace(trim(c), "\\s+", " "), " ")
+    array_distinct(
+      filter(
+        transform(
+          sequence(lit(0), greatest(size(toks) - w, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(w)), " ")),
+        s => size(split(s, " ")) === w))
+  }
+
+  /** Quality-score components (text-analysis extension): doc length, word count,
+    * mean word length, punctuation ratio, stopword ratio, alpha ratio. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") / length(c))
+
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") / length(c))
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks))
+  }
+
+  /** Deterministic rolling (polynomial) fingerprint of the normalized text:
+    * h = (h*31 + code(char)) mod 2^58. The modulus keeps the accumulator under
+    * 2^58 so the *31 step never overflows a Long (Spark 4 runs ANSI mode — no
+    * silent wraparound) and the same arithmetic replays in overflow-checked SQL
+    * engines. Document fingerprinting for the dedup suite. */
+  val FingerprintMod: Long = 1L << 58
+
+  def fingerprint64(c: Column): Column = {
+    val norm = regexp_replace(lower(trim(c)), "\\s+", " ")
+    aggregate(
+      transform(split(norm, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * lit(31L) + x, lit(FingerprintMod)))
+  }
+
+  /** Language-ID heuristic (text-analysis extension): scores text against small
+    * per-language marker-word lists and returns the argmax language, "und" if no
+    * marker hits. N-gram-free but deterministic and SQL-expressible. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def langScore(c: Column, lang: String): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    size(filter(toks, t => t.isInCollection(langMarkers(lang))))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication suite for large-scale text corpora (engine extension;
+  * BASELINE.json north star — the reference has no dedup, but a training-data
+  * pipeline at 100 TB lives or dies on it).
+  *
+  * Scale design notes:
+  *  - Exact dedup groups on a 64-bit fingerprint, not the full text — the shuffle
+  *    moves 8-byte keys instead of documents. Collision verification can re-check
+  *    the text within each fingerprint group (group sizes are tiny).
+  *  - MinHash/LSH shuffles (band_id, band_hash) pairs — candidate generation is
+  *    linear in corpus size; only within-bucket pairs are compared.
+  *  - SimHash groups on the 64-bit signature (or rotated prefixes for hamming
+  *    neighbors).
+  *  - N-gram Jaccard joins on shingles; frequent-shingle skew is capped by
+  *    dropping shingles whose document frequency exceeds `maxShingleDf`
+  *    (standard df-cut used by web-scale dedup pipelines).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full text equality: one row per distinct text with
+    * the representative (minimum) id and the duplicate count. [SQL] */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol).as("text"))
+      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("dups"))
+      .select("doc_id", "dups")
+
+  /** Exact dedup at scale: group on fingerprint64(text) — 8-byte shuffle keys. */
+  def exactByFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextFns.fingerprint64(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min("id").as("doc_id"), count(lit(1)).as("dups"))
+      .select("doc_id", "dups", "fp")
+
+  /** Seeded 64-bit hash of a string column: xxhash64 with the seed mixed in as an
+    * extra hashed column — deterministic across runs and executors. */
+  private def seededHash(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+
+  /** MinHash signatures over word `shingleSize`-shingles.
+    * Returns (id, sig ARRAY<BIGINT> of length numHashes). */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val shingles = docs.select(col(idCol).as("id"),
+      TextFns.wordShingles(TextFns.cleanText(col(textCol), removePunctuation = true),
+        shingleSize).as("shingles"))
+    // minhash_k(doc) = min over shingles of hash_k(shingle); all k hashes are
+    // computed in one pass over the exploded shingles (map-side combinable agg).
+    val exploded = shingles.select(col("id"), explode(col("shingles")).as("sh"))
+    val hashAggs = (0 until numHashes).map(k => min(seededHash(col("sh"), k)).as(s"h$k"))
+    exploded.groupBy("id")
+      .agg(hashAggs.head, hashAggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs: band the signature, bucket-join on
+    * (band_id, band_hash), verify candidates by signature-estimated Jaccard.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard ≥ threshold. */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                 threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          .as(Seq("band_id", "band")))
+      .select(col("id"), col("sig"), col("band_id"),
+        xxhash64(col("band_id"), concat_ws(",", col("band"))).as("band_hash"))
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** 64-bit SimHash over word unigrams: per bit, sum ±1 votes of each token's
+    * hash bit; signature bit = 1 iff the vote is positive.
+    * Returns (id, simhash BIGINT). */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(TextFns.cleanText(col(textCol), removePunctuation = true), " "))
+        .as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    // One ±1 vote column per bit, aggregated in a single groupBy pass.
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$bit")
+    }
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(bit =>
+          when(col(s"b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs within `maxHamming` distance, generated by
+    * exact-matching on 4 16-bit blocks (pigeonhole: ≤3 differing bits ⇒ at least
+    * one of 4 blocks matches exactly), then verified with popcount. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simHash(docs, idCol, textCol)
+    val blocks = sigs.select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(blk =>
+          shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("blk", "blk_val")))
+    val a = blocks.select(col("blk"), col("blk_val"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = blocks.select(col("blk"), col("blk_val"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("blk", "blk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: explode word shingles, self-join on the
+    * shingle, count the intersection, derive the union from per-doc set sizes.
+    * `maxShingleDf` drops ubiquitous shingles to cap join skew. [SQL] */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.5,
+                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val shingled = docs.select(col(idCol).as("id"),
+      explode(TextFns.wordShingles(
+        TextFns.cleanText(col(textCol), removePunctuation = true),
+        shingleSize)).as("sh"))
+    val filtered =
+      if (maxShingleDf == Int.MaxValue) shingled
+      else {
+        val df = shingled.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf)
+        shingled.join(df.select("sh"), Seq("sh"))
+      }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = filtered.select(col("sh"), col("id").as("id_a"))
+      .join(filtered.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH bucketing (see
+    * [[Similarity.signBits]]): candidates share a sign-LSH bucket, verified by
+    * exact cosine ≥ threshold. Linear candidate generation — no full cross join. */
+  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+                       planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.signBits(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VecFns.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
+  /** Keep one representative doc per near-dup component (greedy min-id): any doc
+    * that appears as the right side of a candidate pair is dropped. */
+  def dropDuplicates(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val toDrop = pairs.select(col("id_b").as(idCol)).distinct()
+    docs.join(toDrop, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DDM concept-drift detection (SURVEY ST1/ST2).
+  *
+  * The reference consumes scikit-multiflow 0.4.1's `DDM` (Gama et al., "Learning
+  * with Drift Detection", SBIA 2004), feeding it `1 - accuracy` per reporting batch
+  * (reference: streams/run_stream_supervised.py:75-83,
+  * drift_detection/drift_experiments_supervised.py:100). Semantics reproduced here
+  * from the published algorithm: running mean error p_i with σ_i = sqrt(p_i(1-p_i)/i),
+  * minima tracked as the (p, σ) at the i minimizing p_i+σ_i (ties → latest),
+  * warning when p_i+σ_i > p_min + 2·σ_min, drift when > p_min + 3·σ_min, with a
+  * 30-sample warm-up and a full state reset after each drift.
+  *
+  * Two implementations:
+  *  - [[ddmSequential]]: faithful order-sensitive scan *with reset* — the exact
+  *    reference semantics. The input is per-batch error rates, i.e. already
+  *    aggregated upstream to one row per batch; a detector is inherently a
+  *    single sequential state machine, so we sort each detector's (tiny) feed
+  *    into one partition per detector key and scan it. This is the batch twin of
+  *    the streaming `flatMapGroupsWithState` version (graft.streaming.DdmStream).
+  *  - [[ddmScan]]: relational *no-reset* variant (prefix-scan formulation) that is
+  *    expressible in ANSI SQL — used for the DuckDB oracle gate; identical to the
+  *    faithful detector up to and including the first drift signal.
+  */
+object Drift {
+
+  val MinNumInstances = 30
+  val WarningLevel = 2.0
+  val OutControlLevel = 3.0
+
+  /** skmultiflow-compatible DDM state machine (public algorithm; see header). */
+  final class Ddm(minNumInstances: Int = MinNumInstances,
+                  warningLevel: Double = WarningLevel,
+                  outControlLevel: Double = OutControlLevel) extends Serializable {
+    var sampleCount: Int = 1
+    var missProb: Double = 1.0
+    var missStd: Double = 0.0
+    var missProbSdMin: Double = Double.PositiveInfinity
+    var missProbMin: Double = Double.PositiveInfinity
+    var missSdMin: Double = Double.PositiveInfinity
+    var inWarningZone: Boolean = false
+    var inConceptChange: Boolean = false
+
+    def reset(): Unit = {
+      sampleCount = 1; missProb = 1.0; missStd = 0.0
+      missProbSdMin = Double.PositiveInfinity
+      missProbMin = Double.PositiveInfinity
+      missSdMin = Double.PositiveInfinity
+      inWarningZone = false; inConceptChange = false
+    }
+
+    /** Feed one error value; returns the signal: "N", "W", or "D". */
+    def addElement(x: Double): String = {
+      if (inConceptChange) reset()
+      missProb += (x - missProb) / sampleCount.toDouble
+      missStd = math.sqrt(missProb * (1 - missProb) / sampleCount.toDouble)
+      sampleCount += 1
+      inConceptChange = false
+      inWarningZone = false
+      if (sampleCount < minNumInstances) return "N"
+      if (missProb + missStd <= missProbSdMin) {
+        missProbMin = missProb
+        missSdMin = missStd
+        missProbSdMin = missProb + missStd
+      }
+      if (missProb + missStd > missProbMin + outControlLevel * missSdMin) {
+        inConceptChange = true; "D"
+      } else if (missProb + missStd > missProbMin + warningLevel * missSdMin) {
+        inWarningZone = true; "W"
+      } else "N"
+    }
+  }
+
+  /** One detector-scan output row. */
+  case class DdmOut(detector: String, batch_id: Long, error: Double,
+                    p: Double, s: Double, signal: String)
+
+  /** Faithful DDM over a batch DataFrame of per-batch errors.
+    *
+    * @param feeds columns: detectorCol (group key), batchIdCol (order), errCol.
+    *              Each detector's rows are shuffled to one partition and scanned
+    *              in batch order — correct because a detector feed is one row per
+    *              reporting batch (tiny by construction), while the heavy per-row
+    *              scoring stays fully distributed upstream.
+    */
+  def ddmSequential(feeds: DataFrame, detectorCol: String, batchIdCol: String,
+                    errCol: String): DataFrame = {
+    val spark = feeds.sparkSession
+    import spark.implicits._
+    val prepared = feeds.select(
+        col(detectorCol).cast("string").as("detector"),
+        col(batchIdCol).cast("long").as("batch_id"),
+        col(errCol).cast("double").as("error"))
+      .repartition(col("detector"))
+      .sortWithinPartitions("detector", "batch_id")
+      .as[(String, Long, Double)]
+    prepared.mapPartitions { it =>
+      var current: String = null
+      var ddm: Ddm = null
+      it.map { case (det, bid, err) =>
+        if (det != current) { current = det; ddm = new Ddm() }
+        val sig = ddm.addElement(err)
+        DdmOut(det, bid, err, ddm.missProb, ddm.missStd, sig)
+      }
+    }.toDF()
+  }
+
+  /** Relational no-reset DDM (prefix-scan form, SQL-expressible for the oracle).
+    *
+    * For row i (1-based over batch order): p_i = avg error over rows 1..i,
+    * s_i = sqrt(p_i(1-p_i)/i); the minimum of p_j+s_j is tracked over
+    * j ∈ [MinNumInstances-1, i] (the warm-up gate: skmultiflow checks
+    * sample_count = i+1 ≥ 30), ties resolved toward the latest j (skmultiflow
+    * updates on `<=`). Emits (batch_id, p, s, signal) rounded for comparison.
+    */
+  def ddmScan(errors: DataFrame, batchIdCol: String, errCol: String,
+              scale: Int = 6): DataFrame = {
+    val wOrd = Window.orderBy("batch_id")
+    val st = errors.select(
+        col(batchIdCol).cast("long").as("batch_id"),
+        col(errCol).cast("double").as("err"))
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("p", avg("err").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("s", sqrt(col("p") * (lit(1.0) - col("p")) / col("i")))
+    val a = st.select(col("i").as("ai"), col("batch_id"), col("p"), col("s"))
+    val b = st.select(col("i").as("bi"), col("p").as("bp"), col("s").as("bs"))
+    val minGate = MinNumInstances - 1 // j with sample_count ≥ 30 post-increment
+    val best = a.join(b, col("bi") <= col("ai") && col("bi") >= minGate)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("ai").orderBy(
+          (col("bp") + col("bs")).asc, col("bi").desc)))
+      .filter(col("rk") === 1)
+      .select(col("ai").as("mi"), col("bp").as("pmin"), col("bs").as("smin"))
+    st.join(best, col("i") === col("mi"), "left")
+      .withColumn("signal",
+        when(col("pmin").isNull, "N")
+          .when(col("p") + col("s") > col("pmin") + lit(OutControlLevel) * col("smin"), "D")
+          .when(col("p") + col("s") > col("pmin") + lit(WarningLevel) * col("smin"), "W")
+          .otherwise("N"))
+      .select(col("batch_id"),
+        round(col("p"), scale).as("p"),
+        round(col("s"), scale).as("s"),
+        col("signal"))
+      .orderBy("batch_id")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecFns
+
+/** Approximate-nearest-neighbor similarity search over an embedding column
+  * (engine extension; BASELINE.json north star).
+  *
+  * Scale design:
+  *  - [[bruteForceTopK]] broadcasts the (small) query set against the full corpus:
+  *    one pass, no shuffle of the corpus, a per-query top-k via window rank over
+  *    only the scored pairs. Baseline and ground truth for the ANN variants.
+  *  - [[lshTopK]] buckets both sides with random-hyperplane sign-LSH
+  *    (deterministic seeded planes), probing `probes` neighboring buckets —
+  *    candidate count is corpus/2^planes per bucket, so the cross product never
+  *    materializes. The same pattern backs [[Dedup.embeddingNearDup]].
+  *  - [[ivfTopK]] is a coarse-quantizer variant: k-means-style centroids chosen
+  *    deterministically (first `nlist` vectors), every vector assigned to its
+  *    nearest centroid (broadcast centroids), queries probe the `nprobe` nearest
+  *    lists. This is the IVF layout FAISS uses, expressed relationally.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component r_{k,i}: an integer-mix of
+    * (plane k, dim i) mapped to [-0.5, 0.5). Reproducible anywhere (incl. SQL). */
+  private def planeComponent(k: Column, i: Column): Column =
+    pmod(k.cast("long") * 2654435761L + i.cast("long") * 40503L + 12345L,
+      lit(100000L)).cast("double") / 100000.0 - 0.5
+
+  /** Sign-LSH bucket id from `planes` random hyperplanes: bit k = sign(v · r_k). */
+  def signBits(vec: Column, planes: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until planes).map { k =>
+      val dotK = aggregate(
+        zip_with(vec, dims, (v, i) => v.cast("double") * planeComponent(lit(k), i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotK >= 0, shiftleft(lit(1L), k)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Exact cosine top-k for each query vector. [SQL]
+    *
+    * @param queries (qidCol, vecCol) — expected small (broadcast side).
+    * @param corpus  (idCol, vecCol) — arbitrarily large; scanned once.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"),
+        VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos", "rk")
+  }
+
+  /** LSH-bucketed approximate top-k: only candidates in the query's bucket (and
+    * `probes` single-bit-flip neighbor buckets) are scored. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 10, probes: Int = 2): DataFrame = {
+    require(probes <= planes)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      signBits(col(vecCol), planes).as("bucket"))
+    val qBase = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"),
+      signBits(col(vecCol), planes).as("qb"))
+    // Multi-probe: the home bucket plus buckets at hamming distance 1 in the
+    // first `probes` bits.
+    val probeBuckets = array(
+      (col("qb") +: (0 until probes).map(bit =>
+        col("qb").bitwiseXOR(shiftleft(lit(1L), bit)))): _*)
+    val q = qBase.select(col("qid"), col("qvec"),
+      explode(probeBuckets).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("qid"), col("cid"),
+        VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
+      .groupBy("qid", "cid").agg(max("cos").as("cos")) // dedupe multi-probe hits
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos", "rk")
+  }
+
+  /** IVF-style approximate top-k with `nlist` coarse centroids and `nprobe`
+    * probed lists per query. Centroids = the first `nlist` corpus vectors by id
+    * (deterministic seeding; a k-means refinement would slot in here). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val cents = c.withColumn("rn",
+        row_number().over(Window.orderBy(col("cid"))))
+      .filter(col("rn") <= nlist)
+      .select(col("rn").as("list_id"), col("cvec").as("centroid"))
+    // Assign every corpus vector to its nearest centroid (broadcast centroids —
+    // nlist × dim doubles, tiny; the corpus is never shuffled).
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("d2", VecFns.l2Sq(col("cvec"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cid").orderBy(col("d2").asc, col("list_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("list_id"), col("cid"), col("cvec"))
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
+    val qLists = q.crossJoin(broadcast(cents))
+      .withColumn("d2", VecFns.l2Sq(col("qvec"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("list_id").asc)))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qvec"), col("list_id"))
+    val scored = assigned.join(broadcast(qLists), Seq("list_id"))
+      .select(col("qid"), col("cid"),
+        VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos", "rk")
+  }
+}

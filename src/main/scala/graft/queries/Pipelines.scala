@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{Dedup, Drift, Similarity}
+import graft.sources.Tables
+
+/** LLM-data-pipeline extension queries (dedup, similarity search, text analysis)
+  * plus the faithful sequential DDM — the non-relational components get rows-only
+  * verification (no oracle entry); the SQL-expressible ones carry DuckDB twins. */
+object Pipelines {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- Dedup ----------------------------------------------------------------
+
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS dups FROM documents
+      |GROUP BY text ORDER BY doc_id""".stripMargin
+
+  /** Fingerprint-keyed exact dedup (8-byte shuffle keys — the at-scale form). [SQL] */
+  val dedupFingerprint: Q = (s, dir) =>
+    Dedup.exactByFingerprint(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val dedupFingerprintSql: String = {
+    val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+    s"""WITH fp AS (SELECT doc_id, list_reduce(
+       |  [CAST(ascii(n[i]) AS BIGINT) FOR i IN range(1, length(n) + 1)],
+       |  (acc, x) -> (acc * 31 + x) % ${graft.functions.TextFns.FingerprintMod}) AS fp
+       |  FROM (SELECT doc_id, $norm AS n FROM documents) q)
+       |SELECT min(doc_id) AS doc_id, count(*) AS dups, fp FROM fp
+       |GROUP BY fp ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash+LSH near-dup candidate pairs (rows-only; xxhash64 is Spark-side). */
+  val dedupMinhashLsh: Q = (s, dir) =>
+    Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs within hamming distance 3 (rows-only). */
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Exact word-3-shingle Jaccard pairs ≥ 0.5. [SQL] */
+  val dedupNgramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** DuckDB twin of [[dedupNgramJaccard]]: distinct word-3-shingles per doc via
+    * a positional self-zip of the cleaned token list. */
+  val dedupNgramJaccardSql: String = {
+    val clean = Duck.clean("text", punct = true)
+    val ws = """'\s+'"""
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim($clean), $ws, ' ', 'g'), ' ') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+       |        FROM toks WHERE len(w) >= 3) q),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b,
+       |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Embedding-cosine near-dups via sign-LSH buckets (rows-only). */
+  val dedupEmbedding: Q = (s, dir) =>
+    Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        planes = 12, threshold = 0.99)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  // ---- Similarity search ----------------------------------------------------
+
+  val simBruteTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rk")
+  }
+
+  val simBruteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+      |  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id),
+      |d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.val * c.val) AS dot
+      |  FROM e q JOIN e c ON q.i = c.i WHERE q.vec_id < 5 GROUP BY q.vec_id, c.vec_id),
+      |sc AS (SELECT qid, cid,
+      |  CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0 ELSE dot / (nq.nrm * nc.nrm) END AS cos
+      |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid),
+      |r AS (SELECT qid, cid, cos,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+      |SELECT qid, rk, cid, round(cos, 4) AS cos FROM r WHERE rk <= 10
+      |ORDER BY qid, rk""".stripMargin
+
+  /** LSH-bucketed approximate top-k (rows-only; recall vs brute force is asserted
+    * in ScalaTest instead). */
+  val simLshTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "vec_id", "embedding", k = 10, planes = 8, probes = 4)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rk")
+  }
+
+  /** IVF-style approximate top-k (rows-only). */
+  val simIvfTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rk")
+  }
+
+  // ---- Text analysis --------------------------------------------------------
+
+  val textStats: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFns.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(TextFns.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  val textStatsSql: String = {
+    val stop = TextFns.stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+    val rawToks = """regexp_split_to_array(text, '\s+')"""
+    s"""SELECT doc_id, length(text) AS n_chars_m,
+       |len($rawToks) AS n_tokens,
+       |round(CASE WHEN length(text) = 0 THEN 0.0
+       |  ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+       |  END, 6) AS punct_ratio,
+       |round(CASE WHEN length(text) = 0 THEN 0.0
+       |  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+       |  END, 6) AS alpha_ratio,
+       |round(CASE WHEN len($toks) = 0 THEN 0.0
+       |  ELSE CAST(len(list_filter($toks, x -> x IN ($stop))) AS DOUBLE) / len($toks)
+       |  END, 6) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID heuristic: argmax marker-word score, 'und' when all zero. [SQL] */
+  val textLangId: Q = (s, dir) => {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val scoresDf = langs.foldLeft(Tables.documents(s, dir)) { (df, l) =>
+      df.withColumn(s"score_$l", TextFns.langScore(col("text"), l))
+    }
+    val best = langs.map(l => struct(col(s"score_$l").as("sc"), lit(l).as("lg")))
+      .reduce((a, b) => when(b.getField("sc") > a.getField("sc"), b).otherwise(a))
+    scoresDf.select(col("doc_id"), col("lang").as("lang_true"),
+        when(best.getField("sc") > 0, best.getField("lg")).otherwise("und")
+          .as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  val textLangIdSql: String = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    def score(l: String): String = {
+      val markers = TextFns.langMarkers(l).map(w => s"'$w'").mkString(", ")
+      s"""len(list_filter(regexp_split_to_array(lower(trim(text)), '${"""\s+"""}'), x -> x IN ($markers)))"""
+    }
+    // Mirror of the Spark fold (earliest language wins ties, replace only on
+    // strictly-greater): pred = first lang in sort order whose score = max.
+    val scoreCols = langs.map(l => s"${score(l)} AS s_$l").mkString(", ")
+    val mx = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+    val argmax = langs.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, lang AS lang_true,
+       |  CASE WHEN $mx = 0 THEN 'und' $argmax END AS lang_pred
+       |FROM (SELECT doc_id, lang, $scoreCols FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- Faithful DDM (sequential, with reset) --------------------------------
+
+  /** The exact reference detector semantics over the a4 feed (rows-only; the
+    * no-reset prefix-scan twin st1_ddm_scan carries the SQL oracle, and the two
+    * are asserted equal up to the first drift in ScalaTest). */
+  val driftDdm: Q = (s, dir) => {
+    val feed = Corpus.batchAccuracyDf(s, dir)
+      .withColumn("err", lit(1.0) - col("accuracy"))
+      .withColumn("det", lit("ddm0"))
+    Drift.ddmSequential(feed, "det", "batch_id", "err")
+      .select(col("batch_id"), round(col("error"), 6).as("error"),
+        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .orderBy("batch_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_fingerprint" -> dedupFingerprint,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding" -> dedupEmbedding,
+    "sim_brute_topk" -> simBruteTopK,
+    "sim_lsh_topk" -> simLshTopK,
+    "sim_ivf_topk" -> simIvfTopK,
+    "text_stats" -> textStats,
+    "text_langid" -> textLangId,
+    "drift_ddm" -> driftDdm)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_fingerprint" -> dedupFingerprintSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "sim_brute_topk" -> simBruteSql,
+    "text_stats" -> textStatsSql,
+    "text_langid" -> textLangIdSql)
+}

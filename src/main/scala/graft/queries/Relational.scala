@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational query surface over the TPC-H-ish tables (SURVEY §2.3-2.5: the join,
+  * aggregation, window, sort/limit, and set-op categories — including the ones the
+  * reference lacks, declared as engine capabilities).
+  *
+  * Scale notes per query are inline; the common principles: aggregations are
+  * partial+final (map-side combine), small dimension tables are `broadcast`, and
+  * windows are partitioned so no global sort is required (except where the
+  * semantics are a global top-k, which Spark executes as per-partition top-k +
+  * merge via TakeOrderedAndProject).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1-style big aggregation: pricing summary. One shuffle, ~6 groups. */
+  val q1PricingSummary: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+      |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |round(avg(l_discount), 6) AS avg_disc, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Multi-way join with broadcast dims: revenue by region. orders⋈customer is the
+    * only real shuffle; nation/region are broadcast (tiny at any SF). */
+  val q2RegionRevenue: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name")
+
+  val q2Sql: String =
+    """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Global top-k: Spark plans ORDER BY+LIMIT as TakeOrderedAndProject — a
+    * per-partition top-k merged on the driver, no full sort at any scale. */
+  val q3TopOrders: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val q3Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Partitioned window: per-customer running order total (SURVEY §2.5 — the
+    * engine's general window capability; partitioned, so it scales out). */
+  val q4RunningTotal: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("running"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q4Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+      |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** UNION ALL with a phase discriminator (SURVEY §2.5 set-ops; the reference's
+    * result-concat pattern, utils/visualization.py:67-71). */
+  val q5UnionPhases: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(lit("phase1").as("phase"), col("o_totalprice"))
+    val b = o.filter(col("o_orderstatus") =!= "F")
+      .select(lit("phase2").as("phase"), col("o_totalprice"))
+    a.unionAll(b).groupBy("phase")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("phase")
+  }
+
+  val q5Sql: String =
+    """SELECT phase, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM (
+      |  SELECT 'phase1' AS phase, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT 'phase2' AS phase, o_totalprice FROM orders WHERE o_orderstatus <> 'F'
+      |) t GROUP BY phase ORDER BY phase""".stripMargin
+
+  /** Anti join: customers with no orders, per nation. */
+  val q6AntiJoin: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_lonely"))
+      .orderBy("c_nationkey")
+
+  val q6Sql: String =
+    """SELECT c_nationkey, count(*) AS n_lonely FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Semi join: customers with at least one open order, per market segment. */
+  val q6bSemiJoin: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("c_mktsegment")
+
+  val q6bSql: String =
+    """SELECT c_mktsegment, count(*) AS n_active FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Event-time tumbling window (engine extension over the reference's ordinal
+    * time — SURVEY §2.6 note): hourly counts+sums by event type. */
+  val q7EventsHourly: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour_ts", "event_type")
+
+  val q7Sql: String =
+    """SELECT CAST(epoch_ms(date_trunc('hour', ts)) / 1000 AS BIGINT) AS hour_ts,
+      |event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Row-frame moving average (SURVEY A4 twin on the events table): 10-row moving
+    * average of value within each event type. */
+  val q8MovingAvg: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(-9, 0)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(avg("value").over(w), 4).as("ma10"))
+      .orderBy("event_type", "event_id")
+  }
+
+  val q8Sql: String =
+    """SELECT event_type, event_id,
+      |round(avg(value) OVER (PARTITION BY event_type ORDER BY event_id
+      |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS ma10
+      |FROM events ORDER BY event_type, event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_region_revenue" -> q2RegionRevenue,
+    "q3_top_orders" -> q3TopOrders,
+    "q4_running_total" -> q4RunningTotal,
+    "q5_union_phases" -> q5UnionPhases,
+    "q6_anti_join" -> q6AntiJoin,
+    "q6b_semi_join" -> q6bSemiJoin,
+    "q7_events_hourly" -> q7EventsHourly,
+    "q8_moving_avg" -> q8MovingAvg)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_region_revenue" -> q2Sql,
+    "q3_top_orders" -> q3Sql,
+    "q4_running_total" -> q4Sql,
+    "q5_union_phases" -> q5Sql,
+    "q6_anti_join" -> q6Sql,
+    "q6b_semi_join" -> q6bSql,
+    "q7_events_hourly" -> q7Sql,
+    "q8_moving_avg" -> q8Sql)
+}
