@@ -79,12 +79,24 @@ object Pipelines {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Embedding-cosine near-dups via sign-LSH buckets (rows-only). */
-  val dedupEmbedding: Q = (s, dir) =>
-    Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
-        planes = 12, threshold = 0.99)
+  /** Embedding-cosine near-dups via sign-LSH buckets (rows-only).
+    *
+    * The synthetic embeddings are i.i.d. random, so true near-dups don't exist;
+    * to exercise the operator end-to-end the corpus is augmented with
+    * deterministically perturbed copies of the first 20 vectors (ids offset by
+    * 10^7, pseudo-noise σ=0.05) — the operator must recover exactly those
+    * planted pairs at any scale factor. */
+  val dedupEmbedding: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      graft.functions.VecFns.addPseudoNoise(
+        col("embedding"), col("vec_id"), lit(0.05)).as("embedding"))
+    Dedup.embeddingNearDup(base.unionByName(planted), "vec_id", "embedding",
+        planes = 8, threshold = 0.9)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
+  }
 
   // ---- Similarity search ----------------------------------------------------
 

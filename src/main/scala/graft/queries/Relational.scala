@@ -107,17 +107,20 @@ object Relational {
       |  SELECT 'phase2' AS phase, o_totalprice FROM orders WHERE o_orderstatus <> 'F'
       |) t GROUP BY phase ORDER BY phase""".stripMargin
 
-  /** Anti join: customers with no orders, per nation. */
+  /** Anti join: customers with no finished ('F') order, per nation. (Filtered
+    * build side — plain "no orders at all" is empty under the generator's full
+    * referential coverage.) */
   val q6AntiJoin: Q = (s, dir) =>
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_lonely"))
       .orderBy("c_nationkey")
 
   val q6Sql: String =
     """SELECT c_nationkey, count(*) AS n_lonely FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   /** Semi join: customers with at least one open order, per market segment. */
