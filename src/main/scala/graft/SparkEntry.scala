@@ -3,9 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Drift, Metrics}
-import graft.queries.{Corpus, Pipelines, Relational}
-import graft.sources.Tables
+import graft.queries.{Corpus, MLQueries, Pipelines, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,24 +14,21 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  /** Flagship: the Q-drift-gradual spine (SURVEY §2.8) at sf0.001 —
-    * embeddings scan → deterministic scoring → per-batch accuracy (A4/ST2) →
-    * faithful sequential DDM (ST1). Driver smoke-checks rows > 0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val feed = Corpus.batchAccuracyDf(spark, dir)
-      .withColumn("err", lit(1.0) - col("accuracy"))
-      .withColumn("det", lit("flagship"))
-    Drift.ddmSequential(feed, "det", "batch_id", "err")
-  }
+  /** Flagship: the Q-drift-unsup experiment (SURVEY §2.8 / ST3) at sf0.001 —
+    * Gaussian-NB fit on the training split, pseudo-labels materialized from its
+    * own predictions, the shifted stream scored against them, per-batch
+    * agreement feed, faithful shared-state DDM across the phase boundary
+    * (drift fires shortly after the embedding-space swap). */
+  def entry(spark: SparkSession): DataFrame =
+    MLQueries.driftUnsupSignals(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Corpus.queries ++ Pipelines.queries
+    Relational.queries ++ Corpus.queries ++ Pipelines.queries ++ MLQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (xxhash64-based
     * sketches, SVD, approximate search variants) → rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Corpus.oracles ++ Pipelines.oracles
+    Relational.oracles ++ Corpus.oracles ++ Pipelines.oracles ++ MLQueries.oracles
 }

@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecFns
+import graft.ml.GaussianNB
+import graft.operators.{Drift, Metrics}
+import graft.sources.Tables
+
+/** ML pipeline queries: Gaussian NB train/predict (A8/M3) and the abrupt-drift
+  * experiment (ST8/E2) — a real model whose accuracy collapses when the
+  * embedding space shifts, detected by the shared DDM detector. */
+object MLQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic 80/20 split: vec_id % 5 (SQL-replayable stand-in for the
+    * reference's seeded `train_test_split`, streams/stream_data.py:91-94; the
+    * seeded `randomSplit` itself is exercised in ScalaTest where cardinality,
+    * not row identity, is the contract). */
+  private def train(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0)
+  private def test(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0)
+
+  private def predictions(s: SparkSession, dir: String): DataFrame = {
+    val tr = train(s, dir)
+    val stats = GaussianNB.fitStats(tr, "label", "embedding")
+    val priors = GaussianNB.logPriors(tr, "label")
+    test(s, dir).select(col("vec_id"), col("label").cast("int").as("label"))
+      .join(GaussianNB.predict(test(s, dir), stats, priors, "vec_id", "embedding"),
+        Seq("vec_id"))
+  }
+
+  val mlGnbPredict: Q = (s, dir) =>
+    predictions(s, dir).select("vec_id", "label", "pred").orderBy("vec_id")
+
+  val mlGnbMetrics: Q = (s, dir) =>
+    Metrics.multiclass(predictions(s, dir), "label", "pred", Corpus.NClasses)
+
+  // ---- shared SQL fragments for the DuckDB oracle ---------------------------
+
+  /** Gaussian-NB scoring of `testExpr` rows in DuckDB, mirroring
+    * fitStats/logPriors/predict exactly (var_pop, sklearn ε, min-label
+    * tiebreak). `noise` optionally perturbs the test vectors with the same
+    * deterministic pseudo-noise as VecFns.addPseudoNoise. */
+  private def gnbPredictSql(testWhere: String, noiseSigma: Option[String]): String = {
+    val eCol = noiseSigma match {
+      case None => "e"
+      case Some(sig) =>
+        s"e + ($sig) * (((vec_id * 2654435761 + i * 40503) % 100000) / 100000.0 - 0.5)"
+    }
+    s"""trainset AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+       |testset AS (SELECT * FROM embeddings WHERE $testWhere),
+       |tdims AS (SELECT CAST(label AS INT) AS label,
+       |  CAST(unnest(embedding) AS DOUBLE) AS e,
+       |  unnest(range(0, len(embedding))) AS i FROM trainset),
+       |stats AS (SELECT label, i, avg(e) AS mu, var_pop(e) AS v FROM tdims GROUP BY label, i),
+       |epsv AS (SELECT max(gv) * 1e-9 AS eps FROM
+       |  (SELECT var_pop(e) AS gv FROM tdims GROUP BY i) g),
+       |priors AS (SELECT CAST(label AS INT) AS label,
+       |  ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM trainset)) AS logprior
+       |  FROM trainset GROUP BY 1),
+       |qdims0 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+       |  unnest(range(0, len(embedding))) AS i FROM testset),
+       |qdims AS (SELECT vec_id, i, $eCol AS e FROM qdims0),
+       |scores AS (SELECT q.vec_id, s.label,
+       |  sum(-0.5 * ln(2 * pi() * (s.v + x.eps))
+       |      - (q.e - s.mu) * (q.e - s.mu) / (2 * (s.v + x.eps))) AS ll
+       |  FROM qdims q JOIN stats s ON q.i = s.i CROSS JOIN epsv x
+       |  GROUP BY q.vec_id, s.label),
+       |ranked AS (SELECT sc.vec_id, sc.label AS pred,
+       |  row_number() OVER (PARTITION BY sc.vec_id
+       |    ORDER BY sc.ll + p.logprior DESC, sc.label ASC) AS rk
+       |  FROM scores sc JOIN priors p ON sc.label = p.label),
+       |preds AS (SELECT t.vec_id, CAST(t.label AS INT) AS label, r.pred
+       |  FROM testset t JOIN ranked r ON t.vec_id = r.vec_id AND r.rk = 1)""".stripMargin
+  }
+
+  val mlGnbPredictSql: String =
+    s"""WITH ${gnbPredictSql("vec_id % 5 = 0", None)}
+       |SELECT vec_id, label, pred FROM preds ORDER BY vec_id""".stripMargin
+
+  val mlGnbMetricsSql: String =
+    s"""WITH ${gnbPredictSql("vec_id % 5 = 0", None)},
+       |cls AS (SELECT CAST(i AS INT) AS c FROM generate_series(0, ${Corpus.NClasses - 1}) t(i)),
+       |st AS (SELECT c,
+       |  sum(CASE WHEN p.label = c AND p.pred = c THEN 1 ELSE 0 END) AS tp,
+       |  sum(CASE WHEN p.pred = c AND p.label <> c THEN 1 ELSE 0 END) AS fp,
+       |  sum(CASE WHEN p.label = c AND p.pred <> c THEN 1 ELSE 0 END) AS fn
+       |  FROM cls CROSS JOIN preds p GROUP BY c),
+       |pr AS (SELECT c,
+       |  CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+       |  CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rec
+       |  FROM st),
+       |f AS (SELECT c, prec, rec,
+       |  CASE WHEN prec + rec = 0 THEN 0.0 ELSE 2 * prec * rec / (prec + rec) END AS f1
+       |  FROM pr)
+       |SELECT
+       |  round((SELECT avg(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END) FROM preds), 6) AS accuracy,
+       |  round(avg(prec), 6) AS macro_precision,
+       |  round(avg(rec), 6) AS macro_recall,
+       |  round(avg(f1), 6) AS macro_f1
+       |FROM f""".stripMargin
+
+  // ---- ST8: abrupt drift (embedding-space swap) -----------------------------
+
+  val AbruptSigma = 2.0
+
+  /** Phase-tagged scored stream: phase 1 = held-out set in the training space;
+    * phase 2 = the same docs after an embedding-space shift (deterministic
+    * pseudo-noise σ=2, the stand-in for the reference's BERT→SciBERT swap,
+    * drift_detection/drift_experiments_supervised.py:62-77). The classifier is
+    * fit once on phase-1 training data — its accuracy collapses in phase 2. */
+  private def abruptScored(s: SparkSession, dir: String): DataFrame = {
+    val tr = train(s, dir)
+    val stats = GaussianNB.fitStats(tr, "label", "embedding")
+    val priors = GaussianNB.logPriors(tr, "label")
+    val te = test(s, dir)
+    val shifted = te.select(col("vec_id"), col("label"),
+      VecFns.addPseudoNoise(col("embedding"), col("vec_id"), lit(AbruptSigma))
+        .as("embedding"))
+    def scored(df: DataFrame, phase: Int): DataFrame =
+      df.select(col("vec_id"), col("label").cast("int").as("label"))
+        .join(GaussianNB.predict(df, stats, priors, "vec_id", "embedding"), Seq("vec_id"))
+        .select(lit(phase).as("phase"), col("vec_id"), col("label"), col("pred"))
+    scored(te, 1).unionByName(scored(shifted, 2))
+  }
+
+  /** Per-(phase, batch) accuracy — the detector feed for the abrupt-drift
+    * experiment. [SQL] */
+  val driftAbruptFeed: Q = (s, dir) => {
+    val scored = abruptScored(s, dir)
+      .withColumn("batch_id", floor(col("vec_id") / Corpus.DetectorBatch))
+    scored.groupBy("phase", "batch_id")
+      .agg(round(avg(when(col("label") === col("pred"), 1.0).otherwise(0.0)), 6)
+        .as("accuracy"))
+      .orderBy("phase", "batch_id")
+  }
+
+  val driftAbruptFeedSql: String =
+    s"""WITH ${gnbPredictSql("vec_id % 5 = 0", None)},
+       |${gnbPredictSql("vec_id % 5 = 0", Some(AbruptSigma.toString))
+          .replaceAll("\\btrainset\\b", "trainset2")
+          .replaceAll("\\btestset\\b", "testset2")
+          .replaceAll("\\btdims\\b", "tdims2")
+          .replaceAll("\\bstats\\b", "stats2")
+          .replaceAll("\\bepsv\\b", "epsv2")
+          .replaceAll("\\bpriors\\b", "priors2")
+          .replaceAll("\\bqdims0\\b", "qdims02")
+          .replaceAll("\\bqdims\\b", "qdims2")
+          .replaceAll("\\bscores\\b", "scores2")
+          .replaceAll("\\branked\\b", "ranked2")
+          .replaceAll("\\bpreds\\b", "preds2")},
+       |feed AS (
+       |  SELECT 1 AS phase, CAST(floor(vec_id / ${Corpus.DetectorBatch}) AS BIGINT) AS batch_id,
+       |    CASE WHEN label = pred THEN 1.0 ELSE 0.0 END AS ok FROM preds
+       |  UNION ALL
+       |  SELECT 2 AS phase, CAST(floor(vec_id / ${Corpus.DetectorBatch}) AS BIGINT) AS batch_id,
+       |    CASE WHEN label = pred THEN 1.0 ELSE 0.0 END AS ok FROM preds2)
+       |SELECT phase, batch_id, round(avg(ok), 6) AS accuracy FROM feed
+       |GROUP BY phase, batch_id ORDER BY phase, batch_id""".stripMargin
+
+  /** Faithful shared-detector drift signals across the phase boundary (E2
+    * semantics: state carries over the stream switch — the phase is encoded in
+    * the ordering, not the detector key). Rows-only. */
+  val driftAbruptSignals: Q = (s, dir) => {
+    val feed = driftAbruptFeed(s, dir)
+      .withColumn("seq", col("phase") * lit(100000L) + col("batch_id"))
+      .withColumn("err", lit(1.0) - col("accuracy"))
+      .withColumn("det", lit("abrupt"))
+    Drift.ddmSequential(feed, "det", "seq", "err")
+      .select(col("batch_id").as("seq"), round(col("error"), 6).as("error"),
+        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .orderBy("seq")
+  }
+
+  // ---- ST3: unsupervised (model-as-oracle) drift ----------------------------
+  //
+  // Reference semantics (streams/run_stream_unsupervised.py): pass 1 stores the
+  // model's own predictions as pseudo-labels and feeds the detector a simulated
+  // error 1-U(0.9, 1.0); pass 2 scores the drifted stream against those
+  // pseudo-labels. Agreement is ~perfect until the space shifts, then collapses —
+  // which makes drift detectable even when true labels are uninformative (as on
+  // the i.i.d. synthetic corpus, where any classifier is at chance).
+
+  /** Deterministic stand-in for the reference's U(0.9, 1.0) simulated pass-1
+    * accuracy (streams/run_stream_unsupervised.py:60-66). */
+  private def simAccuracy(batchId: Column): Column =
+    lit(0.9) + pmod(batchId.cast("long") * 2654435761L + 12345L, lit(100000L))
+      .cast("double") / 100000.0 * 0.1
+
+  private val simAccuracySql =
+    "0.9 + ((batch_id * 2654435761 + 12345) % 100000) / 100000.0 * 0.1"
+
+  /** Detector feed for the unsupervised experiment: phase 1 = simulated
+    * near-perfect accuracy; phase 2 = per-batch agreement between the model's
+    * predictions on the shifted stream and its own pseudo-labels. [SQL] */
+  val driftUnsupFeed: Q = (s, dir) => {
+    val tr = train(s, dir)
+    val stats = GaussianNB.fitStats(tr, "label", "embedding")
+    val priors = GaussianNB.logPriors(tr, "label")
+    val te = test(s, dir)
+    val pseudo = GaussianNB.predict(te, stats, priors, "vec_id", "embedding")
+      .withColumnRenamed("pred", "pseudo_label")
+    val shifted = te.select(col("vec_id"),
+      VecFns.addPseudoNoise(col("embedding"), col("vec_id"), lit(AbruptSigma))
+        .as("embedding"))
+    val phase2 = GaussianNB.predict(shifted, stats, priors, "vec_id", "embedding")
+      .join(pseudo, Seq("vec_id"))
+      .withColumn("batch_id", floor(col("vec_id") / Corpus.DetectorBatch))
+      .groupBy("batch_id")
+      .agg(round(avg(when(col("pred") === col("pseudo_label"), 1.0).otherwise(0.0)), 6)
+        .as("accuracy"))
+      .select(lit(2).as("phase"), col("batch_id"), col("accuracy"))
+    val phase1 = te
+      .select(floor(col("vec_id") / Corpus.DetectorBatch).as("batch_id"))
+      .distinct()
+      .select(lit(1).as("phase"), col("batch_id"),
+        round(simAccuracy(col("batch_id")), 6).as("accuracy"))
+    phase1.unionByName(phase2).orderBy("phase", "batch_id")
+  }
+
+  val driftUnsupFeedSql: String =
+    s"""WITH ${gnbPredictSql("vec_id % 5 = 0", None)},
+       |${gnbPredictSql("vec_id % 5 = 0", Some(AbruptSigma.toString))
+          .replaceAll("\\btrainset\\b", "trainset2")
+          .replaceAll("\\btestset\\b", "testset2")
+          .replaceAll("\\btdims\\b", "tdims2")
+          .replaceAll("\\bstats\\b", "stats2")
+          .replaceAll("\\bepsv\\b", "epsv2")
+          .replaceAll("\\bpriors\\b", "priors2")
+          .replaceAll("\\bqdims0\\b", "qdims02")
+          .replaceAll("\\bqdims\\b", "qdims2")
+          .replaceAll("\\bscores\\b", "scores2")
+          .replaceAll("\\branked\\b", "ranked2")
+          .replaceAll("\\bpreds\\b", "preds2")},
+       |p1 AS (SELECT DISTINCT CAST(floor(vec_id / ${Corpus.DetectorBatch}) AS BIGINT) AS batch_id
+       |  FROM testset),
+       |phase1 AS (SELECT 1 AS phase, batch_id, round($simAccuracySql, 6) AS accuracy FROM p1),
+       |agree AS (SELECT a.vec_id,
+       |    CAST(floor(a.vec_id / ${Corpus.DetectorBatch}) AS BIGINT) AS batch_id,
+       |    CASE WHEN b.pred = a.pred THEN 1.0 ELSE 0.0 END AS ok
+       |  FROM preds a JOIN preds2 b ON a.vec_id = b.vec_id),
+       |phase2 AS (SELECT 2 AS phase, batch_id, round(avg(ok), 6) AS accuracy
+       |  FROM agree GROUP BY batch_id)
+       |SELECT phase, batch_id, accuracy FROM phase1
+       |UNION ALL SELECT phase, batch_id, accuracy FROM phase2
+       |ORDER BY phase, batch_id""".stripMargin
+
+  /** Faithful shared-detector DDM over the unsupervised feed (rows-only): the
+    * flagship drift story — N through phase 1, W/D shortly after the boundary. */
+  val driftUnsupSignals: Q = (s, dir) => {
+    val feed = driftUnsupFeed(s, dir)
+      .withColumn("seq", col("phase") * lit(100000L) + col("batch_id"))
+      .withColumn("err", lit(1.0) - col("accuracy"))
+      .withColumn("det", lit("unsup"))
+    Drift.ddmSequential(feed, "det", "seq", "err")
+      .select(col("batch_id").as("seq"), round(col("error"), 6).as("error"),
+        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .orderBy("seq")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ml_gnb_predict" -> mlGnbPredict,
+    "ml_gnb_metrics" -> mlGnbMetrics,
+    "drift_abrupt_feed" -> driftAbruptFeed,
+    "drift_abrupt_signals" -> driftAbruptSignals,
+    "drift_unsup_feed" -> driftUnsupFeed,
+    "drift_unsup_signals" -> driftUnsupSignals)
+
+  val oracles: Map[String, String] = Map(
+    "ml_gnb_predict" -> mlGnbPredictSql,
+    "ml_gnb_metrics" -> mlGnbMetricsSql,
+    "drift_abrupt_feed" -> driftAbruptFeedSql,
+    "drift_unsup_feed" -> driftUnsupFeedSql)
+}
