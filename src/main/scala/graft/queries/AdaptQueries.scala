@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.{EmbeddingProvider, HashingProvider, RotatedProvider}
+import graft.functions.VecFns
+import graft.operators.{Adaptation, Drift}
+import graft.sources.Tables
+
+/** Adaptation-suite queries (SURVEY §2.7 / Q-adapt-*): the word-pair dataset,
+  * Procrustes and MLP mapping fits with MSE evaluation, and the end-to-end
+  * mapped-stream recovery experiment. All rows-only (provider + SVD are
+  * host-code, not SQL); invariants are pinned in AdaptationSpec. */
+object AdaptQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dim = 32
+  val TopK = 200
+
+  def sourceProvider: EmbeddingProvider = HashingProvider("src", Dim, seed = 101L)
+  def targetProvider: EmbeddingProvider = RotatedProvider(sourceProvider, rotSeed = 7L)
+
+  /** A1→A2→A3: top-k words embedded in the source and (drifted) target space. */
+  val adaptWordPairs: Q = (s, dir) =>
+    Adaptation.wordPairDataset(Tables.documents(s, dir), "text", TopK,
+        sourceProvider, targetProvider)
+      .select(col("word"), col("n"),
+        size(col("source")).as("dim_s"), size(col("target")).as("dim_t"))
+      .orderBy(col("n").desc, col("word").asc)
+
+  /** A7/M6 + A6: Procrustes alignment quality — one summary row with the
+    * pre/post-mapping MSE and the orthogonality defect of the recovered W. */
+  val adaptProcrustesEval: Q = (s, dir) => {
+    val pairs = Adaptation.wordPairDataset(Tables.documents(s, dir), "text", TopK,
+      sourceProvider, targetProvider).cache()
+    val w = Adaptation.procrustes(pairs, "source", "target", Dim)
+    val mseUnmapped = Adaptation.mappingMse(pairs, "source", "target", None)
+    val mseMapped = Adaptation.mappingMse(pairs, "source", "target", Some(w))
+    // max |WᵀW − I|
+    val ortho = (0 until Dim).flatMap { i =>
+      (0 until Dim).map { j =>
+        val dot = (0 until Dim).map(k => w(k)(i) * w(k)(j)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }
+    }.max
+    pairs.unpersist()
+    import s.implicits._
+    Seq((mseUnmapped, mseMapped, ortho))
+      .toDF("mse_unmapped", "mse_procrustes", "ortho_defect")
+  }
+
+  /** M5 + A6: MLP mapping fit quality — pre/post MSE and first/last epoch loss. */
+  val adaptMlpEval: Q = (s, dir) => {
+    val pairs = Adaptation.wordPairDataset(Tables.documents(s, dir), "text", TopK,
+      sourceProvider, targetProvider).cache()
+    val (model, losses) = Adaptation.fitMlp(pairs, "source", "target", Dim,
+      hidden = 64, epochs = 10, lr = 0.05)
+    val mseUnmapped = Adaptation.mappingMse(pairs, "source", "target", None)
+    // evaluate the MLP driver-side over the collected pairs (same scale as fit)
+    val data = pairs.select(col("source").cast("array<double>"),
+      col("target").cast("array<double>")).collect()
+    val mseMlp = data.map { r =>
+      val x = breeze.linalg.DenseVector(r.getSeq[Double](0).toArray)
+      val y = breeze.linalg.DenseVector(r.getSeq[Double](1).toArray)
+      val e = model.forward(x) - y
+      (e dot e) / Dim
+    }.sum / data.length
+    pairs.unpersist()
+    import s.implicits._
+    Seq((mseUnmapped, mseMlp, losses.head, losses.last))
+      .toDF("mse_unmapped", "mse_mlp", "epoch0_loss", "epoch_last_loss")
+  }
+
+  /** Q-adapt-mapping end-to-end (E3 + ST3 recovery): three-phase stream —
+    * (1) source space, simulated near-perfect agreement;
+    * (2) drifted (rotated) space, agreement vs pseudo-labels collapses → drift;
+    * (3) drifted space mapped back through the fitted Procrustes W → agreement
+    * recovers. A shared DDM scans the whole feed: N…N | W,D | N…N. */
+  val adaptStreamSignals: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    // Token pooling = mean (A3 "average"): mean-pooling commutes with the
+    // linear space shift, so the mapped stream can recover exactly — max-pool
+    // (P5) does not commute with a signed permutation and would leave phase 3
+    // misaligned no matter how good the mapping is.
+    def pooled(p: EmbeddingProvider, df: DataFrame): DataFrame =
+      df.withColumn("vec",
+        VecFns.meanPool(EmbeddingProvider.embedTokensCol(p)(col("text"))))
+        .select("doc_id", "vec")
+    val src = pooled(sourceProvider, docs).cache()
+    val tgt = pooled(targetProvider, docs)
+    // mapping fitted on the word-pair dataset maps source→target; to bring the
+    // drifted stream back we need target→source: fit with roles swapped.
+    val pairs = Adaptation.wordPairDataset(docs, "text", TopK,
+      sourceProvider, targetProvider)
+    val wBack = Adaptation.procrustes(pairs, "target", "source", Dim)
+    // "model" = nearest-source-neighbor identity: pseudo-label for doc = its own
+    // source vector; agreement = cosine(mapped/unmapped target vec, source vec)
+    // thresholded — a deterministic stand-in for model-prediction agreement.
+    def agreement(df: DataFrame, mapped: Boolean): DataFrame = {
+      val vecCol = if (mapped) VecFns.matApply(wBack, col("vec")) else col("vec")
+      df.join(src.select(col("doc_id"), col("vec").as("src_vec")), Seq("doc_id"))
+        .select(col("doc_id"),
+          when(VecFns.cosine(vecCol, col("src_vec")) > 0.95, 1.0).otherwise(0.0)
+            .as("ok"))
+    }
+    val batch = floor(col("doc_id") / Corpus.DetectorBatch)
+    def feed(df: DataFrame, phase: Int): DataFrame =
+      df.groupBy(batch.as("batch_id"))
+        .agg(avg("ok").as("accuracy"))
+        .select(lit(phase).as("phase"), col("batch_id"), col("accuracy"))
+    val f1 = feed(agreement(src, mapped = false), 1)     // self-agreement = 1
+    val f2 = feed(agreement(tgt, mapped = false), 2)     // collapsed
+    val f3 = feed(agreement(tgt, mapped = true), 3)      // recovered
+    val all = f1.unionByName(f2).unionByName(f3)
+      .withColumn("seq", col("phase") * lit(100000L) + col("batch_id"))
+      .withColumn("err", lit(1.0) - col("accuracy"))
+      .withColumn("det", lit("adapt"))
+    val out = Drift.ddmSequential(all, "det", "seq", "err")
+    src.unpersist()
+    out.select(col("batch_id").as("seq"), round(col("error"), 6).as("error"),
+        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .orderBy("seq")
+  }
+
+  /** P3+A3 plumbing: provider token embeddings pooled three ways (first/avg/
+    * max), shape-checked output. */
+  val p3EmbedPool: Q = (s, dir) => {
+    val toks = EmbeddingProvider.embedTokensCol(sourceProvider)(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("tokens", toks)
+      .select(col("doc_id"),
+        size(col("tokens")).as("seq_len"),
+        round(VecFns.vecAvg(VecFns.firstPool(col("tokens"))), 4).as("first_avg"),
+        round(VecFns.vecAvg(VecFns.meanPool(col("tokens"))), 4).as("mean_avg"),
+        round(VecFns.vecAvg(VecFns.maxPool(col("tokens"))), 4).as("max_avg"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "adapt_word_pairs" -> adaptWordPairs,
+    "adapt_procrustes_eval" -> adaptProcrustesEval,
+    "adapt_mlp_eval" -> adaptMlpEval,
+    "adapt_stream_signals" -> adaptStreamSignals,
+    "p3_embed_pool" -> p3EmbedPool)
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.embed.{EmbeddingProvider, HashingProvider, RotatedProvider}
+import graft.operators.Adaptation
+
+class AdaptationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val dim = 16
+  val src = HashingProvider("s", dim, seed = 11L)
+  val tgt = RotatedProvider(src, rotSeed = 3L)
+
+  test("HashingProvider is deterministic and seed-sensitive") {
+    val a = src.embedWord("spark")
+    val b = src.embedWord("spark")
+    val c = HashingProvider("x", dim, seed = 12L).embedWord("spark")
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+    assert(a.length == dim)
+  }
+
+  test("RotatedProvider is an isometry (norm-preserving)") {
+    val v = src.embedWord("engine")
+    val r = tgt.embedWord("engine")
+    val n1 = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val n2 = math.sqrt(r.map(x => x.toDouble * x).sum)
+    assert(math.abs(n1 - n2) < 1e-5)
+  }
+
+  val docs = Seq(
+    (0L, "alpha beta gamma delta alpha beta"),
+    (1L, "alpha beta epsilon zeta alpha"),
+    (2L, "gamma delta eta theta"),
+    (3L, "alpha iota kappa beta")).toDF("doc_id", "text")
+
+  test("wordPairDataset: counts match A1 and both spaces have dim vectors") {
+    val pairs = Adaptation.wordPairDataset(docs, "text", 5, src, tgt).collect()
+    val byWord = pairs.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byWord("alpha") == 5 && byWord("beta") == 4)
+    assert(pairs.forall(r => r.getSeq[Float](2).size == dim &&
+      r.getSeq[Float](3).size == dim))
+  }
+
+  test("procrustes recovers the rotation: mapped MSE ≈ 0, W orthogonal") {
+    val pairs = Adaptation.wordPairDataset(docs, "text", 10, src, tgt)
+    val w = Adaptation.procrustes(pairs, "source", "target", dim)
+    val mse0 = Adaptation.mappingMse(pairs, "source", "target", None)
+    val mse1 = Adaptation.mappingMse(pairs, "source", "target", Some(w))
+    assert(mse1 < 1e-6, s"procrustes should undo a signed permutation (got $mse1)")
+    assert(mse1 < mse0 / 100)
+    val orthoDefect = (for (i <- 0 until dim; j <- 0 until dim) yield {
+      val dot = (0 until dim).map(k => w(k)(i) * w(k)(j)).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    assert(orthoDefect < 1e-9)
+  }
+
+  test("MLP mapping trains: loss decreases and beats identity") {
+    val pairs = Adaptation.wordPairDataset(docs, "text", 10, src, tgt)
+    val (_, losses) = Adaptation.fitMlp(pairs, "source", "target", dim,
+      hidden = 32, epochs = 15, lr = 0.05)
+    assert(losses.last < losses.head, s"losses: $losses")
+  }
+
+  test("materialize writes pooled embeddings (S4)") {
+    val out = java.nio.file.Files.createTempDirectory("s4").toString + "/emb"
+    EmbeddingProvider.materialize(docs, "text", src, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4)
+    assert(back.select(size(col("pooled"))).collect().forall(_.getInt(0) == dim))
+  }
+}
