@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecFns
+import graft.ml.GaussianNB
+
+/** Event-time streaming operators (engine capability beyond the reference's
+  * ordinal time — SURVEY §2.6 note) and the prequential trainer (ST4/ST5). */
+object StreamOps {
+
+  /** Watermarked tumbling-window aggregation over an event stream: the
+    * canonical `readStream → withWatermark → window → agg` shape. Works on both
+    * streaming and batch DataFrames (Spark unifies the plan). */
+  def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes",
+                          win: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window per-user activity with late-data tolerance. */
+  def slidingUserActivity(events: DataFrame, watermark: String = "10 minutes",
+                          win: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), avg("value").as("avg_value"))
+      .select(col("window.start").as("win_start"), col("user_id"),
+        col("n_events"), col("avg_value"))
+
+  /** ST4: prequential (test-then-train) Gaussian-NB over a micro-batched
+    * stream — the reference's `predict; partial_fit` loop
+    * (models/wos_train_nb.py:65-114) in `foreachBatch` form.
+    *
+    * Model state lives on the driver as per-class Welford accumulators; each
+    * micro-batch is (1) scored against the *current* model — broadcast join, no
+    * state on executors — then (2) folded into the accumulators via one
+    * aggregated pass (the executors reduce to ≤ nClasses rows; only those cross
+    * to the driver). Consistency contract: state advances once per trigger, in
+    * trigger order — the same contract the reference's sequential loop has.
+    */
+  final class PrequentialNB(dim: Int, nClasses: Int,
+                            varSmoothing: Double = GaussianNB.DefaultVarSmoothing)
+      extends Serializable {
+    import breeze.linalg.DenseVector
+
+    // per-class (n, mean, m2)
+    private val n = Array.fill(nClasses)(0L)
+    private val mean = Array.fill(nClasses)(DenseVector.zeros[Double](dim))
+    private val m2 = Array.fill(nClasses)(DenseVector.zeros[Double](dim))
+
+    def classCount(c: Int): Long = n(c)
+    def totalCount: Long = n.sum
+
+    def stats(c: Int): (Long, Array[Double], Array[Double]) =
+      (n(c), mean(c).toArray, m2(c).toArray.map(v => if (n(c) == 0) 0.0 else v / n(c)))
+
+    /** Score a batch with the current model; rows seen before any training get
+      * prediction -1 (the reference's first batch is likewise untrained). */
+    def predictBatch(batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      val spark = batch.sparkSession
+      if (totalCount == 0L)
+        return batch.select(col(idCol), lit(-1).as("pred"))
+      import spark.implicits._
+      val varsAll = (0 until nClasses).filter(n(_) > 0).flatMap { c =>
+        val (_, _, v) = stats(c); v
+      }
+      val eps = varSmoothing * (if (varsAll.nonEmpty) varsAll.max else 1.0)
+      val total = totalCount.toDouble
+      val statRows = (0 until nClasses).filter(n(_) > 0).flatMap { c =>
+        val (cn, mu, v) = stats(c)
+        val logprior = math.log(cn / total)
+        (0 until dim).map(i => (c, i, mu(i), v(i) + eps, logprior))
+      }
+      val statsDf = statRows.toDF("label", "i", "mu", "ve", "logprior")
+      // GaussianNB.predict consumes (label, i, mu, v, eps) and scores with
+      // v + eps; smoothing is already folded into ve here, so eps = 0.
+      GaussianNB.predict(batch,
+        statsDf.select(col("label"), col("i"), col("mu"),
+          col("ve").as("v"), lit(0.0).as("eps")),
+        statsDf.select("label", "logprior").distinct(),
+        idCol, vecCol)
+    }
+
+    /** Fold one labeled micro-batch into the accumulators (partial_fit). */
+    def update(batch: DataFrame, labelCol: String, vecCol: String, dimN: Int): Unit = {
+      val agg = GaussianNB.fitStatsWelford(batch, labelCol, vecCol, dimN).collect()
+      agg.foreach { r =>
+        val c = r.getInt(0)
+        val bn = r.getLong(1)
+        val bMean = DenseVector(r.getSeq[Double](2).toArray)
+        val bM2 = DenseVector(r.getSeq[Double](3).toArray.map(_ * bn)) // var→M2
+        if (n(c) == 0L) { n(c) = bn; mean(c) = bMean; m2(c) = bM2 }
+        else {
+          val na = n(c); val nTot = na + bn
+          val d = bMean - mean(c)
+          mean(c) = mean(c) + d * (bn.toDouble / nTot)
+          m2(c) = m2(c) + bM2 + (d *:* d) * (na.toDouble * bn / nTot)
+          n(c) = nTot
+        }
+      }
+    }
+
+    /** Prequential step: score-then-train; returns scored rows with labels. */
+    def step(batch: DataFrame, idCol: String, labelCol: String, vecCol: String,
+             dimN: Int): DataFrame = {
+      val scored = batch.select(col(idCol), col(labelCol).cast("int").as("label"))
+        .join(predictBatch(batch, idCol, vecCol), Seq(idCol))
+      val out = scored.cache()
+      out.count() // pin scoring before the model advances
+      update(batch, labelCol, vecCol, dimN)
+      out
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Drift
+import graft.streaming.{DdmStream, StreamOps}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val errs: Seq[Double] =
+    Seq.fill(40)(0.1) ++ (1 to 20).map(k => 0.1 + 0.04 * k) ++
+      Seq.fill(10)(0.9) ++ Seq.fill(20)(0.1)
+
+  test("streaming DDM across micro-batches equals the batch scan (ST1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DdmStream.Feed]
+    val query = DdmStream.signals(mem.toDS())
+      .writeStream.format("memory").queryName("ddm_out")
+      .outputMode("append").start()
+    try {
+      // feed in 4 uneven micro-batches, unordered within each batch
+      val feeds = errs.zipWithIndex.map { case (e, i) => DdmStream.Feed("d", i, e) }
+      val chunks = Seq(feeds.slice(0, 13).reverse, feeds.slice(13, 47),
+        feeds.slice(47, 48), feeds.slice(48, 90).reverse)
+      chunks.foreach { c => mem.addData(c: _*); query.processAllAvailable() }
+      val streamed = spark.table("ddm_out")
+        .select("batch_id", "signal").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = Drift.ddmSequential(
+          feeds.toDF("detector", "batch_id", "error"), "detector", "batch_id", "error")
+        .collect().map(r => r.getLong(1) -> r.getString(5)).toMap
+      assert(streamed.size == errs.size)
+      assert(streamed == batch)
+      assert(batch(55L) == "D")
+    } finally query.stop()
+  }
+
+  test("watermarked tumbling windows emit finalized groups (event-time capability)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val query = StreamOps.windowedEventCounts(events, "2 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      mem.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(6), "b", 3.0))
+      query.processAllAvailable()
+      // advance the watermark past the first window to finalize it
+      mem.addData((ts(20), "a", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("win_start", "event_type", "n", "sum_value").collect()
+      val first = rows.find(r => r.getString(1) == "a" &&
+        r.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      assert(first.isDefined, s"finalized 00:00 window missing: ${rows.mkString(",")}")
+      assert(first.get.getLong(2) == 2 && first.get.getDouble(3) == 3.0)
+    } finally query.stop()
+  }
+
+  test("prequential NB learns a separable stream (ST4 test-then-train)") {
+    // two Gaussian-ish clusters: label 0 near (+1,+1,..), label 1 near (-1,-1,..)
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def mk(id: Long, label: Int): (Long, Int, Seq[Float]) = {
+      val center = if (label == 0) 1.0 else -1.0
+      (id, label, Seq.fill(dim)((center + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val batches = (0 until 6).map { b =>
+      (0 until 40).map(i => mk(b * 40L + i, i % 2))
+    }
+    val model = new StreamOps.PrequentialNB(dim, 2)
+    val accs = batches.map { rows =>
+      val df = rows.toDF("id", "label", "vec")
+      val scored = model.step(df, "id", "label", "vec", dim)
+      val acc = scored.agg(avg(when(col("label") === col("pred"), 1.0).otherwise(0.0)))
+        .collect()(0).getDouble(0)
+      scored.unpersist()
+      acc
+    }
+    assert(accs.head < 0.5, s"first batch is untrained (pred=-1): $accs")
+    assert(accs.last > 0.95, s"later batches should be near-perfect: $accs")
+    // accumulators equal the one-shot Welford fit over all data
+    val all = batches.flatten.toDF("id", "label", "vec")
+    val oneShot = graft.ml.GaussianNB.fitStatsWelford(all, "label", "vec", dim)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    (0 until 2).foreach { c =>
+      val (n, mu, _) = model.stats(c)
+      assert(n == oneShot(c)._1)
+      mu.zip(oneShot(c)._2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+}
