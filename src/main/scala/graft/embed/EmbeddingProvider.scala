@@ -112,6 +112,26 @@ object EmbeddingProvider {
     f(word)
   }
 
+  /** Fused embed + mean-pool (A3 "average"): one pass over tokens, no token
+    * matrix materialized — the hot path for whole-corpus pooled embeddings.
+    * Equal by construction to `VecFns.meanPool(embedTokensCol(p)(text))` up to
+    * float-association order (asserted in the spec). */
+  def embedMeanPoolCol(provider: EmbeddingProvider)(text: Column): Column = {
+    val dim = provider.dim
+    val f = udf { t: String =>
+      val toks = Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty)
+      val mat = provider.embedTokens(toks.toSeq)
+      val acc = new Array[Double](dim)
+      mat.foreach { v =>
+        var i = 0
+        while (i < dim) { acc(i) += v(i); i += 1 }
+      }
+      val n = mat.length
+      acc.map(_ / n).toSeq
+    }
+    f(text)
+  }
+
   /** S4: full-corpus embedding materialization (reference
     * streams/transform_data.py:15-44 caches the transformed dataset) — embed,
     * pool, write parquet once, read many. */

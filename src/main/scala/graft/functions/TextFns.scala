@@ -63,16 +63,33 @@ object TextFns {
         s => length(s) === n))
   }
 
-  /** Word w-shingles (w consecutive words) of cleaned text. */
-  def wordShingles(c: Column, w: Int): Column = {
-    val toks = split(regexp_replace(trim(c), "\\s+", " "), " ")
-    array_distinct(
-      filter(
-        transform(
-          sequence(lit(0), greatest(size(toks) - w, lit(0))),
-          i => array_join(slice(toks, i + 1, lit(w)), " ")),
-        s => size(split(s, " ")) === w))
-  }
+  /** Normalized whitespace token array (the shingle base). */
+  def normTokens(c: Column): Column =
+    split(regexp_replace(trim(c), "\\s+", " "), " ")
+
+  /** Word w-shingles over a *pre-projected token array column*, in document
+    * order, duplicates included.
+    *
+    * PERF: Spark's higher-order functions (transform/filter/aggregate) are
+    * CodegenFallback — interpreted, with no common-subexpression elimination —
+    * so any non-trivial expression passed as `toks` is re-evaluated once per
+    * element inside the lambda. Always project the token array into its own
+    * column first (see [[wordShingles]] for the composed form and the dedup
+    * operators for the two-step pattern); passing the raw regex-clean chain
+    * here made the dedup suite ~5× slower. Set semantics (where needed, e.g.
+    * Jaccard) are applied relationally after explode — `array_distinct` at
+    * expression level is O(n²) per document. */
+  def shinglesFromTokens(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(
+        sequence(lit(0), size(toks) - w),
+        i => array_join(slice(toks, i + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word w-shingles of a text column (convenience form for small inputs; hot
+    * paths should pre-project [[normTokens]] and use [[shinglesFromTokens]]). */
+  def wordShingles(c: Column, w: Int): Column =
+    shinglesFromTokens(normTokens(c), w)
 
   /** Quality-score components (text-analysis extension): doc length, word count,
     * mean word length, punctuation ratio, stopword ratio, alpha ratio. */

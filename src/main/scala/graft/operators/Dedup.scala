@@ -46,13 +46,28 @@ object Dedup {
     * Returns (id, sig ARRAY<BIGINT> of length numHashes). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val shingles = docs.select(col(idCol).as("id"),
-      TextFns.wordShingles(TextFns.cleanText(col(textCol), removePunctuation = true),
-        shingleSize).as("shingles"))
+    // Two-step projection: tokens first, shingles second — HOF lambdas are
+    // interpreted without CSE, so the clean/split chain must sit behind a
+    // projection barrier or it re-runs per shingle position (see TextFns note).
+    val shingles = docs
+      .select(col(idCol).as("id"),
+        TextFns.normTokens(TextFns.cleanText(col(textCol), removePunctuation = true))
+          .as("toks"))
+      .select(col("id"), TextFns.shinglesFromTokens(col("toks"), shingleSize).as("shingles"))
     // minhash_k(doc) = min over shingles of hash_k(shingle); all k hashes are
     // computed in one pass over the exploded shingles (map-side combinable agg).
-    val exploded = shingles.select(col("id"), explode(col("shingles")).as("sh"))
-    val hashAggs = (0 until numHashes).map(k => min(seededHash(col("sh"), k)).as(s"h$k"))
+    // The shingle string is hashed ONCE to 64 bits; the k seeded variants
+    // re-hash that 8-byte value (O(1) per variant) instead of re-walking the
+    // string k times.
+    // explode_outer, NOT explode: InferFiltersFromGenerate synthesizes a
+    // size(child)>0 filter under a non-outer Generate and inlines the whole
+    // (interpreted, CSE-free) shingle pipeline into it — a measured 10× hit.
+    // The outer variant emits a null row for empty docs, dropped right after.
+    val exploded = shingles.select(col("id"), explode_outer(col("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(col("id"), xxhash64(col("sh")).as("h0"))
+    val hashAggs = (0 until numHashes).map(k =>
+      min(xxhash64(lit(k), col("h0"))).as(s"h$k"))
     exploded.groupBy("id")
       .agg(hashAggs.head, hashAggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
@@ -67,12 +82,17 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
+    // Materialize the banded signatures once (eager local checkpoint): both
+    // sides of the self-join reuse them instead of re-running the regex →
+    // shingle → 32-hash pipeline per branch. At cluster scale the same role is
+    // played by a parquet/persist materialization of the signature table.
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
           .as(Seq("band_id", "band")))
       .select(col("id"), col("sig"), col("band_id"),
         xxhash64(col("band_id"), concat_ws(",", col("band"))).as("band_hash"))
+      .localCheckpoint()
     val a = banded.select(col("band_id"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_id"), col("band_hash"),
@@ -135,16 +155,26 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.5,
                    maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val shingled = docs.select(col(idCol).as("id"),
-      explode(TextFns.wordShingles(
-        TextFns.cleanText(col(textCol), removePunctuation = true),
-        shingleSize)).as("sh"))
+    // Join on a 64-bit shingle hash, not the string — smaller shuffle rows and
+    // cheaper equality. Set semantics via relational distinct (wordShingles
+    // keeps duplicates). Materialized once (see minHashLsh note) because three
+    // branches (sizes + both join sides) reuse it.
+    val shingled = docs
+      .select(col(idCol).as("id"),
+        TextFns.normTokens(TextFns.cleanText(col(textCol), removePunctuation = true))
+          .as("toks"))
+      .select(col("id"), TextFns.shinglesFromTokens(col("toks"), shingleSize).as("shs"))
+      .select(col("id"), explode_outer(col("shs")).as("sh0")) // see minHashLsh note
+      .filter(col("sh0").isNotNull)
+      .select(col("id"), xxhash64(col("sh0")).as("sh"))
+      .distinct()
+      .localCheckpoint()
     val filtered =
       if (maxShingleDf == Int.MaxValue) shingled
       else {
         val df = shingled.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxShingleDf)
-        shingled.join(df.select("sh"), Seq("sh"))
+        shingled.join(df.select("sh"), Seq("sh")).localCheckpoint()
       }
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = filtered.select(col("sh"), col("id").as("id_a"))
@@ -166,7 +196,7 @@ object Dedup {
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
                        planes: Int = 12, threshold: Double = 0.95): DataFrame = {
     val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.signBits(col(vecCol), planes).as("bucket"))
+      Similarity.signBits(col(vecCol), planes).as("bucket")).localCheckpoint()
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))

@@ -85,11 +85,13 @@ object AdaptQueries {
     // (P5) does not commute with a signed permutation and would leave phase 3
     // misaligned no matter how good the mapping is.
     def pooled(p: EmbeddingProvider, df: DataFrame): DataFrame =
-      df.withColumn("vec",
-        VecFns.meanPool(EmbeddingProvider.embedTokensCol(p)(col("text"))))
+      df.withColumn("vec", EmbeddingProvider.embedMeanPoolCol(p)(col("text")))
         .select("doc_id", "vec")
-    val src = pooled(sourceProvider, docs).cache()
-    val tgt = pooled(targetProvider, docs)
+    // Eager materialization: src feeds three branches (pseudo-labels + two
+    // agreement joins) and tgt two — without it every branch re-runs the
+    // embedding UDF over the whole corpus.
+    val src = pooled(sourceProvider, docs).localCheckpoint()
+    val tgt = pooled(targetProvider, docs).localCheckpoint()
     // mapping fitted on the word-pair dataset maps source→target; to bring the
     // drifted stream back we need target→source: fit with roles swapped.
     val pairs = Adaptation.wordPairDataset(docs, "text", TopK,
@@ -118,7 +120,6 @@ object AdaptQueries {
       .withColumn("err", lit(1.0) - col("accuracy"))
       .withColumn("det", lit("adapt"))
     val out = Drift.ddmSequential(all, "det", "seq", "err")
-    src.unpersist()
     out.select(col("batch_id").as("seq"), round(col("error"), 6).as("error"),
         round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
       .orderBy("seq")
