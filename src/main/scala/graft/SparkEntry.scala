@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AdaptQueries, Corpus, MLQueries, Pipelines, Relational}
+import graft.queries.{AdaptQueries, Corpus, MLQueries, MultimodalQueries, Pipelines, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +24,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Corpus.queries ++ Pipelines.queries ++ MLQueries.queries ++ AdaptQueries.queries
+    Relational.queries ++ Corpus.queries ++ Pipelines.queries ++ MLQueries.queries ++ AdaptQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (xxhash64-based
     * sketches, SVD, approximate search variants) → rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Corpus.oracles ++ Pipelines.oracles ++ MLQueries.oracles ++ AdaptQueries.oracles
+    Relational.oracles ++ Corpus.oracles ++ Pipelines.oracles ++ MLQueries.oracles ++ AdaptQueries.oracles ++ MultimodalQueries.oracles
 }

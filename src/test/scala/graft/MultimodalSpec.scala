@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Media
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "an image document"), (1L, "an audio document"),
+    (2L, "a video document"), (3L, "another image"),
+    (4L, "another audio"), (5L, "another video"))
+    .toDF("doc_id", "text")
+
+  test("synthesize produces the declared media schema") {
+    val m = Media.synthesize(docs)
+    assert(m.schema("bytes").dataType.typeName == "binary")
+    assert(m.schema("meta").dataType.typeName == "struct")
+    assert(m.count() == 6)
+    val kinds = m.groupBy("kind").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds == Map("image" -> 2, "audio" -> 2, "video" -> 2))
+  }
+
+  test("decodeStats is deterministic and kind-shaped") {
+    val m = Media.synthesize(docs)
+    val a = Media.decodeStats(m).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val b = Media.decodeStats(m).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(a == b, "stub decode must be deterministic")
+    val byKind = Media.decodeStats(m).collect()
+      .map(r => r.getString(1) -> r.getInt(2)).groupBy(_._1)
+    assert(byKind("audio").forall(_._2 == 160), "16kHz/100 samples")
+  }
+
+  test("decode batching: batch boundaries don't change results") {
+    val m = Media.synthesize(docs)
+    val big = Media.decodeStats(m, batchSize = 64).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val tiny = Media.decodeStats(m, batchSize = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(big == tiny)
+  }
+
+  test("extractFeatures yields fixed-dim vectors consumable by ANN") {
+    val f = Media.extractFeatures(Media.synthesize(docs), dim = 8)
+    assert(f.select(size(col("feature"))).collect().forall(_.getInt(0) == 8))
+  }
+
+  test("resizeMeta caps the long side and preserves aspect contract") {
+    val r = Media.resizeMeta(Media.synthesize(docs), maxSide = 100)
+      .select("meta.width", "meta.height", "resized.width", "resized.height")
+      .collect()
+    r.foreach { row =>
+      val (w, h, rw, rh) = (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
+      assert(math.max(rw, rh) <= 100)
+      if (math.max(w, h) <= 100) assert(rw == w && rh == h)
+    }
+  }
+
+  test("sampleFrames emits capped per-video offsets") {
+    val f = Media.sampleFrames(Media.synthesize(docs), everyMs = 1000, maxFrames = 3)
+      .groupBy("media_id").agg(count(lit(1)).as("n"), max("frame_ms").as("mx"))
+      .collect()
+    assert(f.nonEmpty)
+    f.foreach { r => assert(r.getLong(1) <= 3 && r.getInt(2) % 1000 == 0) }
+  }
+}
