@@ -262,7 +262,37 @@ object MLQueries {
       .orderBy("seq")
   }
 
+  // ---- A9/ST6: seeded random split + M4 trainer -----------------------------
+
+  /** A9: seeded randomSplit cardinality/disjointness view (row identity is
+    * sampling-dependent, so the contract — verified here and in ScalaTest — is
+    * the split shape, not row membership; reference streams/stream_data.py:91-94). */
+  val a9SplitCounts: Q = (s, dir) => {
+    val all = Tables.embeddings(s, dir)
+    val (tr, te) = graft.operators.Split.trainTest(all, seed = 42L)
+    import s.implicits._
+    Seq(("train", tr.count()), ("test", te.count()),
+        ("total", all.count()),
+        ("overlap", tr.join(te, Seq("vec_id")).count()))
+      .toDF("split", "n")
+  }
+
+  /** M4 stand-in: MLlib LogisticRegression on pooled vectors with a seeded A9
+    * holdout, metrics row (divergence M1 documented — no recurrent nets in
+    * idiomatic Spark; capability = multiclass classifier over pooled
+    * embeddings). On the i.i.d. synthetic labels this sits at chance — the
+    * learnability of the trainer itself is proven on separable data in
+    * MLTrainerSpec. */
+  val mlLogregHoldout: Q = (s, dir) => {
+    val (tr, te) = graft.operators.Split.trainTest(Tables.embeddings(s, dir), 42L)
+    val model = graft.ml.LogRegTrainer.fit(tr, "label", "embedding", maxIter = 20)
+    graft.ml.LogRegTrainer.holdoutMetrics(model, te, "vec_id", "label",
+      "embedding", Corpus.NClasses)
+  }
+
   val queries: Map[String, Q] = Map(
+    "a9_split_counts" -> a9SplitCounts,
+    "ml_logreg_holdout" -> mlLogregHoldout,
     "ml_gnb_predict" -> mlGnbPredict,
     "ml_gnb_metrics" -> mlGnbMetrics,
     "drift_abrupt_feed" -> driftAbruptFeed,

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ml.{GaussianNB, LogRegTrainer, ModelIO}
+import graft.operators.Split
+
+class MLTrainerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val dim = 8
+  // separable 3-class clusters at (+2, 0, -2)·1-vector
+  def clustered(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val label = i % 3
+      val center = 2.0 - 2.0 * label
+      (i.toLong, label, Seq.fill(dim)((center + rnd.nextGaussian() * 0.4).toFloat))
+    }.toDF("id", "label", "vec")
+  }
+
+  test("A9 randomSplit: seeded, disjoint, ~80/20, reproducible") {
+    val df = clustered(1000, 1)
+    val (tr1, te1) = Split.trainTest(df, seed = 7L)
+    val (tr2, te2) = Split.trainTest(df, seed = 7L)
+    assert(tr1.count() == tr2.count() && te1.count() == te2.count())
+    assert(tr1.join(te1, Seq("id")).count() == 0, "disjoint")
+    assert(tr1.count() + te1.count() == 1000)
+    val frac = te1.count().toDouble / 1000
+    assert(frac > 0.12 && frac < 0.28, s"test fraction $frac")
+    val ids1 = tr1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = tr2.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "same seed → same membership")
+  }
+
+  test("ST6 epoch restart: stable without reshuffle, fresh with") {
+    val df = clustered(300, 2)
+    val (a, _) = Split.epoch(df, 5L, epochIdx = 0, reshuffle = false)
+    val (b, _) = Split.epoch(df, 5L, epochIdx = 3, reshuffle = false)
+    assert(a.select("id").collect().map(_.getLong(0)).toSet ==
+      b.select("id").collect().map(_.getLong(0)).toSet)
+    val (c, _) = Split.epoch(df, 5L, epochIdx = 3, reshuffle = true)
+    assert(a.select("id").collect().map(_.getLong(0)).toSet !=
+      c.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("M4 trainer: LogisticRegression learns separable clusters, holdout metrics") {
+    val (tr, te) = Split.trainTest(clustered(600, 3), seed = 11L)
+    val model = LogRegTrainer.fit(tr, "label", "vec", maxIter = 30)
+    val m = LogRegTrainer.holdoutMetrics(model, te, "id", "label", "vec", 3)
+      .collect()(0)
+    assert(m.getDouble(0) > 0.95, s"holdout accuracy ${m.getDouble(0)}")
+    assert(m.getDouble(3) > 0.95, s"macro f1 ${m.getDouble(3)}")
+  }
+
+  test("S6 model sink/scan: GNB stats round-trip through parquet") {
+    val df = clustered(300, 4)
+    val stats = GaussianNB.fitStats(df, "label", "vec")
+    val priors = GaussianNB.logPriors(df, "label")
+    val path = java.nio.file.Files.createTempDirectory("gnb").toString
+    ModelIO.saveGnb(stats, priors, path)
+    val (s2, p2) = ModelIO.loadGnb(spark, path)
+    // loaded model predicts identically to the in-memory one
+    val predA = GaussianNB.predict(df, stats, priors, "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val predB = GaussianNB.predict(df, s2, p2, "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(predA == predB)
+  }
+
+  test("S6 prequential checkpoint: latest id recoverable") {
+    implicit val s = spark
+    val model = new graft.streaming.StreamOps.PrequentialNB(dim, 3)
+    model.update(clustered(90, 5), "label", "vec", dim)
+    val path = java.nio.file.Files.createTempDirectory("ckpt").toString + "/cp"
+    ModelIO.checkpointPrequential(model, 3, 1L, path)
+    model.update(clustered(90, 6), "label", "vec", dim)
+    ModelIO.checkpointPrequential(model, 3, 2L, path)
+    assert(ModelIO.latestCheckpoint(spark, path).contains(2L))
+    val restored = spark.read.parquet(path).filter(col("ckpt") === 2L)
+    assert(restored.count() == 3)
+    val n2 = restored.agg(sum("n")).collect()(0).getLong(0)
+    assert(n2 == 180L)
+  }
+}
