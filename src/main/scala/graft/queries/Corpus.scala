@@ -149,6 +149,28 @@ object Corpus {
       |(SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings) t
       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- P6: abs-max pooling (models/wos_classifier.py:181-198) ---------------
+  // Scalar form over the stored vector: the element with max |value|, sign
+  // kept — the same fold absMaxPool applies per-dim over the token axis.
+  val p6AbsMax: Q = (s, dir) =>
+    Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        round(aggregate(col("embedding").cast("array<double>"),
+          element_at(col("embedding"), 1).cast("double"),
+          (acc, x) => when(abs(x) > abs(acc), x).otherwise(acc)), 4).as("absmax"))
+      .orderBy("vec_id")
+
+  // DuckDB: list_reduce seeds the fold with the first element — but then visits
+  // element 1 AGAIN (fold over the full list), unlike Spark's aggregate(zero =
+  // first, fold over all). Re-visiting the seed is idempotent for abs-max, so
+  // both engines produce the same result; the Spark fold also revisits
+  // element 1 here for exact structural parity.
+  val p6Sql: String =
+    """SELECT vec_id, round(list_reduce(
+      |  [CAST(e AS DOUBLE) FOR e IN embedding],
+      |  (acc, x) -> CASE WHEN abs(x) > abs(acc) THEN x ELSE acc END), 4) AS absmax
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   // ---- A5: multiclass metrics (utils/metrics.py:6-32) -----------------------
   val a5Metrics: Q = (s, dir) => {
     val scored = Tables.embeddings(s, dir).select(col("label"), pred)
@@ -269,12 +291,14 @@ object Corpus {
     "j2_key_join" -> j2KeyJoin,
     "j3_sigma_schedule" -> j3SigmaSchedule,
     "p5_pool_scalars" -> p5PoolScalars,
+    "p6_absmax" -> p6AbsMax,
     "a5_metrics" -> a5Metrics,
     "a4_batch_accuracy" -> a4BatchAccuracy,
     "st1_ddm_scan" -> st1DdmScan,
     "p7_noise_mse" -> p7NoiseMse)
 
   val oracles: Map[String, String] = Map(
+    "p6_absmax" -> p6Sql,
     "p1_clean_text" -> p1Sql,
     "a1_word_count" -> a1Sql,
     "a2_top_words" -> a2Sql,

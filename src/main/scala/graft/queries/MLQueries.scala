@@ -290,7 +290,95 @@ object MLQueries {
       "embedding", Corpus.NClasses)
   }
 
+  // ---- ST5: fine-tuning on the drifted stream -------------------------------
+
+  /** Q-adapt-finetune (reference adaptation/fine_tuning.py:10-97): after the
+    * space swap, re-enable training on the drifted stream using the model's
+    * pseudo-labels (the labels available in the unsupervised regime) and score
+    * the remainder with the fine-tuned model. Four-phase feed:
+    *   1 source space (simulated near-perfect), 2 drifted+stale model
+    *   (collapsed → D), 3 = fine-tune window, 4 drifted+fine-tuned (recovered).
+    * Rows-only; the recovery invariant is asserted in ScalaTest. */
+  val driftFinetuneSignals: Q = (s, dir) => {
+    val tr = train(s, dir)
+    val stats = GaussianNB.fitStats(tr, "label", "embedding")
+    val priors = GaussianNB.logPriors(tr, "label")
+    val te = test(s, dir)
+    val pseudo = GaussianNB.predict(te, stats, priors, "vec_id", "embedding")
+      .withColumnRenamed("pred", "pseudo_label")
+    // Space swap = coordinate reversal (an orthogonal permutation): it breaks
+    // the stale model completely but *preserves information*, so fine-tuning
+    // on the drifted stream can genuinely recover — additive noise would cap
+    // recovery at whatever channel capacity it destroyed.
+    val shifted = te.select(col("vec_id"),
+      reverse(col("embedding")).as("embedding")).localCheckpoint()
+    // stale model on drifted stream (phase 2)
+    val stalePred = GaussianNB.predict(shifted, stats, priors, "vec_id", "embedding")
+    // fine-tune: refit sufficient statistics on the drifted stream with
+    // pseudo-labels — the partial_fit analog of "re-enable training"
+    val ftTrain = shifted.join(pseudo, Seq("vec_id"))
+      .select(col("vec_id"), col("pseudo_label").as("label"), col("embedding"))
+    val ftStats = GaussianNB.fitStats(ftTrain, "label", "embedding")
+    val ftPriors = GaussianNB.logPriors(ftTrain, "label")
+    val ftPred = GaussianNB.predict(shifted, ftStats, ftPriors, "vec_id", "embedding")
+    def agree(pred: DataFrame, phase: Int): DataFrame =
+      pred.join(pseudo, Seq("vec_id"))
+        .withColumn("batch_id", floor(col("vec_id") / Corpus.DetectorBatch))
+        .groupBy("batch_id")
+        .agg(avg(when(col("pred") === col("pseudo_label"), 1.0).otherwise(0.0))
+          .as("accuracy"))
+        .select(lit(phase).as("phase"), col("batch_id"), col("accuracy"))
+    val phase1 = te.select(floor(col("vec_id") / Corpus.DetectorBatch).as("batch_id"))
+      .distinct()
+      .select(lit(1).as("phase"), col("batch_id"),
+        simAccuracy(col("batch_id")).as("accuracy"))
+    val feed = phase1
+      .unionByName(agree(stalePred, 2))
+      .unionByName(agree(ftPred, 4))
+      .withColumn("seq", col("phase") * lit(100000L) + col("batch_id"))
+      .withColumn("err", lit(1.0) - col("accuracy"))
+      .withColumn("det", lit("finetune"))
+    Drift.ddmSequential(feed, "det", "seq", "err")
+      .select(col("batch_id").as("seq"), round(col("error"), 6).as("error"),
+        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .orderBy("seq")
+  }
+
+  // ---- M7: PCA projection (adaptation/mapping.py:43-92 visualization) -------
+
+  /** MLlib PCA(k=2) over the embedding column: the 2-D reduction behind the
+    * reference's mapping scatter plots (t-SNE is out of idiomatic-Spark scope —
+    * documented divergence M7). Output: explained variance + projected extent.
+    * Rows-only (eigenvector sign is implementation-defined). */
+  val m7PcaSummary: Q = (s, dir) => {
+    import org.apache.spark.ml.feature.PCA
+    val feats = graft.ml.LogRegTrainer.toFeatures(
+      Tables.embeddings(s, dir), "embedding")
+    val model = new PCA().setInputCol("features").setOutputCol("pca")
+      .setK(2).fit(feats)
+    val ev = model.explainedVariance.toArray
+    val projected = model.transform(feats)
+      .select(col("vec_id"), col("pca"))
+    val extent = projected.select(
+      max(abs(element_at(vec_to_array(col("pca")), 1))).as("max_pc1"),
+      max(abs(element_at(vec_to_array(col("pca")), 2))).as("max_pc2"))
+    import s.implicits._
+    extent.crossJoin(
+      Seq((ev(0), ev(1))).toDF("explained_var_1", "explained_var_2"))
+      .select(round(col("explained_var_1"), 6).as("explained_var_1"),
+        round(col("explained_var_2"), 6).as("explained_var_2"),
+        round(col("max_pc1"), 4).as("max_pc1"),
+        round(col("max_pc2"), 4).as("max_pc2"))
+  }
+
+  private def vec_to_array(c: Column): Column = {
+    val f = udf { v: org.apache.spark.ml.linalg.Vector => v.toArray }
+    f(c)
+  }
+
   val queries: Map[String, Q] = Map(
+    "drift_finetune_signals" -> driftFinetuneSignals,
+    "m7_pca_summary" -> m7PcaSummary,
     "a9_split_counts" -> a9SplitCounts,
     "ml_logreg_holdout" -> mlLogregHoldout,
     "ml_gnb_predict" -> mlGnbPredict,
