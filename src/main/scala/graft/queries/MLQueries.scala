@@ -290,6 +290,99 @@ object MLQueries {
       "embedding", Corpus.NClasses)
   }
 
+  // ---- ST2: print_every feed gating -----------------------------------------
+
+  /** The reference feeds the detector only on print_every boundaries
+    * (streams/run_stream_supervised.py:69-83): gate batches to every 4th. [SQL] */
+  private def detPred =
+    pmod(col("vec_id"), lit(Corpus.NClasses)).cast("int").as("pred")
+  private val detPredSql = s"CAST(vec_id % ${Corpus.NClasses} AS INT)"
+
+  val st2GatedFeed: Q = (s, dir) => {
+    val scored = Tables.embeddings(s, dir).select(
+      floor(col("vec_id") / Corpus.DetectorBatch).as("batch_id"),
+      col("label"), detPred)
+    Metrics.batchAccuracy(scored, col("batch_id"), "label", "pred")
+      .filter(pmod(col("batch_id"), lit(4)) === 3)
+      .select(col("batch_id"), round(col("accuracy"), 6).as("accuracy"))
+      .orderBy("batch_id")
+  }
+
+  val st2Sql: String =
+    s"""SELECT batch_id, round(accuracy, 6) AS accuracy FROM
+       |(SELECT CAST(floor(vec_id / ${Corpus.DetectorBatch}) AS BIGINT) AS batch_id,
+       |  avg(CASE WHEN CAST(label AS INT) = $detPredSql THEN 1.0 ELSE 0.0 END) AS accuracy
+       |  FROM embeddings GROUP BY 1) a
+       |WHERE batch_id % 4 = 3 ORDER BY batch_id""".stripMargin
+
+  // ---- ST7: gradual drift (σ ramp) ------------------------------------------
+
+  /** Q-drift-gradual: pseudo-label agreement under a per-batch σ ramp — the
+    * reference's linear noise schedule (drift_experiments_supervised.py:200-214)
+    * over the whole corpus. [SQL] */
+  // warm-start 30 batches at σ=0 (agreement = 1 by construction), then ramp —
+  // gives DDM a clean baseline so the W zone precedes D mid-ramp.
+  private val gradualSigmaSql =
+    s"greatest(floor(vec_id / ${Corpus.DetectorBatch}) - 30, 0) * 2.0 / 33"
+
+  val driftGradualFeed: Q = (s, dir) => {
+    val tr = train(s, dir)
+    val stats = GaussianNB.fitStats(tr, "label", "embedding")
+    val priors = GaussianNB.logPriors(tr, "label")
+    val all = Tables.embeddings(s, dir)
+    val pseudo = GaussianNB.predict(all, stats, priors, "vec_id", "embedding")
+      .withColumnRenamed("pred", "pseudo_label")
+    val sigma = greatest(floor(col("vec_id") / Corpus.DetectorBatch) - 30, lit(0)) * lit(2.0) / 33
+    val noised = all.select(col("vec_id"),
+      VecFns.addPseudoNoise(col("embedding"), col("vec_id"), sigma).as("embedding"))
+    GaussianNB.predict(noised, stats, priors, "vec_id", "embedding")
+      .join(pseudo, Seq("vec_id"))
+      .withColumn("batch_id", floor(col("vec_id") / Corpus.DetectorBatch))
+      .groupBy("batch_id")
+      .agg(avg(when(col("pred") === col("pseudo_label"), 1.0).otherwise(0.0))
+        .as("agreement"))
+      // Warm window uses the reference's simulated noisy pass-1 accuracy
+      // (U(0.9,1.0) stand-in) — a zero-variance baseline (exact 1.0 agreement)
+      // would make DDM hair-triggered (s_min = 0) and skip the W zone.
+      .select(col("batch_id"),
+        round(when(col("batch_id") < 30, simAccuracy(col("batch_id")))
+          .otherwise(col("agreement")), 6).as("accuracy"))
+      .orderBy("batch_id")
+  }
+
+  val driftGradualFeedSql: String =
+    s"""WITH ${gnbPredictSql("vec_id >= 0", None)},
+       |${gnbPredictSql("vec_id >= 0", Some(gradualSigmaSql))
+          .replaceAll("\\btrainset\\b", "trainset2")
+          .replaceAll("\\btestset\\b", "testset2")
+          .replaceAll("\\btdims\\b", "tdims2")
+          .replaceAll("\\bstats\\b", "stats2")
+          .replaceAll("\\bepsv\\b", "epsv2")
+          .replaceAll("\\bpriors\\b", "priors2")
+          .replaceAll("\\bqdims0\\b", "qdims02")
+          .replaceAll("\\bqdims\\b", "qdims2")
+          .replaceAll("\\bscores\\b", "scores2")
+          .replaceAll("\\branked\\b", "ranked2")
+          .replaceAll("\\bpreds\\b", "preds2")},
+       |agr AS (SELECT CAST(floor(a.vec_id / ${Corpus.DetectorBatch}) AS BIGINT) AS batch_id,
+       |  avg(CASE WHEN b.pred = a.pred THEN 1.0 ELSE 0.0 END) AS agreement
+       |  FROM preds a JOIN preds2 b ON a.vec_id = b.vec_id GROUP BY 1)
+       |SELECT batch_id,
+       |  round(CASE WHEN batch_id < 30 THEN $simAccuracySql ELSE agreement END, 6) AS accuracy
+       |FROM agr ORDER BY batch_id""".stripMargin
+
+  /** Faithful DDM over the gradual feed (rows-only): W precedes D as the σ
+    * ramp degrades agreement — the gradual-vs-abrupt contrast. */
+  val driftGradualSignals: Q = (s, dir) => {
+    val feed = driftGradualFeed(s, dir)
+      .withColumn("err", lit(1.0) - col("accuracy"))
+      .withColumn("det", lit("gradual"))
+    Drift.ddmSequential(feed, "det", "batch_id", "err")
+      .select(col("batch_id"), round(col("error"), 6).as("error"),
+        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .orderBy("batch_id")
+  }
+
   // ---- ST5: fine-tuning on the drifted stream -------------------------------
 
   /** Q-adapt-finetune (reference adaptation/fine_tuning.py:10-97): after the
@@ -377,6 +470,9 @@ object MLQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "st2_gated_feed" -> st2GatedFeed,
+    "drift_gradual_feed" -> driftGradualFeed,
+    "drift_gradual_signals" -> driftGradualSignals,
     "drift_finetune_signals" -> driftFinetuneSignals,
     "m7_pca_summary" -> m7PcaSummary,
     "a9_split_counts" -> a9SplitCounts,
@@ -389,6 +485,8 @@ object MLQueries {
     "drift_unsup_signals" -> driftUnsupSignals)
 
   val oracles: Map[String, String] = Map(
+    "st2_gated_feed" -> st2Sql,
+    "drift_gradual_feed" -> driftGradualFeedSql,
     "ml_gnb_predict" -> mlGnbPredictSql,
     "ml_gnb_metrics" -> mlGnbMetricsSql,
     "drift_abrupt_feed" -> driftAbruptFeedSql,

@@ -168,7 +168,61 @@ object Relational {
       |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS ma10
       |FROM events ORDER BY event_type, event_id""".stripMargin
 
+  /** Grouping-set aggregation (SURVEY §2.4 absent-in-reference category):
+    * ROLLUP over (returnflag, linestatus) with NULL-marker subtotals. */
+  val q9Rollup: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q9Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Ranking + lag window functions (SURVEY §2.5 absent-in-reference): per
+    * customer, order rank by price and the gap to the previous order. */
+  val q10RankLag: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc,
+      col("o_orderkey").asc)
+    Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        round(col("o_totalprice") -
+          coalesce(lag("o_totalprice", 1).over(w), col("o_totalprice")), 2)
+          .as("gap_to_prev"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |rank() OVER w AS rnk,
+      |round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, o_totalprice), 2) AS gap_to_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  /** Distinct aggregation (SURVEY §2.4 absent-in-reference): exact distinct
+    * counts per group. (approx_count_distinct exists too but is engine-specific
+    * — exercised in ScalaTest, not the cross-engine oracle.) */
+  val q11Distinct: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val q11Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q9_rollup" -> q9Rollup,
+    "q10_rank_lag" -> q10RankLag,
+    "q11_distinct" -> q11Distinct,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_region_revenue" -> q2RegionRevenue,
     "q3_top_orders" -> q3TopOrders,
@@ -180,6 +234,9 @@ object Relational {
     "q8_moving_avg" -> q8MovingAvg)
 
   val oracles: Map[String, String] = Map(
+    "q9_rollup" -> q9Sql,
+    "q10_rank_lag" -> q10Sql,
+    "q11_distinct" -> q11Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_region_revenue" -> q2Sql,
     "q3_top_orders" -> q3Sql,
