@@ -38,23 +38,26 @@ object VecFns {
     aggregate(tokens, element_at(tokens, 1),
       (acc, x) => zip_with(acc, x, (a, b) => when(abs(b) > abs(a), b).otherwise(a)))
 
-  /** Dot product of two numeric arrays, computed in double. */
+  /** Dot product of two numeric arrays, computed in double.
+    * Native codegen kernel (graft.expressions.VecDot): the HOF formulation
+    * (`aggregate(zip_with(...))`) is CodegenFallback-interpreted per row; the
+    * expression compiles to a primitive loop with identical (sequential
+    * left-to-right) accumulation order, so results are bit-equal. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorFunctions.vecDot(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision; 0.0 when either side has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
-  }
+  /** Cosine similarity in double precision; 0.0 when either side has zero
+    * norm. Single-pass codegen kernel, bit-equal to
+    * `dot/(sqrt(dot(a,a))*sqrt(dot(b,b)))` with the zero-denominator guard. */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorFunctions.vecCosine(a, b)
 
-  /** Squared L2 distance. */
+  /** Squared L2 distance (codegen kernel, same fold order as the HOF form). */
   def l2Sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorFunctions.vecL2Sq(a, b)
 
   /** Element-wise mean squared error between two vectors (reference A6,
     * adaptation/mapping.py:39-41: mean((source-target)^2)). */
