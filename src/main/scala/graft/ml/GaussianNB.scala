@@ -53,12 +53,41 @@ object GaussianNB {
 
   /** Score test vectors against fitted stats; returns (idCol, pred).
     *
-    * Relational scoring: explode test dims, broadcast-join the (small) stats
-    * table on dim, partial-sum log-densities per (id, class), then argmax with
-    * deterministic min-label tiebreak. The big side is never shuffled by more
-    * than the (id, label) partial aggregation. */
+    * The model is tiny (|classes|·|dims| cells) while the test side is the
+    * 100 TB side: collect the stats/priors to the driver once and score each
+    * row with the [[graft.expressions.GnbArgmax]] codegen kernel — a single
+    * narrow projection, no explode/join/shuffle/window on the big side. The
+    * model ships with the serialized plan exactly like a broadcast dimension.
+    * Semantics (incl. the min-label tiebreak) match [[predictRelational]],
+    * asserted in MLTrainerSpec. */
   def predict(test: DataFrame, stats: DataFrame, priors: DataFrame,
               idCol: String, vecCol: String): DataFrame = {
+    val sRows = stats.select(col("label").cast("int"), col("i").cast("int"),
+      col("mu").cast("double"), (col("v") + col("eps")).cast("double").as("ve"))
+      .collect()
+    val pMap = priors.select(col("label").cast("int"), col("logprior").cast("double"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val labels = sRows.map(_.getInt(0)).distinct.sorted
+    val dims = sRows.map(_.getInt(1)).max + 1
+    val classIdx = labels.zipWithIndex.toMap
+    val mu = Array.ofDim[Double](labels.length, dims)
+    val ve = Array.ofDim[Double](labels.length, dims)
+    sRows.foreach { r =>
+      val (c, i) = (classIdx(r.getInt(0)), r.getInt(1))
+      mu(c)(i) = r.getDouble(2); ve(c)(i) = r.getDouble(3)
+    }
+    val logPrior = labels.map(pMap)
+    test.select(col(idCol),
+      graft.expressions.GnbArgmax.column(col(vecCol), labels, mu, ve, logPrior)
+        .as("pred"))
+  }
+
+  /** The explode/join/window formulation of [[predict]] — the SQL-expressible
+    * twin the DuckDB oracle replays, kept for differential testing. Row
+    * blowup is |dims|·|classes| per test row before re-aggregation; prefer
+    * [[predict]] on the hot path. */
+  def predictRelational(test: DataFrame, stats: DataFrame, priors: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
     val q = test.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("i", "e0")))
       .select(col("id"), col("i"), col("e0").cast("double").as("e"))

@@ -21,6 +21,23 @@ class MLTrainerSpec extends AnyFunSuite {
     }.toDF("id", "label", "vec")
   }
 
+  test("GNB kernel predict equals the relational explode/join/window twin") {
+    val df = clustered(300, 7).cache()
+    val stats = GaussianNB.fitStats(df, "label", "vec")
+    val priors = GaussianNB.logPriors(df, "label")
+    val fast = GaussianNB.predict(df, stats, priors, "id", "vec")
+    val rel = GaussianNB.predictRelational(df, stats, priors, "id", "vec")
+    val diff = fast.withColumnRenamed("pred", "pf")
+      .join(rel.withColumnRenamed("pred", "pr"), Seq("id"))
+      .filter(col("pf") =!= col("pr")).count()
+    assert(diff == 0)
+    assert(fast.count() == 300)
+    // kernel path stays a single codegen projection (no shuffle on the big side)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    df.unpersist()
+  }
+
   test("A9 randomSplit: seeded, disjoint, ~80/20, reproducible") {
     val df = clustered(1000, 1)
     val (tr1, te1) = Split.trainTest(df, seed = 7L)
