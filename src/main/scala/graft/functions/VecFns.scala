@@ -78,11 +78,8 @@ object VecFns {
     * Reference P8 mapping-apply (adaptation/stream.py:34-54, mapping.py:123-124).
     * W is a driver-side literal broadcast with the plan; for 768x768 this is ~4.7MB
     * of constant — fine to ship once per executor. */
-  def matApply(w: Array[Array[Double]], x: Column): Column = {
-    val wLit = typedLit(w.map(_.toSeq).toSeq)
-    transform(wLit, row => aggregate(
-      zip_with(row, x, (wi, xi) => wi * d(xi)), lit(0.0), (acc, v) => acc + v))
-  }
+  def matApply(w: Array[Array[Double]], x: Column): Column =
+    graft.expressions.MatVecProduct.column(x, w)
 
   /** Per-vector scalar reductions (oracle-friendly): max/min/avg element. */
   def vecMax(a: Column): Column = array_max(a)

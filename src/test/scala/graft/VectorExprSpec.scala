@@ -79,6 +79,26 @@ class VectorExprSpec extends AnyFunSuite {
     assert(e.getDouble(0) == 0.0 && e.getDouble(1) == 0.0)
   }
 
+  test("mat_vec_product is bit-equal to the HOF transform/aggregate fold") {
+    val w = Array.tabulate(6, 5)((j, i) => ((j * 31 + i * 17) % 13) / 6.5 - 1.0)
+    val hofMatApply = {
+      val wLit = typedLit(w.map(_.toSeq).toSeq)
+      (x: org.apache.spark.sql.Column) =>
+        transform(wLit, row => aggregate(
+          zip_with(row, x, (wi, xi) => wi * d(xi)), lit(0.0), (acc, v) => acc + v))
+    }
+    val df = vecs(32, 5).toDF("id", "a", "b")
+    val r = df.select(VecFns.matApply(w, $"a").as("k"), hofMatApply($"a").as("h"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getSeq[Double](0) == row.getSeq[Double](1))
+    }
+    // null vector → null result
+    val nr = Seq(Option.empty[Seq[Float]]).toDF("a")
+      .select(VecFns.matApply(w, $"a")).head()
+    assert(nr.isNullAt(0))
+  }
+
   test("SQL surface: register() exposes vec_dot/vec_cosine/vec_l2sq to spark.sql") {
     VectorFunctions.register(spark)
     val r = spark.sql(
