@@ -219,6 +219,80 @@ object Relational {
       |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** As-of join (SURVEY §2.3 absent-in-reference, now first-class): every
+    * click attached to the user's most recent view at-or-before it — the
+    * canonical time-series enrichment. One keyed-window shuffle, no range
+    * cross-product (see [[graft.operators.AsOfJoin]]). The oracle replays it
+    * with DuckDB's native ASOF JOIN. Times exported as epoch-µs longs (both
+    * engines truncate the generator's ns timestamps to µs identically). */
+  val q12AsofJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+    graft.operators.AsOfJoin.backward(clicks, views, Seq("user_id"), "ts", "view_ts")
+      .select(col("event_id"), col("user_id"), col("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"),
+        col("view_value"))
+      .orderBy("event_id")
+  }
+
+  val q12Sql: String =
+    """SELECT c.event_id, c.user_id, v.event_id AS view_id,
+      |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us, v.value AS view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Session windows (SURVEY §2.6: event-time capability the reference lacks):
+    * per-user 30-minute-gap sessions via `session_window`, the same operator
+    * the streaming path uses. Oracle = gaps-and-islands SQL. `sum(value)`
+    * goes through DECIMAL so the result is order-independent and exact on
+    * both engines (double summation order differs between engines). */
+  val q13Sessions: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"),
+        col("sv").cast("double").as("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
+  val q13Sql: String =
+    """WITH o AS (SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o)
+      |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** CUBE over (event_type, hour-of-day) (SURVEY §2.4 absent-in-reference:
+    * grouping sets — rollup is q9, cube completes the family). */
+  val q14Cube: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .cube(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("hod").asc_nulls_first)
+
+  val q14Sql: String =
+    """SELECT event_type, date_part('hour', ts) AS hod, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY CUBE(event_type, date_part('hour', ts))
+      |ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q9_rollup" -> q9Rollup,
     "q10_rank_lag" -> q10RankLag,
@@ -231,9 +305,15 @@ object Relational {
     "q6_anti_join" -> q6AntiJoin,
     "q6b_semi_join" -> q6bSemiJoin,
     "q7_events_hourly" -> q7EventsHourly,
-    "q8_moving_avg" -> q8MovingAvg)
+    "q8_moving_avg" -> q8MovingAvg,
+    "q12_asof_join" -> q12AsofJoin,
+    "q13_sessions" -> q13Sessions,
+    "q14_cube" -> q14Cube)
 
   val oracles: Map[String, String] = Map(
+    "q12_asof_join" -> q12Sql,
+    "q13_sessions" -> q13Sql,
+    "q14_cube" -> q14Sql,
     "q9_rollup" -> q9Sql,
     "q10_rank_lag" -> q10Sql,
     "q11_distinct" -> q11Sql,
