@@ -22,6 +22,19 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked per-user session windows (gap-based): the streaming twin of
+    * the batch q13_sessions query — same `session_window` operator, so batch
+    * and stream share semantics by construction. Sessions finalize (append
+    * mode) once the watermark passes their close. */
+  def sessionizedUserActivity(events: DataFrame, watermark: String = "10 minutes",
+                              gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Sliding-window per-user activity with late-data tolerance. */
   def slidingUserActivity(events: DataFrame, watermark: String = "10 minutes",
                           win: String = "10 minutes", slide: String = "5 minutes"): DataFrame =

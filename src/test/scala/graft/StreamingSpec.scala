@@ -62,6 +62,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming session windows finalize after the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val query = StreamOps.sessionizedUserActivity(events,
+        watermark = "1 minute", gap = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      // user 1: two events 5 min apart (one session), then a 20-min silence
+      mem.addData((ts(0), 1L, 1.0), (ts(5), 1L, 2.0))
+      query.processAllAvailable()
+      // advance watermark far past session close (05 + 10min gap + 1min wm)
+      mem.addData((ts(40), 1L, 9.0))
+      query.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+      val s = rows.find(_.getTimestamp(1) == ts(0))
+      assert(s.isDefined, s"finalized session missing: ${rows.mkString(",")}")
+      assert(s.get.getLong(3) == 2 && s.get.getDouble(4) == 3.0)
+      // session end = last event + gap
+      assert(s.get.getTimestamp(2) == ts(15))
+    } finally query.stop()
+  }
+
   test("prequential NB learns a separable stream (ST4 test-then-train)") {
     // two Gaussian-ish clusters: label 0 near (+1,+1,..), label 1 near (-1,-1,..)
     val dim = 8
