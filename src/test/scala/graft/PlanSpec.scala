@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Pipelines, Relational}
+import graft.sources.Tables
+
+/** Physical-plan contracts — the scale properties the engine claims must be
+  * visible in `executedPlan`, not just intended: filters reach the parquet
+  * scan, projections prune the read schema, small dims broadcast, global
+  * top-k avoids a full sort, and big aggregations are partial+final. Pinning
+  * them here turns "would survive a 100× scale-up" from a comment into a
+  * regression test. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown: a lineitem predicate reaches the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)"), p)
+  }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("q2: nation/region broadcast; no shuffle on the dim side") {
+    val p = plan(Relational.q2RegionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only shuffle exchanges are for the fact-side join + final agg/sort,
+    // never a dim table: region/nation scans must feed BroadcastExchange only
+    val lines = p.linesIterator.toSeq
+    val regionScan = lines.indexWhere(l => l.contains("Scan parquet") && l.contains("r_regionkey"))
+    assert(regionScan >= 0, p)
+    val above = lines.take(regionScan).reverse.take(4).mkString("\n")
+    assert(above.contains("BroadcastExchange") || above.contains("BroadcastQueryStage"), above)
+  }
+
+  test("q3: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(Relational.q3TopOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: aggregation is partial+final (map-side combine)") {
+    val p = plan(Relational.q1PricingSummary(spark, sf))
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, p) // partial before the exchange, final after
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("dedup_exact never builds a cross product and keeps aggregation keyed") {
+    val p = plan(Pipelines.queries("dedup_exact")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("similarity brute-force top-k is a broadcast join, not a shuffle of the corpus") {
+    val p = plan(Pipelines.queries("sim_brute_topk")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
