@@ -23,6 +23,14 @@ trait EmbeddingProvider extends Serializable {
 
   /** Single-token convenience (adaptation word dataset). */
   def embedWord(w: String): Array[Float] = embedTokens(Seq(w))(0)
+
+  /** Batch form of [[embedTokens]] — one call per micro-batch of documents.
+    * Real inference providers (ONNX/Triton-style) override this to amortize
+    * model invocation over the batch (the reference batches 32 docs per
+    * forward pass, streams/stream_data.py:129-153); the default delegates
+    * per document. */
+  def embedTokensBatch(docs: Seq[Seq[String]]): Seq[Array[Array[Float]]] =
+    docs.map(embedTokens)
 }
 
 /** Deterministic hashing/random-projection encoder. Per (token, dim) value =
@@ -130,6 +138,39 @@ object EmbeddingProvider {
       acc.map(_ / n).toSeq
     }
     f(text)
+  }
+
+  /** Partition-batched embed + mean-pool via `mapPartitions`: the shape a
+    * real inference provider needs — the provider object deserializes once
+    * per partition (where a heavyweight runtime would load its model) and
+    * sees documents in `batchSize` groups through [[EmbeddingProvider.embedTokensBatch]],
+    * mirroring the reference's 32-doc forward passes. Row-identical to the
+    * per-row UDF path for any deterministic provider (asserted in the spec).
+    * Returns (idCol, vec ARRAY<DOUBLE>). */
+  def embedMeanPoolPartitions(docs: DataFrame, idCol: String, textCol: String,
+                              provider: EmbeddingProvider,
+                              batchSize: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = provider.dim
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val tokenized = batch.map { case (_, t) =>
+            Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty).toSeq
+          }
+          val mats = provider.embedTokensBatch(tokenized)
+          batch.lazyZip(mats).map { case ((id, _), mat) =>
+            val acc = new Array[Double](dim)
+            mat.foreach { v =>
+              var i = 0
+              while (i < dim) { acc(i) += v(i); i += 1 }
+            }
+            (id, acc.map(_ / mat.length).toSeq)
+          }
+        }
+      }.toDF(idCol, "vec")
   }
 
   /** S4: full-corpus embedding materialization (reference

@@ -66,6 +66,23 @@ class AdaptationSpec extends AnyFunSuite {
     assert(losses.last < losses.head, s"losses: $losses")
   }
 
+  test("partition-batched embedding equals the per-row UDF path (P3 batch shape)") {
+    import graft.embed.EmbeddingProvider
+    val p = graft.embed.HashingProvider("bt", 16, seed = 5L)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta"), (3L, "eps zeta eta theta"),
+      (4L, "iota kappa"), (5L, "lambda"), (6L, "mu nu xi"), (7L, "omicron pi"))
+      .toDF("doc_id", "text").repartition(2)
+    val batched = EmbeddingProvider.embedMeanPoolPartitions(docs, "doc_id", "text", p,
+      batchSize = 3)
+    val perRow = docs.select(col("doc_id"),
+      EmbeddingProvider.embedMeanPoolCol(p)(col("text")).as("vec"))
+    val j = batched.withColumnRenamed("vec", "a")
+      .join(perRow.withColumnRenamed("vec", "b"), Seq("doc_id"))
+    assert(j.count() == 7)
+    val mismatches = j.filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
+
   test("materialize writes pooled embeddings (S4)") {
     val out = java.nio.file.Files.createTempDirectory("s4").toString + "/emb"
     EmbeddingProvider.materialize(docs, "text", src, out)
