@@ -39,6 +39,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("transformWithState DDM equals the flatMapGroupsWithState scan") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[DdmStream.Feed]
+    val query = DdmStream.signalsTws(mem.toDS())
+      .writeStream.format("memory").queryName("ddm_tws_out")
+      .outputMode("append").start()
+    try {
+      val feeds = errs.zipWithIndex.map { case (e, i) => DdmStream.Feed("d", i, e) }
+      val chunks = Seq(feeds.slice(0, 13).reverse, feeds.slice(13, 47),
+        feeds.slice(47, 48), feeds.slice(48, 90).reverse)
+      chunks.foreach { c => mem.addData(c: _*); query.processAllAvailable() }
+      val streamed = spark.table("ddm_tws_out")
+        .select("batch_id", "signal").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = Drift.ddmSequential(
+          feeds.toDF("detector", "batch_id", "error"), "detector", "batch_id", "error")
+        .collect().map(r => r.getLong(1) -> r.getString(5)).toMap
+      assert(streamed.size == errs.size)
+      assert(streamed == batch)
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermarked tumbling windows emit finalized groups (event-time capability)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
