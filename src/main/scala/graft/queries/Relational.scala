@@ -219,6 +219,21 @@ object Relational {
       |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch-based approximate aggregates (SURVEY §2.4 absent-in-reference):
+    * HyperLogLog++ distinct counts and quantile sketches — the
+    * constant-memory path when exact distinct over 100 TB would blow the
+    * shuffle. Rows-only (sketch internals are engine-specific; the spec
+    * bounds them against exact values: rsd 5% for HLL, the documented
+    * accuracy for percentile_approx). */
+  val q15Approx: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** As-of join (SURVEY §2.3 absent-in-reference, now first-class): every
     * click attached to the user's most recent view at-or-before it — the
     * canonical time-series enrichment. One keyed-window shuffle, no range
@@ -308,7 +323,8 @@ object Relational {
     "q8_moving_avg" -> q8MovingAvg,
     "q12_asof_join" -> q12AsofJoin,
     "q13_sessions" -> q13Sessions,
-    "q14_cube" -> q14Cube)
+    "q14_cube" -> q14Cube,
+    "q15_approx" -> q15Approx)
 
   val oracles: Map[String, String] = Map(
     "q12_asof_join" -> q12Sql,
