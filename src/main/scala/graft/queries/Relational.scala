@@ -234,6 +234,36 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Banded range join (SURVEY §2.3's last absent join category): for each
+    * user, count (click, error) pairs where the click falls inside the
+    * 2-hour window after an error — an interval join executed as an
+    * equi-join on (user, time band) via [[graft.operators.RangeJoin]], never
+    * a nested-loop. The oracle replays it as a plain inequality join. */
+  val q16RangeJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"))
+    val windowUs = 7200L * 1000000L
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("err_lo"),
+        (unix_micros(col("ts")) + windowUs).as("err_hi"))
+    graft.operators.RangeJoin.bandedIntervalJoin(clicks, errors,
+        Seq("user_id"), "click_us", "err_lo", "err_hi", bandWidth = windowUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_us")).as("n_clicks_hit"))
+      .orderBy("user_id")
+  }
+
+  val q16Sql: String =
+    """SELECT c.user_id, count(*) AS n_pairs,
+      |  count(DISTINCT epoch_us(c.ts)) AS n_clicks_hit
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      | AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 2 HOUR
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   /** As-of join (SURVEY §2.3 absent-in-reference, now first-class): every
     * click attached to the user's most recent view at-or-before it — the
     * canonical time-series enrichment. One keyed-window shuffle, no range
@@ -324,9 +354,11 @@ object Relational {
     "q12_asof_join" -> q12AsofJoin,
     "q13_sessions" -> q13Sessions,
     "q14_cube" -> q14Cube,
-    "q15_approx" -> q15Approx)
+    "q15_approx" -> q15Approx,
+    "q16_range_join" -> q16RangeJoin)
 
   val oracles: Map[String, String] = Map(
+    "q16_range_join" -> q16Sql,
     "q12_asof_join" -> q12Sql,
     "q13_sessions" -> q13Sql,
     "q14_cube" -> q14Sql,
