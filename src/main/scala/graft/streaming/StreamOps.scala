@@ -35,6 +35,19 @@ object StreamOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Streaming exactly-once ingestion dedup: drops re-deliveries of the same
+    * `idCol` arriving within the watermark horizon (state for an id is
+    * dropped once the watermark passes it, so state size is bounded by the
+    * horizon × arrival rate, not by stream history — the property that lets
+    * this run forever at ingest scale). The batch twin of the engine's
+    * dedup_exact; at-least-once sources (Kafka, file re-listing) become
+    * effectively exactly-once through it. */
+  def dedupWithinWatermark(events: DataFrame, idCol: String,
+                           watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Sliding-window per-user activity with late-data tolerance. */
   def slidingUserActivity(events: DataFrame, watermark: String = "10 minutes",
                           win: String = "10 minutes", slide: String = "5 minutes"): DataFrame =

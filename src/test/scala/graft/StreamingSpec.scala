@@ -121,6 +121,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops cross-micro-batch re-deliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_id", "value")
+    val query = StreamOps.dedupWithinWatermark(events, "event_id", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      mem.addData((ts(1), 100L, 1.0), (ts(1), 100L, 1.0), (ts(2), 200L, 2.0))
+      query.processAllAvailable()
+      // re-delivery of id 100 in a LATER micro-batch, still inside the horizon
+      mem.addData((ts(3), 100L, 1.0), (ts(4), 300L, 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(100L, 200L, 300L), ids.mkString(","))
+    } finally query.stop()
+  }
+
   test("prequential NB learns a separable stream (ST4 test-then-train)") {
     // two Gaussian-ish clusters: label 0 near (+1,+1,..), label 1 near (-1,-1,..)
     val dim = 8
