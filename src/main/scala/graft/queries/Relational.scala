@@ -234,6 +234,60 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Correlated scalar subquery (SURVEY §4 decorrelation row): orders priced
+    * above their own customer's average — Catalyst decorrelates the subquery
+    * into an aggregate + join instead of re-executing it per row. The
+    * above-average test is scaled out of the division (`price·n > sum` over
+    * DECIMAL) so every comparison and the reported excess are exact integers
+    * of cents — a double `avg` puts half-cent values at `round`'s boundary,
+    * where Spark (shortest-decimal-repr HALF_UP) and DuckDB (binary-double)
+    * legitimately disagree. */
+  val q17Decorrelate: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val byCust = o.groupBy(col("o_custkey").as("ac_custkey"))
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("c"))
+    o.join(byCust, col("o_custkey") === col("ac_custkey"))
+      .filter(col("p") * col("c") > col("s"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_above"),
+        max(col("p") * col("c") - col("s")).cast("double").as("max_excess_x_n"))
+      .orderBy("o_custkey")
+  }
+
+  val q17Sql: String =
+    """SELECT o_custkey, count(*) AS n_above,
+      |  CAST(max(p * c - s) AS DOUBLE) AS max_excess_x_n
+      |FROM (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |        (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+      |          WHERE o2.o_custkey = o1.o_custkey) AS s,
+      |        (SELECT count(*) FROM orders o2
+      |          WHERE o2.o_custkey = o1.o_custkey) AS c
+      |      FROM orders o1) t
+      |WHERE p * c > s
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Pivot (conditional aggregation): events wide by type per day — the
+    * reshape behind the reference's result-plotting tables
+    * (utils/visualization.py). Fixed column set so both engines emit an
+    * identical schema. */
+  val q18Pivot: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "view", "error", "signup", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  val q18Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Banded range join (SURVEY §2.3's last absent join category): for each
     * user, count (click, error) pairs where the click falls inside the
     * 2-hour window after an error — an interval join executed as an
@@ -355,10 +409,14 @@ object Relational {
     "q13_sessions" -> q13Sessions,
     "q14_cube" -> q14Cube,
     "q15_approx" -> q15Approx,
-    "q16_range_join" -> q16RangeJoin)
+    "q16_range_join" -> q16RangeJoin,
+    "q17_decorrelate" -> q17Decorrelate,
+    "q18_pivot" -> q18Pivot)
 
   val oracles: Map[String, String] = Map(
     "q16_range_join" -> q16Sql,
+    "q17_decorrelate" -> q17Sql,
+    "q18_pivot" -> q18Sql,
     "q12_asof_join" -> q12Sql,
     "q13_sessions" -> q13Sql,
     "q14_cube" -> q14Sql,
