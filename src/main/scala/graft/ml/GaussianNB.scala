@@ -51,17 +51,17 @@ object GaussianNB {
       .select(col("label"), log(col("cnt").cast("double") / col("tot")).as("logprior"))
   }
 
-  /** Score test vectors against fitted stats; returns (idCol, pred).
-    *
-    * The model is tiny (|classes|·|dims| cells) while the test side is the
-    * 100 TB side: collect the stats/priors to the driver once and score each
-    * row with the [[graft.expressions.GnbArgmax]] codegen kernel — a single
-    * narrow projection, no explode/join/shuffle/window on the big side. The
-    * model ships with the serialized plan exactly like a broadcast dimension.
-    * Semantics (incl. the min-label tiebreak) match [[predictRelational]],
-    * asserted in MLTrainerSpec. */
-  def predict(test: DataFrame, stats: DataFrame, priors: DataFrame,
-              idCol: String, vecCol: String): DataFrame = {
+  /** Fitted model as driver-side arrays: the reusable unit the drift queries
+    * hold onto across their 2-3 predict passes. All arrays are ordered by
+    * ascending label; `ve` already includes the sklearn smoothing ε. */
+  case class GnbModel(labels: Array[Int], mu: Array[Array[Double]],
+                      ve: Array[Array[Double]], logPrior: Array[Double])
+
+  /** Collect fitted stats/priors into a [[GnbModel]] ONCE. Every `.collect()`
+    * on the stats DataFrame re-executes the whole explode+groupBy fit
+    * aggregation, so queries that predict multiple times with one model must
+    * pay this exactly once and reuse the arrays. */
+  def collectModel(stats: DataFrame, priors: DataFrame): GnbModel = {
     val sRows = stats.select(col("label").cast("int"), col("i").cast("int"),
       col("mu").cast("double"), (col("v") + col("eps")).cast("double").as("ve"))
       .collect()
@@ -76,11 +76,35 @@ object GaussianNB {
       val (c, i) = (classIdx(r.getInt(0)), r.getInt(1))
       mu(c)(i) = r.getDouble(2); ve(c)(i) = r.getDouble(3)
     }
-    val logPrior = labels.map(pMap)
-    test.select(col(idCol),
-      graft.expressions.GnbArgmax.column(col(vecCol), labels, mu, ve, logPrior)
-        .as("pred"))
+    GnbModel(labels, mu, ve, labels.map(pMap))
   }
+
+  /** Fit end-to-end: sufficient statistics + priors, collected to a model. */
+  def fit(train: DataFrame, labelCol: String, vecCol: String,
+          varSmoothing: Double = DefaultVarSmoothing): GnbModel =
+    collectModel(fitStats(train, labelCol, vecCol, varSmoothing),
+      logPriors(train, labelCol))
+
+  /** Score test vectors with a fitted model; returns (idCol, pred).
+    *
+    * The model is tiny (|classes|·|dims| cells) while the test side is the
+    * 100 TB side: score each row with the [[graft.expressions.GnbArgmax]]
+    * codegen kernel — a single narrow projection, no explode/join/shuffle/
+    * window on the big side. The model ships with the serialized plan exactly
+    * like a broadcast dimension. Semantics (incl. the min-label tiebreak)
+    * match [[predictRelational]], asserted in MLTrainerSpec. */
+  def predict(test: DataFrame, model: GnbModel,
+              idCol: String, vecCol: String): DataFrame =
+    test.select(col(idCol),
+      graft.expressions.GnbArgmax.column(col(vecCol), model.labels, model.mu,
+        model.ve, model.logPrior).as("pred"))
+
+  /** DataFrame-input form of [[predict]]; collects the model on each call —
+    * prefer fitting once via [[fit]]/[[collectModel]] when predicting more
+    * than once with the same stats. */
+  def predict(test: DataFrame, stats: DataFrame, priors: DataFrame,
+              idCol: String, vecCol: String): DataFrame =
+    predict(test, collectModel(stats, priors), idCol, vecCol)
 
   /** The explode/join/window formulation of [[predict]] — the SQL-expressible
     * twin the DuckDB oracle replays, kept for differential testing. Row

@@ -1,9 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.NearestCentroids
 import graft.functions.VecFns
 
 /** Approximate-nearest-neighbor similarity search over an embedding column
@@ -11,16 +11,20 @@ import graft.functions.VecFns
   *
   * Scale design:
   *  - [[bruteForceTopK]] broadcasts the (small) query set against the full corpus:
-  *    one pass, no shuffle of the corpus, a per-query top-k via window rank over
-  *    only the scored pairs. Baseline and ground truth for the ANN variants.
+  *    one pass, no shuffle of the corpus; the per-query rank runs through the
+  *    bounded [[TopK]] aggregator (≤ k rows per query cross the wire, not the
+  *    whole scored corpus×|Q| set). Baseline and ground truth for the ANN
+  *    variants.
   *  - [[lshTopK]] buckets both sides with random-hyperplane sign-LSH
   *    (deterministic seeded planes), probing `probes` neighboring buckets —
   *    candidate count is corpus/2^planes per bucket, so the cross product never
   *    materializes. The same pattern backs [[Dedup.embeddingNearDup]].
   *  - [[ivfTopK]] is a coarse-quantizer variant: k-means-style centroids chosen
-  *    deterministically (first `nlist` vectors), every vector assigned to its
-  *    nearest centroid (broadcast centroids), queries probe the `nprobe` nearest
-  *    lists. This is the IVF layout FAISS uses, expressed relationally.
+  *    deterministically (first `nlist` vectors by id, picked with orderBy+limit
+  *    → TakeOrderedAndProject, never a global window), every vector assigned to
+  *    its nearest centroid by the [[NearestCentroids]] plan-constant kernel (one
+  *    narrow projection — no crossJoin blowup, no re-shuffle), queries probe the
+  *    `nprobe` nearest lists. This is the IVF layout FAISS uses.
   */
 object Similarity {
 
@@ -54,10 +58,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col("qid"), col("cid"),
         VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
-    scored.withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", "cos", "rk")
+    TopK.topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: only candidates in the query's bucket (and
@@ -81,10 +82,7 @@ object Similarity {
       .select(col("qid"), col("cid"),
         VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
       .groupBy("qid", "cid").agg(max("cos").as("cos")) // dedupe multi-probe hits
-    scored.withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", "cos", "rk")
+    TopK.topKPerQuery(scored, k)
   }
 
   /** IVF-style approximate top-k with `nlist` coarse centroids and `nprobe`
@@ -94,31 +92,26 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val cents = c.withColumn("rn",
-        row_number().over(Window.orderBy(col("cid"))))
-      .filter(col("rn") <= nlist)
-      .select(col("rn").as("list_id"), col("cvec").as("centroid"))
-    // Assign every corpus vector to its nearest centroid (broadcast centroids —
-    // nlist × dim doubles, tiny; the corpus is never shuffled).
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("d2", VecFns.l2Sq(col("cvec"), col("centroid")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("cid").orderBy(col("d2").asc, col("list_id").asc)))
-      .filter(col("rk") === 1)
-      .select(col("list_id"), col("cid"), col("cvec"))
+    // Centroid pick: orderBy+limit plans as TakeOrderedAndProject (per-partition
+    // partial top-nlist, distributed) — never a window over the whole corpus.
+    // The nlist rows collect to the driver in id order; list_id = 1-based rank,
+    // exactly the old row_number numbering. Model-sized collect (nlist × dim).
+    val cents: Array[Array[Double]] = c.orderBy("cid").limit(nlist)
+      .select(col("cvec").cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    // Assign every corpus vector to its nearest centroid with the plan-constant
+    // NearestCentroids kernel: one narrow projection over the corpus — no
+    // ×nlist crossJoin blowup and no re-shuffle of the blown-up set.
+    val assigned = c.select(
+      element_at(NearestCentroids.column(col("cvec"), cents, 1), 1).as("list_id"),
+      col("cid"), col("cvec"))
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
-    val qLists = q.crossJoin(broadcast(cents))
-      .withColumn("d2", VecFns.l2Sq(col("qvec"), col("centroid")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("d2").asc, col("list_id").asc)))
-      .filter(col("rk") <= nprobe)
-      .select(col("qid"), col("qvec"), col("list_id"))
+    val qLists = q.select(col("qid"), col("qvec"),
+      explode(NearestCentroids.column(col("qvec"), cents, nprobe)).as("list_id"))
     val scored = assigned.join(broadcast(qLists), Seq("list_id"))
       .select(col("qid"), col("cid"),
         VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
-    scored.withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", "cos", "rk")
+    TopK.topKPerQuery(scored, k)
   }
 }

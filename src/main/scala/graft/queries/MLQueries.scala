@@ -25,11 +25,9 @@ object MLQueries {
     Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0)
 
   private def predictions(s: SparkSession, dir: String): DataFrame = {
-    val tr = train(s, dir)
-    val stats = GaussianNB.fitStats(tr, "label", "embedding")
-    val priors = GaussianNB.logPriors(tr, "label")
+    val model = GaussianNB.fit(train(s, dir), "label", "embedding")
     test(s, dir).select(col("vec_id"), col("label").cast("int").as("label"))
-      .join(GaussianNB.predict(test(s, dir), stats, priors, "vec_id", "embedding"),
+      .join(GaussianNB.predict(test(s, dir), model, "vec_id", "embedding"),
         Seq("vec_id"))
   }
 
@@ -114,16 +112,16 @@ object MLQueries {
     * drift_detection/drift_experiments_supervised.py:62-77). The classifier is
     * fit once on phase-1 training data — its accuracy collapses in phase 2. */
   private def abruptScored(s: SparkSession, dir: String): DataFrame = {
-    val tr = train(s, dir)
-    val stats = GaussianNB.fitStats(tr, "label", "embedding")
-    val priors = GaussianNB.logPriors(tr, "label")
+    // Fit ONCE: the collected model is reused by both phase scorings — a
+    // second collect would re-execute the whole fit aggregation (VERDICT r1 #4).
+    val model = GaussianNB.fit(train(s, dir), "label", "embedding")
     val te = test(s, dir)
     val shifted = te.select(col("vec_id"), col("label"),
       VecFns.addPseudoNoise(col("embedding"), col("vec_id"), lit(AbruptSigma))
         .as("embedding"))
     def scored(df: DataFrame, phase: Int): DataFrame =
       df.select(col("vec_id"), col("label").cast("int").as("label"))
-        .join(GaussianNB.predict(df, stats, priors, "vec_id", "embedding"), Seq("vec_id"))
+        .join(GaussianNB.predict(df, model, "vec_id", "embedding"), Seq("vec_id"))
         .select(lit(phase).as("phase"), col("vec_id"), col("label"), col("pred"))
     scored(te, 1).unionByName(scored(shifted, 2))
   }
@@ -198,16 +196,14 @@ object MLQueries {
     * near-perfect accuracy; phase 2 = per-batch agreement between the model's
     * predictions on the shifted stream and its own pseudo-labels. [SQL] */
   val driftUnsupFeed: Q = (s, dir) => {
-    val tr = train(s, dir)
-    val stats = GaussianNB.fitStats(tr, "label", "embedding")
-    val priors = GaussianNB.logPriors(tr, "label")
+    val model = GaussianNB.fit(train(s, dir), "label", "embedding")
     val te = test(s, dir)
-    val pseudo = GaussianNB.predict(te, stats, priors, "vec_id", "embedding")
+    val pseudo = GaussianNB.predict(te, model, "vec_id", "embedding")
       .withColumnRenamed("pred", "pseudo_label")
     val shifted = te.select(col("vec_id"),
       VecFns.addPseudoNoise(col("embedding"), col("vec_id"), lit(AbruptSigma))
         .as("embedding"))
-    val phase2 = GaussianNB.predict(shifted, stats, priors, "vec_id", "embedding")
+    val phase2 = GaussianNB.predict(shifted, model, "vec_id", "embedding")
       .join(pseudo, Seq("vec_id"))
       .withColumn("batch_id", floor(col("vec_id") / Corpus.DetectorBatch))
       .groupBy("batch_id")
@@ -326,16 +322,14 @@ object MLQueries {
     s"greatest(floor(vec_id / ${Corpus.DetectorBatch}) - 30, 0) * 2.0 / 33"
 
   val driftGradualFeed: Q = (s, dir) => {
-    val tr = train(s, dir)
-    val stats = GaussianNB.fitStats(tr, "label", "embedding")
-    val priors = GaussianNB.logPriors(tr, "label")
+    val model = GaussianNB.fit(train(s, dir), "label", "embedding")
     val all = Tables.embeddings(s, dir)
-    val pseudo = GaussianNB.predict(all, stats, priors, "vec_id", "embedding")
+    val pseudo = GaussianNB.predict(all, model, "vec_id", "embedding")
       .withColumnRenamed("pred", "pseudo_label")
     val sigma = greatest(floor(col("vec_id") / Corpus.DetectorBatch) - 30, lit(0)) * lit(2.0) / 33
     val noised = all.select(col("vec_id"),
       VecFns.addPseudoNoise(col("embedding"), col("vec_id"), sigma).as("embedding"))
-    GaussianNB.predict(noised, stats, priors, "vec_id", "embedding")
+    GaussianNB.predict(noised, model, "vec_id", "embedding")
       .join(pseudo, Seq("vec_id"))
       .withColumn("batch_id", floor(col("vec_id") / Corpus.DetectorBatch))
       .groupBy("batch_id")
@@ -393,11 +387,9 @@ object MLQueries {
     *   (collapsed → D), 3 = fine-tune window, 4 drifted+fine-tuned (recovered).
     * Rows-only; the recovery invariant is asserted in ScalaTest. */
   val driftFinetuneSignals: Q = (s, dir) => {
-    val tr = train(s, dir)
-    val stats = GaussianNB.fitStats(tr, "label", "embedding")
-    val priors = GaussianNB.logPriors(tr, "label")
+    val model = GaussianNB.fit(train(s, dir), "label", "embedding")
     val te = test(s, dir)
-    val pseudo = GaussianNB.predict(te, stats, priors, "vec_id", "embedding")
+    val pseudo = GaussianNB.predict(te, model, "vec_id", "embedding")
       .withColumnRenamed("pred", "pseudo_label")
     // Space swap = coordinate reversal (an orthogonal permutation): it breaks
     // the stale model completely but *preserves information*, so fine-tuning
@@ -406,14 +398,13 @@ object MLQueries {
     val shifted = te.select(col("vec_id"),
       reverse(col("embedding")).as("embedding")).localCheckpoint()
     // stale model on drifted stream (phase 2)
-    val stalePred = GaussianNB.predict(shifted, stats, priors, "vec_id", "embedding")
+    val stalePred = GaussianNB.predict(shifted, model, "vec_id", "embedding")
     // fine-tune: refit sufficient statistics on the drifted stream with
     // pseudo-labels — the partial_fit analog of "re-enable training"
     val ftTrain = shifted.join(pseudo, Seq("vec_id"))
       .select(col("vec_id"), col("pseudo_label").as("label"), col("embedding"))
-    val ftStats = GaussianNB.fitStats(ftTrain, "label", "embedding")
-    val ftPriors = GaussianNB.logPriors(ftTrain, "label")
-    val ftPred = GaussianNB.predict(shifted, ftStats, ftPriors, "vec_id", "embedding")
+    val ftModel = GaussianNB.fit(ftTrain, "label", "embedding")
+    val ftPred = GaussianNB.predict(shifted, ftModel, "vec_id", "embedding")
     def agree(pred: DataFrame, phase: Int): DataFrame =
       pred.join(pseudo, Seq("vec_id"))
         .withColumn("batch_id", floor(col("vec_id") / Corpus.DetectorBatch))
