@@ -38,6 +38,24 @@ object Pipelines {
        |GROUP BY fp ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of [[dedupEmbedding]]: same planted corpus (pseudo-noise copies
+    * of the first 20 vectors), same 8-plane sign-LSH buckets, same cosine. The
+    * bucket/noise arithmetic is the integer mix of [[Similarity.signBits]] /
+    * VecFns.addPseudoNoise — pure SQL, bit-replayable. */
+  val dedupEmbeddingSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding AS vec FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000 AS vec_id,
+       |         ${Duck.pseudoNoise("embedding", "vec_id", "0.05")} AS vec
+       |  FROM embeddings WHERE vec_id < 20),
+       |b AS (SELECT vec_id, vec, ${Duck.signBucket("vec", 8)} AS bucket FROM corpus),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |        ${Duck.cosine("a.vec", "c.vec")} AS cos
+       |      FROM b a JOIN b c USING (bucket) WHERE a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash+LSH near-dup candidate pairs (rows-only; xxhash64 is Spark-side). */
   val dedupMinhashLsh: Q = (s, dir) =>
     Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
@@ -123,8 +141,8 @@ object Pipelines {
       |SELECT qid, rk, cid, round(cos, 4) AS cos FROM r WHERE rk <= 10
       |ORDER BY qid, rk""".stripMargin
 
-  /** LSH-bucketed approximate top-k (rows-only; recall vs brute force is asserted
-    * in ScalaTest instead). */
+  /** LSH-bucketed approximate top-k. [SQL — the sign-LSH buckets are the
+    * integer-mix arithmetic of [[Similarity.signBits]], replayed exactly]. */
   val simLshTopK: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
@@ -134,7 +152,23 @@ object Pipelines {
       .orderBy("qid", "rk")
   }
 
-  /** IVF-style approximate top-k (rows-only). */
+  /** DuckDB twin of [[simLshTopK]] (planes=8, probes=4, k=10): home bucket plus
+    * the four single-bit-flip probe buckets; (cos desc, cid) rank. */
+  val simLshSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |    ${Duck.signBucket("embedding", 8)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec,
+       |    unnest([bucket, xor(bucket,1), xor(bucket,2), xor(bucket,4), xor(bucket,8)]) AS bucket
+       |  FROM b WHERE vec_id < 5),
+       |sc AS (SELECT q.qid, c.vec_id AS cid, ${Duck.cosine("q.qvec", "c.embedding")} AS cos
+       |  FROM q JOIN b c USING (bucket)),
+       |r AS (SELECT qid, cid, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+       |SELECT qid, rk, cid, round(cos, 4) AS cos FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
+
+  /** IVF-style approximate top-k. [SQL — centroid pick, nearest-centroid
+    * assignment, and probe selection all replay in DuckDB]. */
   val simIvfTopK: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
@@ -143,6 +177,30 @@ object Pipelines {
         round(col("cos"), 4).as("cos"))
       .orderBy("qid", "rk")
   }
+
+  /** DuckDB twin of [[simIvfTopK]] (nlist=16, nprobe=4, k=10): centroids = first
+    * 16 corpus vectors by id; assignment / probes rank by (squared-L2 asc,
+    * list_id asc) exactly like the NearestCentroids kernel's tie-break. */
+  val simIvfSql: String =
+    s"""WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+       |    embedding AS cvec
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |ad AS (SELECT e.vec_id, e.embedding, c.list_id,
+       |    ${Duck.l2Sq("e.embedding", "c.cvec")} AS d2
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id AS cid, embedding AS cvec, list_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk FROM ad)
+       |  WHERE rk = 1),
+       |qp AS (SELECT vec_id AS qid, embedding AS qvec, list_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+       |   FROM ad WHERE vec_id < 5)
+       |  WHERE rk <= 4),
+       |sc AS (SELECT qp.qid, a.cid, ${Duck.cosine("qp.qvec", "a.cvec")} AS cos
+       |  FROM qp JOIN assign a USING (list_id)),
+       |r AS (SELECT qid, cid, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+       |SELECT qid, rk, cid, round(cos, 4) AS cos FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
 
   // ---- Text analysis --------------------------------------------------------
 
@@ -238,7 +296,10 @@ object Pipelines {
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql,
     "sim_brute_topk" -> simBruteSql,
+    "sim_lsh_topk" -> simLshSql,
+    "sim_ivf_topk" -> simIvfSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{Pipelines, Relational}
+import graft.queries.{Corpus, Pipelines, Relational}
 import graft.sources.Tables
 
 /** Physical-plan contracts — the scale properties the engine claims must be
@@ -67,5 +67,26 @@ class PlanSpec extends AnyFunSuite {
   test("similarity brute-force top-k is a broadcast join, not a shuffle of the corpus") {
     val p = plan(Pipelines.queries("sim_brute_topk")(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("similarity top-k rank is a bounded partial aggregate, not a window over all scored pairs") {
+    val p = plan(Pipelines.queries("sim_brute_topk")(spark, sf))
+    assert(!p.contains("Window"), p)
+    // TopKAgg partial buffers combine map-side before the qid shuffle: the
+    // ObjectHashAggregate appears as partial + final around one exchange.
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p)
+  }
+
+  test("ivf top-k never windows or cross-joins the corpus (plan-constant centroid assignment)") {
+    val p = plan(Pipelines.queries("sim_ivf_topk")(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("nearest_centroids"), p)
+  }
+
+  test("j1_line_zip carries no unpartitioned window (per-partition offset composition)") {
+    val p = plan(Corpus.queries("j1_line_zip")(spark, sf))
+    assert(!p.contains("Window"), p)
   }
 }
