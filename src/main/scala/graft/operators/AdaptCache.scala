@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.embed.EmbeddingProvider
+
+/** S7: parameter-keyed persistent memoization of the adaptation word-pair
+  * dataset (reference adaptation/dataset.py:131-147,176-179 — the dataset is
+  * saved as an `.npy` whose NAME encodes every construction parameter, and a
+  * later run with the same parameters loads instead of recomputing).
+  *
+  * Spark-first re-expression: the memo is a parquet table keyed by a digest of
+  * (corpus path, text column, topK, source provider, target provider) — the
+  * providers are case classes, so `toString` captures dim/seed/rotation too.
+  * A hit is a plain parquet scan (pruned/pushed-down like any other source);
+  * a miss computes the A1→A2→A3 pipeline once and persists it atomically
+  * (write to a temp dir + rename) so a crashed writer never leaves a partial
+  * cache a later reader would trust. The table also registers in the session
+  * catalog as `adapt_pairs_<digest>` for SQL access.
+  *
+  * At 100 TB the word count is the expensive stage (a full corpus scan);
+  * iterating on mapping fits (Procrustes vs MLP vs pooling variants) re-reads
+  * a ≤topK-row parquet instead. */
+object AdaptCache {
+
+  /** Digest of every parameter that determines the dataset's content. */
+  def key(corpusPath: String, textCol: String, topK: Int,
+          source: EmbeddingProvider, target: EmbeddingProvider): String = {
+    val raw = Seq(corpusPath, textCol, topK.toString, source.toString,
+      target.toString).mkString("|")
+    MessageDigest.getInstance("SHA-256").digest(raw.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Root for cache tables: `spark.graft.adaptCacheDir` if set, else a
+    * `graft_adapt_cache` dir under the session's warehouse. */
+  def cacheRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.adaptCacheDir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/graft_adapt_cache")
+
+  /** [[Adaptation.wordPairDataset]] behind the parameter-keyed cache: load on
+    * hit, compute-persist-load on miss. `docs` must be the table at
+    * `corpusPath` (the key covers the path, not the plan). */
+  def wordPairDataset(docs: DataFrame, corpusPath: String, textCol: String,
+                      topK: Int, source: EmbeddingProvider,
+                      target: EmbeddingProvider): DataFrame = synchronized {
+    val spark = docs.sparkSession
+    val k = key(corpusPath, textCol, topK, source, target)
+    val dir = new Path(cacheRoot(spark), s"wordpairs_$k.parquet")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) {
+      val tmp = new Path(dir.getParent, s".wordpairs_$k.tmp")
+      fs.delete(tmp, true)
+      Adaptation.wordPairDataset(docs, textCol, topK, source, target)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost a race: hit below
+    }
+    val df = spark.read.parquet(dir.toString)
+    df.createOrReplaceTempView(s"adapt_pairs_$k")
+    df
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.{EmbeddingProvider, HashingProvider, RotatedProvider}
 import graft.functions.VecFns
-import graft.operators.{Adaptation, Drift}
+import graft.operators.{AdaptCache, Adaptation, Drift}
 import graft.sources.Tables
 
 /** Adaptation-suite queries (SURVEY §2.7 / Q-adapt-*): the word-pair dataset,
@@ -22,9 +22,10 @@ object AdaptQueries {
   def sourceProvider: EmbeddingProvider = HashingProvider("src", Dim, seed = 101L)
   def targetProvider: EmbeddingProvider = RotatedProvider(sourceProvider, rotSeed = 7L)
 
-  /** A1→A2→A3: top-k words embedded in the source and (drifted) target space. */
+  /** A1→A2→A3 behind the S7 cache: top-k words embedded in the source and
+    * (drifted) target space; recomputed only on a (params, corpus) cache miss. */
   val adaptWordPairs: Q = (s, dir) =>
-    Adaptation.wordPairDataset(Tables.documents(s, dir), "text", TopK,
+    AdaptCache.wordPairDataset(Tables.documents(s, dir), dir, "text", TopK,
         sourceProvider, targetProvider)
       .select(col("word"), col("n"),
         size(col("source")).as("dim_s"), size(col("target")).as("dim_t"))
@@ -33,8 +34,8 @@ object AdaptQueries {
   /** A7/M6 + A6: Procrustes alignment quality — one summary row with the
     * pre/post-mapping MSE and the orthogonality defect of the recovered W. */
   val adaptProcrustesEval: Q = (s, dir) => {
-    val pairs = Adaptation.wordPairDataset(Tables.documents(s, dir), "text", TopK,
-      sourceProvider, targetProvider).cache()
+    val pairs = AdaptCache.wordPairDataset(Tables.documents(s, dir), dir, "text",
+      TopK, sourceProvider, targetProvider).cache()
     val w = Adaptation.procrustes(pairs, "source", "target", Dim)
     val mseUnmapped = Adaptation.mappingMse(pairs, "source", "target", None)
     val mseMapped = Adaptation.mappingMse(pairs, "source", "target", Some(w))
@@ -53,8 +54,8 @@ object AdaptQueries {
 
   /** M5 + A6: MLP mapping fit quality — pre/post MSE and first/last epoch loss. */
   val adaptMlpEval: Q = (s, dir) => {
-    val pairs = Adaptation.wordPairDataset(Tables.documents(s, dir), "text", TopK,
-      sourceProvider, targetProvider).cache()
+    val pairs = AdaptCache.wordPairDataset(Tables.documents(s, dir), dir, "text",
+      TopK, sourceProvider, targetProvider).cache()
     val (model, losses) = Adaptation.fitMlp(pairs, "source", "target", Dim,
       hidden = 64, epochs = 10, lr = 0.05)
     val mseUnmapped = Adaptation.mappingMse(pairs, "source", "target", None)
@@ -94,7 +95,7 @@ object AdaptQueries {
     val tgt = pooled(targetProvider, docs).localCheckpoint()
     // mapping fitted on the word-pair dataset maps source→target; to bring the
     // drifted stream back we need target→source: fit with roles swapped.
-    val pairs = Adaptation.wordPairDataset(docs, "text", TopK,
+    val pairs = AdaptCache.wordPairDataset(docs, dir, "text", TopK,
       sourceProvider, targetProvider)
     val wBack = Adaptation.procrustes(pairs, "target", "source", Dim)
     // "model" = nearest-source-neighbor identity: pseudo-label for doc = its own

@@ -90,4 +90,36 @@ class AdaptationSpec extends AnyFunSuite {
     assert(back.count() == 4)
     assert(back.select(size(col("pooled"))).collect().forall(_.getInt(0) == dim))
   }
+
+  test("S7 cache: second call reads the persisted parquet, params key the entry") {
+    val root = java.nio.file.Files.createTempDirectory("s7").toString
+    spark.conf.set("spark.graft.adaptCacheDir", root)
+    try {
+      val fresh = graft.operators.AdaptCache
+        .wordPairDataset(docs, "mem://docs", "text", 5, src, tgt)
+      val direct = Adaptation.wordPairDataset(docs, "text", 5, src, tgt)
+      assert(fresh.orderBy("word").collect().toSeq ==
+        direct.orderBy("word").collect().toSeq)
+      // Prove the second call is a cache READ, not a recompute: tamper with the
+      // persisted parquet (keep one row) and observe the tampered content.
+      val k = graft.operators.AdaptCache.key("mem://docs", "text", 5, src, tgt)
+      val path = s"$root/wordpairs_$k.parquet"
+      val one = spark.read.parquet(path).limit(1)
+      val tmp = root + "/tamper"
+      one.write.parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+      val second = graft.operators.AdaptCache
+        .wordPairDataset(docs, "mem://docs", "text", 5, src, tgt)
+      assert(second.count() == 1)
+      // A different topK is a different key → recomputed, not the tampered file.
+      val other = graft.operators.AdaptCache
+        .wordPairDataset(docs, "mem://docs", "text", 3, src, tgt)
+      assert(other.count() == 3)
+      // Catalog registration (SURVEY §2.1 S7).
+      assert(spark.catalog.tableExists(s"adapt_pairs_$k"))
+    } finally spark.conf.unset("spark.graft.adaptCacheDir")
+  }
 }
