@@ -80,6 +80,18 @@ object AdaptQueries {
     * (3) drifted space mapped back through the fitted Procrustes W → agreement
     * recovers. A shared DDM scans the whole feed: N…N | W,D | N…N. */
   val adaptStreamSignals: Q = (s, dir) => {
+    val all = adaptFeed(s, dir)
+      .withColumn("seq", col("phase") * lit(100000L) + col("batch_id"))
+      .withColumn("err", lit(1.0) - col("accuracy"))
+      .withColumn("det", lit("adapt"))
+    val out = Drift.ddmSequential(all, "det", "seq", "err")
+    out.select(col("batch_id").as("seq"), col("error"), col("p"), col("s"), col("signal"))
+      .orderBy("seq")
+  }
+
+  /** The three-phase (source | drifted | mapped) per-batch agreement feed behind
+    * [[adaptStreamSignals]] and the adaptation report. */
+  private def adaptFeed(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     // Token pooling = mean (A3 "average"): mean-pooling commutes with the
     // linear space shift, so the mapped stream can recover exactly — max-pool
@@ -116,14 +128,23 @@ object AdaptQueries {
     val f1 = feed(agreement(src, mapped = false), 1)     // self-agreement = 1
     val f2 = feed(agreement(tgt, mapped = false), 2)     // collapsed
     val f3 = feed(agreement(tgt, mapped = true), 3)      // recovered
-    val all = f1.unionByName(f2).unionByName(f3)
-      .withColumn("seq", col("phase") * lit(100000L) + col("batch_id"))
-      .withColumn("err", lit(1.0) - col("accuracy"))
-      .withColumn("det", lit("adapt"))
-    val out = Drift.ddmSequential(all, "det", "seq", "err")
-    out.select(col("batch_id").as("seq"), round(col("error"), 6).as("error"),
-        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
-      .orderBy("seq")
+    f1.unionByName(f2).unionByName(f3)
+  }
+
+  /** Q-report, adaptation instantiation (reference utils/visualization.py:
+    * 240-349): the mapped stream is post-hoc — it ran through the fitted
+    * mapping WITHOUT a live detector, so its points carry detection='None'
+    * while the source|drifted timeline keeps the detector firings
+    * (`detectorEnd = 2` cuts the DDM feed at the mapped stream's offset).
+    * Rows-only: the feed is provider host-code, like every adapt query. */
+  val qReportAdapt: Q = (s, dir) => {
+    val feed = adaptFeed(s, dir).select(
+      (col("phase") - 1).cast("int").as("streamOrd"),
+      when(col("phase") === 1, "source")
+        .when(col("phase") === 2, "drifted")
+        .otherwise("mapped").as("stream"),
+      col("batch_id"), round(col("accuracy"), 6).as("accuracy"))
+    graft.operators.Report.experimentReport(feed, detectorEnd = Some(2))
   }
 
   /** P3+A3 plumbing: provider token embeddings pooled three ways (first/avg/
@@ -145,6 +166,7 @@ object AdaptQueries {
     "adapt_procrustes_eval" -> adaptProcrustesEval,
     "adapt_mlp_eval" -> adaptMlpEval,
     "adapt_stream_signals" -> adaptStreamSignals,
+    "q_report_adapt" -> qReportAdapt,
     "p3_embed_pool" -> p3EmbedPool)
 
   val oracles: Map[String, String] = Map.empty

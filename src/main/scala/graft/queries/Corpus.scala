@@ -213,7 +213,7 @@ object Corpus {
       .select(col("batch_id"), round(col("accuracy"), 6).as("accuracy"))
       .orderBy("batch_id")
 
-  private val accSub =
+  private[queries] val accSub =
     s"""(SELECT CAST(floor(vec_id / $DetectorBatch) AS BIGINT) AS batch_id,
        |avg(CASE WHEN CAST(label AS INT) = $predSqlExpr THEN 1.0 ELSE 0.0 END) AS accuracy
        |FROM embeddings GROUP BY 1)""".stripMargin

@@ -75,4 +75,65 @@ private[queries] object Duck {
     s"[CAST($vec[i] AS DOUBLE) + $sigma*((((($rowId*2654435761 + (i-1)*40503) " +
       s"% 100000) + 100000) % 100000) / 100000.0 - 0.5) " +
       s"FOR i IN range(1, len($vec)+1)]"
+
+  /** Recursive-CTE replay of the faithful reset DDM (graft.operators.Drift
+    * .ddmSequential / Ddm.addElement): one recursion step per feed row carries
+    * the full detector state (count, p, s, the tracked minima, and the
+    * reset-on-next-element flag) and mirrors the state machine's floating-point
+    * operation order exactly, so the unrounded doubles are bit-identical to the
+    * Spark scan (rounding is deliberately NOT applied: round() itself diverges
+    * across engines on half boundaries, the raw bits never do).
+    *
+    * @param feedSql SELECT producing (ord, err) — one row per detector step,
+    *                scanned in ascending `ord` order.
+    * @param outOrd  output name for the step column.
+    * @return SQL yielding (outOrd, error, p, s, signal ∈ {'N','W','D'}).
+    */
+  def ddmRecursive(feedSql: String, outOrd: String): String =
+    s"""WITH RECURSIVE seq AS (
+       |  SELECT ord, err, row_number() OVER (ORDER BY ord) AS i FROM ($feedSql) feed
+       |),
+       |ddm AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS ord,
+       |         CAST(NULL AS DOUBLE) AS err,
+       |         1 AS cnt, CAST(1.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS s,
+       |         CAST('infinity' AS DOUBLE) AS pmin, CAST('infinity' AS DOUBLE) AS smin,
+       |         CAST('infinity' AS DOUBLE) AS psmin, FALSE AS cc,
+       |         CAST('N' AS VARCHAR) AS signal
+       |  UNION ALL
+       |  SELECT i, ord, err, cnt0 + 1, np, ns,
+       |         CASE WHEN upd THEN np ELSE pmin0 END,
+       |         CASE WHEN upd THEN ns ELSE smin0 END,
+       |         CASE WHEN upd THEN np + ns ELSE psmin0 END,
+       |         sig = 'D', sig
+       |  FROM (
+       |    SELECT *, CASE WHEN cnt0 + 1 < ${graft.operators.Drift.MinNumInstances} THEN 'N'
+       |        WHEN np + ns > (CASE WHEN upd THEN np ELSE pmin0 END)
+       |             + 3.0 * (CASE WHEN upd THEN ns ELSE smin0 END) THEN 'D'
+       |        WHEN np + ns > (CASE WHEN upd THEN np ELSE pmin0 END)
+       |             + 2.0 * (CASE WHEN upd THEN ns ELSE smin0 END) THEN 'W'
+       |        ELSE 'N' END AS sig
+       |    FROM (
+       |      SELECT *, (cnt0 + 1 >= ${graft.operators.Drift.MinNumInstances}
+       |                 AND np + ns <= psmin0) AS upd
+       |      FROM (
+       |        SELECT *, sqrt(np * (1.0 - np) / cnt0) AS ns
+       |        FROM (
+       |          SELECT *, p0 + (err - p0) / cnt0 AS np
+       |          FROM (
+       |            SELECT q.i, q.ord, q.err,
+       |                   CASE WHEN d.cc THEN 1 ELSE d.cnt END AS cnt0,
+       |                   CASE WHEN d.cc THEN CAST(1.0 AS DOUBLE) ELSE d.p END AS p0,
+       |                   CASE WHEN d.cc THEN CAST('infinity' AS DOUBLE) ELSE d.pmin END AS pmin0,
+       |                   CASE WHEN d.cc THEN CAST('infinity' AS DOUBLE) ELSE d.smin END AS smin0,
+       |                   CASE WHEN d.cc THEN CAST('infinity' AS DOUBLE) ELSE d.psmin END AS psmin0
+       |            FROM ddm d JOIN seq q ON q.i = d.i + 1
+       |          ) s1
+       |        ) s2
+       |      ) s3
+       |    ) s4
+       |  ) s5
+       |)
+       |SELECT ord AS $outOrd, err AS error, p, s, signal
+       |FROM ddm WHERE i > 0 ORDER BY 1""".stripMargin
 }

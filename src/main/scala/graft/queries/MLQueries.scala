@@ -169,10 +169,54 @@ object MLQueries {
       .withColumn("err", lit(1.0) - col("accuracy"))
       .withColumn("det", lit("abrupt"))
     Drift.ddmSequential(feed, "det", "seq", "err")
-      .select(col("batch_id").as("seq"), round(col("error"), 6).as("error"),
-        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .select(col("batch_id").as("seq"), col("error"), col("p"), col("s"), col("signal"))
       .orderBy("seq")
   }
+
+  /** Q-report (reference utils/visualization.py:38-107): the per-stream
+    * accuracy/detection table behind the abrupt-drift figures — trained and
+    * untrained streams concatenated on one global timeline, detector firings
+    * attached per point (no-reset scan form, as in st1; scatter frame =
+    * WHERE detection <> 'None'). [SQL] */
+  val qReportAbrupt: Q = (s, dir) => {
+    val feed = driftAbruptFeed(s, dir).select(
+      (col("phase") - 1).cast("int").as("streamOrd"),
+      when(col("phase") === 1, "trained").otherwise("untrained").as("stream"),
+      col("batch_id"), col("accuracy"))
+    graft.operators.Report.experimentReport(feed)
+  }
+
+  val qReportAbruptSql: String =
+    s"""WITH feed AS (SELECT CAST(phase - 1 AS INT) AS stream_ord,
+       |    CASE WHEN phase = 1 THEN 'trained' ELSE 'untrained' END AS stream,
+       |    batch_id, accuracy FROM ($driftAbruptFeedSql) f),
+       |offs AS (SELECT stream_ord, count(*) AS c FROM feed GROUP BY 1),
+       |offs2 AS (SELECT stream_ord, CAST(coalesce(sum(c) OVER (ORDER BY stream_ord
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM offs),
+       |timed AS (SELECT f.stream_ord, f.stream, f.accuracy,
+       |    CAST(o.off + row_number() OVER (PARTITION BY f.stream_ord ORDER BY f.batch_id) - 1
+       |      AS BIGINT) AS time
+       |  FROM feed f JOIN offs2 o USING (stream_ord)),
+       |seq AS (SELECT time, 1.0 - accuracy AS err,
+       |    row_number() OVER (ORDER BY time) AS i FROM timed),
+       |st AS (SELECT time, i,
+       |    avg(err) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |  FROM seq),
+       |st2 AS (SELECT time, i, p, sqrt(p * (1 - p) / i) AS s FROM st),
+       |best AS (SELECT a.i AS ai, b.p AS bp, b.s AS bs,
+       |    row_number() OVER (PARTITION BY a.i ORDER BY b.p + b.s ASC, b.i DESC) AS rk
+       |  FROM st2 a JOIN st2 b ON b.i <= a.i AND b.i >= ${graft.operators.Drift.MinNumInstances - 1}),
+       |m AS (SELECT ai, bp AS pmin, bs AS smin FROM best WHERE rk = 1),
+       |sig AS (SELECT st2.time,
+       |    CASE WHEN m.pmin IS NULL THEN 'None'
+       |         WHEN st2.p + st2.s > m.pmin + 3.0 * m.smin THEN 'Drift'
+       |         WHEN st2.p + st2.s > m.pmin + 2.0 * m.smin THEN 'Warning'
+       |         ELSE 'None' END AS detection
+       |  FROM st2 LEFT JOIN m ON st2.i = m.ai)
+       |SELECT t.time, t.stream, round(t.accuracy, 6) AS accuracy,
+       |  coalesce(sig.detection, 'None') AS detection
+       |FROM timed t LEFT JOIN sig USING (time)
+       |ORDER BY time""".stripMargin
 
   // ---- ST3: unsupervised (model-as-oracle) drift ----------------------------
   //
@@ -253,8 +297,7 @@ object MLQueries {
       .withColumn("err", lit(1.0) - col("accuracy"))
       .withColumn("det", lit("unsup"))
     Drift.ddmSequential(feed, "det", "seq", "err")
-      .select(col("batch_id").as("seq"), round(col("error"), 6).as("error"),
-        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .select(col("batch_id").as("seq"), col("error"), col("p"), col("s"), col("signal"))
       .orderBy("seq")
   }
 
@@ -372,8 +415,7 @@ object MLQueries {
       .withColumn("err", lit(1.0) - col("accuracy"))
       .withColumn("det", lit("gradual"))
     Drift.ddmSequential(feed, "det", "batch_id", "err")
-      .select(col("batch_id"), round(col("error"), 6).as("error"),
-        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .select(col("batch_id"), col("error"), col("p"), col("s"), col("signal"))
       .orderBy("batch_id")
   }
 
@@ -423,9 +465,73 @@ object MLQueries {
       .withColumn("err", lit(1.0) - col("accuracy"))
       .withColumn("det", lit("finetune"))
     Drift.ddmSequential(feed, "det", "seq", "err")
-      .select(col("batch_id").as("seq"), round(col("error"), 6).as("error"),
-        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .select(col("batch_id").as("seq"), col("error"), col("p"), col("s"), col("signal"))
       .orderBy("seq")
+  }
+
+  /** Generalized GNB CTE block for multi-model oracles: fit on `trainSql`
+    * (vec_id, label, embedding), score `testSql` (vec_id, embedding) →
+    * `preds$sfx` (vec_id, pred). Same text shape as [[gnbPredictSql]] (whose
+    * parity is hash-proven); the suffix keys each fitted model's CTE chain. */
+  private def gnbCtes(sfx: String, trainSql: String, testSql: String): String =
+    s"""trainset$sfx AS ($trainSql),
+       |testset$sfx AS ($testSql),
+       |tdims$sfx AS (SELECT CAST(label AS INT) AS label,
+       |  CAST(unnest(embedding) AS DOUBLE) AS e,
+       |  unnest(range(0, len(embedding))) AS i FROM trainset$sfx),
+       |stats$sfx AS (SELECT label, i, avg(e) AS mu, var_pop(e) AS v
+       |  FROM tdims$sfx GROUP BY label, i),
+       |epsv$sfx AS (SELECT max(gv) * 1e-9 AS eps FROM
+       |  (SELECT var_pop(e) AS gv FROM tdims$sfx GROUP BY i) g),
+       |priors$sfx AS (SELECT CAST(label AS INT) AS label,
+       |  ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM trainset$sfx)) AS logprior
+       |  FROM trainset$sfx GROUP BY 1),
+       |qdims$sfx AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+       |  unnest(range(0, len(embedding))) AS i FROM testset$sfx),
+       |scores$sfx AS (SELECT q.vec_id, s.label,
+       |  sum(-0.5 * ln(2 * pi() * (s.v + x.eps))
+       |      - (q.e - s.mu) * (q.e - s.mu) / (2 * (s.v + x.eps))) AS ll
+       |  FROM qdims$sfx q JOIN stats$sfx s ON q.i = s.i CROSS JOIN epsv$sfx x
+       |  GROUP BY q.vec_id, s.label),
+       |ranked$sfx AS (SELECT sc.vec_id, sc.label AS pred,
+       |  row_number() OVER (PARTITION BY sc.vec_id
+       |    ORDER BY sc.ll + p.logprior DESC, sc.label ASC) AS rk
+       |  FROM scores$sfx sc JOIN priors$sfx p ON sc.label = p.label),
+       |preds$sfx AS (SELECT r.vec_id, r.pred FROM ranked$sfx r WHERE r.rk = 1)"""
+      .stripMargin
+
+  /** DuckDB twin of [[driftFinetuneSignals]]: three GNB CTE chains (base fit →
+    * pseudo-labels, stale scoring of the reversed-coordinate stream, refit on
+    * pseudo-labeled drifted rows), the three-phase feed, then the recursive
+    * reset-DDM replay. */
+  val driftFinetuneSignalsSql: String = {
+    val B = Corpus.DetectorBatch
+    val trainSql = "SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 <> 0"
+    val feed =
+      s"""WITH
+         |${gnbCtes("_b", trainSql,
+           "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0")},
+         |shifted AS (SELECT vec_id, list_reverse(embedding) AS embedding
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |${gnbCtes("_st", trainSql, "SELECT vec_id, embedding FROM shifted")},
+         |ftt AS (SELECT s.vec_id, p.pred AS label, s.embedding
+         |  FROM shifted s JOIN preds_b p ON s.vec_id = p.vec_id),
+         |${gnbCtes("_ft", "SELECT vec_id, label, embedding FROM ftt",
+           "SELECT vec_id, embedding FROM shifted")},
+         |p1 AS (SELECT DISTINCT CAST(floor(vec_id / $B) AS BIGINT) AS batch_id
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |phase1 AS (SELECT 1 AS phase, batch_id, $simAccuracySql AS accuracy FROM p1),
+         |ph2 AS (SELECT 2 AS phase, CAST(floor(a.vec_id / $B) AS BIGINT) AS batch_id,
+         |  avg(CASE WHEN a.pred = p.pred THEN 1.0 ELSE 0.0 END) AS accuracy
+         |  FROM preds_st a JOIN preds_b p ON a.vec_id = p.vec_id GROUP BY 2),
+         |ph4 AS (SELECT 4 AS phase, CAST(floor(a.vec_id / $B) AS BIGINT) AS batch_id,
+         |  avg(CASE WHEN a.pred = p.pred THEN 1.0 ELSE 0.0 END) AS accuracy
+         |  FROM preds_ft a JOIN preds_b p ON a.vec_id = p.vec_id GROUP BY 2),
+         |feedall AS (SELECT * FROM phase1
+         |  UNION ALL SELECT * FROM ph2 UNION ALL SELECT * FROM ph4)
+         |SELECT CAST(phase * 100000 + batch_id AS BIGINT) AS ord,
+         |  1.0 - accuracy AS err FROM feedall""".stripMargin
+    Duck.ddmRecursive(feed, "seq")
   }
 
   // ---- M7: PCA projection (adaptation/mapping.py:43-92 visualization) -------
@@ -472,6 +578,7 @@ object MLQueries {
     "ml_gnb_metrics" -> mlGnbMetrics,
     "drift_abrupt_feed" -> driftAbruptFeed,
     "drift_abrupt_signals" -> driftAbruptSignals,
+    "q_report_abrupt" -> qReportAbrupt,
     "drift_unsup_feed" -> driftUnsupFeed,
     "drift_unsup_signals" -> driftUnsupSignals)
 
@@ -481,5 +588,16 @@ object MLQueries {
     "ml_gnb_predict" -> mlGnbPredictSql,
     "ml_gnb_metrics" -> mlGnbMetricsSql,
     "drift_abrupt_feed" -> driftAbruptFeedSql,
+    "q_report_abrupt" -> qReportAbruptSql,
+    "drift_abrupt_signals" -> Duck.ddmRecursive(
+      s"SELECT CAST(phase * 100000 + batch_id AS BIGINT) AS ord, " +
+        s"1.0 - accuracy AS err FROM ($driftAbruptFeedSql) f", "seq"),
+    "drift_gradual_signals" -> Duck.ddmRecursive(
+      s"SELECT CAST(batch_id AS BIGINT) AS ord, 1.0 - accuracy AS err " +
+        s"FROM ($driftGradualFeedSql) f", "batch_id"),
+    "drift_unsup_signals" -> Duck.ddmRecursive(
+      s"SELECT CAST(phase * 100000 + batch_id AS BIGINT) AS ord, " +
+        s"1.0 - accuracy AS err FROM ($driftUnsupFeedSql) f", "seq"),
+    "drift_finetune_signals" -> driftFinetuneSignalsSql,
     "drift_unsup_feed" -> driftUnsupFeedSql)
 }

@@ -273,8 +273,7 @@ object Pipelines {
       .withColumn("err", lit(1.0) - col("accuracy"))
       .withColumn("det", lit("ddm0"))
     Drift.ddmSequential(feed, "det", "batch_id", "err")
-      .select(col("batch_id"), round(col("error"), 6).as("error"),
-        round(col("p"), 6).as("p"), round(col("s"), 6).as("s"), col("signal"))
+      .select(col("batch_id"), col("error"), col("p"), col("s"), col("signal"))
       .orderBy("batch_id")
   }
 
@@ -301,5 +300,8 @@ object Pipelines {
     "sim_lsh_topk" -> simLshSql,
     "sim_ivf_topk" -> simIvfSql,
     "text_stats" -> textStatsSql,
-    "text_langid" -> textLangIdSql)
+    "text_langid" -> textLangIdSql,
+    "drift_ddm" -> Duck.ddmRecursive(
+      s"SELECT CAST(batch_id AS BIGINT) AS ord, 1.0 - accuracy AS err " +
+        s"FROM ${Corpus.accSub} a", "batch_id"))
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Report
+
+/** Q-report reshape (reference utils/visualization.py:63-349): per-stream
+  * accuracy feeds concatenated on one global timeline with detector firings
+  * attached, post-hoc streams forced to detection='None'. */
+class ReportSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Two streams × 40 batches: stream 0 low error, stream 1 error ramp that
+    * must fire the detector; batch ids deliberately non-contiguous per stream. */
+  private def feed = {
+    val s0 = (0 until 40).map(i => (0, "trained", i.toLong * 2, 0.95))
+    val s1 = (0 until 40).map(i => (1, "untrained", i.toLong * 3, math.max(0.05, 0.95 - 0.04 * i)))
+    (s0 ++ s1).toDF("streamOrd", "stream", "batch_id", "accuracy")
+  }
+
+  test("global timeline = per-stream offset + within-stream rank") {
+    val out = Report.experimentReport(feed).collect()
+    assert(out.length == 80)
+    // time is a 0-based permutation-free index
+    assert(out.map(_.getLong(0)).toSeq == (0L until 80L))
+    // stream 0 occupies [0, 40), stream 1 [40, 80) — offset composition
+    assert(out.take(40).forall(_.getString(1) == "trained"))
+    assert(out.drop(40).forall(_.getString(1) == "untrained"))
+    // within a stream, time order follows batch_id order
+    val acc1 = out.drop(40).map(_.getDouble(2)).toSeq
+    assert(acc1 == acc1.sortBy(identity[Double]).reverse)
+  }
+
+  test("detector firings appear on the ramp, mapped to Warning/Drift labels") {
+    val out = Report.experimentReport(feed).collect()
+    val det = out.map(r => r.getLong(0) -> r.getString(3)).toMap
+    // phase 0 (low error) never fires
+    assert((0L until 40L).forall(t => det(t) == "None"))
+    // the ramp must fire at least one Warning and one Drift, Warning first
+    val ramp = (40L until 80L).map(det)
+    assert(ramp.contains("Warning") && ramp.contains("Drift"))
+    assert(ramp.indexOf("Warning") < ramp.indexOf("Drift"))
+    assert(out.forall(r => Set("None", "Warning", "Drift")(r.getString(3))))
+  }
+
+  test("detectorEnd marks post-hoc streams detection='None'") {
+    val mapped = (0 until 40).map(i => (2, "mapped", i.toLong, 0.05)) // terrible accuracy
+    val withPostHoc = feed.unionByName(mapped.toDF("streamOrd", "stream", "batch_id", "accuracy"))
+    val out = Report.experimentReport(withPostHoc, detectorEnd = Some(2)).collect()
+    assert(out.length == 120)
+    // post-hoc rows would certainly fire a detector; they must still be 'None'
+    assert(out.filter(_.getString(1) == "mapped").forall(_.getString(3) == "None"))
+    // and the live part still fires
+    assert(out.filter(_.getString(1) == "untrained").exists(_.getString(3) == "Drift"))
+  }
+}
