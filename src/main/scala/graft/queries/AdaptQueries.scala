@@ -169,5 +169,15 @@ object AdaptQueries {
     "q_report_adapt" -> qReportAdapt,
     "p3_embed_pool" -> p3EmbedPool)
 
-  val oracles: Map[String, String] = Map.empty
+  /** adapt_word_pairs exposes only (word, n, vector sizes) — the A1→A2 chain
+    * plus the provider's fixed dim — so it IS SQL-expressible even though the
+    * vector VALUES are host-code: replay the tokenization/count/topK exactly
+    * and emit the dims as constants. */
+  val oracles: Map[String, String] = Map(
+    "adapt_word_pairs" ->
+      s"""SELECT word, n, $Dim AS dim_s, $Dim AS dim_t FROM (
+         |  SELECT word, count(*) AS n FROM ${Corpus.wordsSub}
+         |  WHERE length(word) > 0 GROUP BY word
+         |  ORDER BY n DESC, word LIMIT $TopK)
+         |ORDER BY n DESC, word""".stripMargin)
 }

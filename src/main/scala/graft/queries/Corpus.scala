@@ -44,7 +44,7 @@ object Corpus {
     wordsDf(s, dir).groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc)
 
-  private val wordsSub =
+  private[queries] val wordsSub =
     "(SELECT unnest(string_split(" + Duck.clean("text", punct = true) +
       ", ' ')) AS word FROM documents) t"
 
