@@ -18,8 +18,9 @@ object AdaptQueries {
 
   val Dim = 32
   val TopK = 200
+  val SourceSeed = 101L
 
-  def sourceProvider: EmbeddingProvider = HashingProvider("src", Dim, seed = 101L)
+  def sourceProvider: EmbeddingProvider = HashingProvider("src", Dim, seed = SourceSeed)
   def targetProvider: EmbeddingProvider = RotatedProvider(sourceProvider, rotSeed = 7L)
 
   /** A1→A2→A3 behind the S7 cache: top-k words embedded in the source and
@@ -169,15 +170,84 @@ object AdaptQueries {
     "q_report_adapt" -> qReportAdapt,
     "p3_embed_pool" -> p3EmbedPool)
 
+  /** DuckDB twin of the FULL hashing-provider embed pipeline behind
+    * p3_embed_pool (HashingProvider.embedTokens): splitmix64 re-expressed in
+    * wrapped unsigned-HUGEINT arithmetic, the per-token character fold as a
+    * recursive CTE (one step per character position, all tokens advancing in
+    * lockstep), per-dim base + positional components, float cast, and the
+    * three poolings as order-pinned folds — bit-identical to the Scala chain.
+    * ASCII corpus ⇒ `unicode(c)` equals Java's UTF-16 `charAt`. */
+  private def p3Sql: String = {
+    val ts = Duck.toSigned("sm")
+    val smTok = Duck.splitmix64(
+      "SELECT f.token, f.pos, xor(f.h, c.code) AS x0 FROM fold f " +
+        "JOIN chars c ON c.token = f.token AND c.cp = f.pos " +
+        "WHERE f.pos < (SELECT m FROM maxlen)")
+    val smDim = Duck.splitmix64(
+      s"SELECT token, unnest(range(0, $Dim)) AS d, " +
+        s"xor(h, CAST(unnest(range(0, $Dim)) AS HUGEINT)) AS x0 FROM thash")
+    val smPos = Duck.splitmix64(
+      s"SELECT doc_id, p, unnest(range(0, $Dim)) AS d, " +
+        s"xor(xor(CAST($SourceSeed AS HUGEINT), CAST(p AS HUGEINT) * 4294967296), " +
+        s"CAST(unnest(range(0, $Dim)) AS HUGEINT)) AS x0 " +
+        "FROM (SELECT DISTINCT doc_id, p FROM inst)")
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |    t -> len(t) > 0) AS toks FROM documents),
+       |docs2 AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN ['']
+       |    ELSE toks END AS toks FROM docs),
+       |inst AS (SELECT doc_id, unnest(range(0, len(toks))) AS p,
+       |    unnest(toks) AS token FROM docs2),
+       |tok AS (SELECT DISTINCT token FROM inst),
+       |chars AS (SELECT token, unnest(range(0, length(token))) AS cp,
+       |    unnest([CAST(unicode(c) AS HUGEINT) FOR c IN string_split(token, '')]) AS code
+       |  FROM tok),
+       |maxlen AS (SELECT max(length(token)) AS m FROM tok),
+       |fold AS (
+       |  SELECT token, 0 AS pos, CAST($SourceSeed AS HUGEINT) AS h FROM tok
+       |  UNION ALL
+       |  SELECT u.token, u.pos + 1, u.sm AS h FROM ($smTok) u
+       |),
+       |thash AS (SELECT f.token, f.h FROM fold f WHERE f.pos = length(f.token)),
+       |tdim AS (SELECT token, d, CAST($ts AS DOUBLE) / ${Duck.MaxLongD} AS base
+       |  FROM ($smDim)),
+       |pdim AS (SELECT doc_id, p, d,
+       |    0.05 * (CAST($ts AS DOUBLE) / ${Duck.MaxLongD}) AS poscomp
+       |  FROM ($smPos)),
+       |v AS (SELECT i.doc_id, i.p, t.d, CAST(t.base + pd.poscomp AS REAL) AS val
+       |  FROM inst i JOIN tdim t ON t.token = i.token
+       |  JOIN pdim pd ON pd.doc_id = i.doc_id AND pd.p = i.p AND pd.d = t.d),
+       |nt AS (SELECT doc_id, len(toks) AS n FROM docs2),
+       |agg1 AS (SELECT doc_id, d,
+       |    ${Duck.foldSum("list(CAST(val AS DOUBLE) ORDER BY p)")} AS sumv,
+       |    max(val) AS maxv,
+       |    first(val ORDER BY p) AS firstv
+       |  FROM v GROUP BY doc_id, d),
+       |agg2 AS (SELECT a.doc_id, a.d, a.sumv / n.n AS meanv, a.maxv, a.firstv
+       |  FROM agg1 a JOIN nt n ON n.doc_id = a.doc_id),
+       |final AS (SELECT doc_id,
+       |    ${Duck.foldSum("list(CAST(firstv AS DOUBLE) ORDER BY d)")} / $Dim AS first_avg,
+       |    ${Duck.foldSum("list(meanv ORDER BY d)")} / $Dim AS mean_avg,
+       |    ${Duck.foldSum("list(CAST(maxv AS DOUBLE) ORDER BY d)")} / $Dim AS max_avg
+       |  FROM agg2 GROUP BY doc_id)
+       |SELECT f.doc_id, CAST(n.n AS INT) AS seq_len,
+       |  round(f.first_avg, 4) AS first_avg, round(f.mean_avg, 4) AS mean_avg,
+       |  round(f.max_avg, 4) AS max_avg
+       |FROM final f JOIN nt n ON n.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   /** adapt_word_pairs exposes only (word, n, vector sizes) — the A1→A2 chain
     * plus the provider's fixed dim — so it IS SQL-expressible even though the
     * vector VALUES are host-code: replay the tokenization/count/topK exactly
-    * and emit the dims as constants. */
+    * and emit the dims as constants. p3_embed_pool goes further and replays
+    * the vector values themselves (see [[p3Sql]]). */
   val oracles: Map[String, String] = Map(
     "adapt_word_pairs" ->
       s"""SELECT word, n, $Dim AS dim_s, $Dim AS dim_t FROM (
          |  SELECT word, count(*) AS n FROM ${Corpus.wordsSub}
          |  WHERE length(word) > 0 GROUP BY word
          |  ORDER BY n DESC, word LIMIT $TopK)
-         |ORDER BY n DESC, word""".stripMargin)
+         |ORDER BY n DESC, word""".stripMargin,
+    "p3_embed_pool" -> p3Sql)
 }

@@ -76,6 +76,52 @@ private[queries] object Duck {
       s"% 100000) + 100000) % 100000) / 100000.0 - 0.5) " +
       s"FOR i IN range(1, len($vec)+1)]"
 
+  // ---- splitmix64 in SQL (mirror graft.embed.HashingProvider) ---------------
+  // Values live as non-negative HUGEINT (mod 2^64): xor/•//2^n are exact 64-bit
+  // ops there, and wrapping +/× go through explicit % 2^64 with a 32-bit split
+  // multiply (the 128-bit product of two 64-bit values would overflow HUGEINT).
+
+  private val M64 = "18446744073709551616" // 2^64
+  private val M32 = "4294967296" // 2^32
+
+  /** Wrapping unsigned 64-bit multiply of expression `a` by constant `c`. */
+  private def wmulU(a: String, c: BigInt): String = {
+    val clo = c & 0xFFFFFFFFL
+    val chi = c >> 32
+    s"(((($a) % $M32) * $clo + (((($a) % $M32) * $chi + (($a) // $M32) * $clo) % $M32) * $M32) % $M64)"
+  }
+
+  /** Wrap `inner` (a SELECT yielding HUGEINT `x0` + passthrough columns) in
+    * staged projections computing splitmix64(x0) as column `sm` — staging keeps
+    * each repeated subterm a column reference instead of an exponentially
+    * duplicated expression. Constants are the unsigned spellings of the Java
+    * literals in HashingProvider.splitmix64. */
+  def splitmix64(inner: String): String = {
+    val stages = Seq(
+      "x1" -> s"(x0 + 11400714819323198485) % $M64",
+      "t1" -> "xor(x1, x1 // 1073741824)", // >>> 30
+      "x2" -> wmulU("t1", BigInt("BF58476D1CE4E5B9", 16)),
+      "t2" -> "xor(x2, x2 // 134217728)", // >>> 27
+      "x3" -> wmulU("t2", BigInt("94D049BB133111EB", 16)),
+      "sm" -> "xor(x3, x3 // 2147483648)") // >>> 31
+    stages.foldLeft(inner) { case (q, (name, expr)) =>
+      s"SELECT *, $expr AS $name FROM ($q)"
+    }
+  }
+
+  /** Unsigned (mod 2^64) HUGEINT expression → signed 64-bit BIGINT. */
+  def toSigned(v: String): String =
+    s"(CASE WHEN $v >= 9223372036854775808 THEN CAST($v - $M64 AS BIGINT) " +
+      s"ELSE CAST($v AS BIGINT) END)"
+
+  /** Java `Long.MaxValue.toDouble` (rounds to 2^63). */
+  val MaxLongD = "CAST(9223372036854775807 AS DOUBLE)"
+
+  /** Sequential left-fold sum of a DOUBLE list expression (prepends the 0.0
+    * seed so the accumulation order matches `aggregate(a, 0.0, _+_)`). */
+  def foldSum(list: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $list), (a, b) -> a + b)"
+
   /** Recursive-CTE replay of the faithful reset DDM (graft.operators.Drift
     * .ddmSequential / Ddm.addElement): one recursion step per feed row carries
     * the full detector state (count, p, s, the tracked minima, and the
