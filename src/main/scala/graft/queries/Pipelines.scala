@@ -97,6 +97,90 @@ object Pipelines {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Shared token-list CTE text for the xxhash64-based dedup oracles (same
+    * clean/split chain as [[dedupNgramJaccardSql]]). */
+  private val toksCte: String = {
+    val clean = Duck.clean("text", punct = true)
+    val ws = """'\s+'"""
+    s"""toksraw AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim($clean), $ws, ' ', 'g'), ' ') AS w
+       |  FROM documents)""".stripMargin
+  }
+
+  /** DuckDB twin of [[dedupSimhash]] — Spark's xxhash64 replayed exactly (see
+    * Duck.xxh64StrCtes): per-token 64-bit hashes, ±1 votes per bit, signature
+    * reassembly, 16-bit pigeonhole blocks, popcount verify. */
+  val dedupSimhashSql: String = {
+    val bitsVals = (0 until 64)
+      .map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
+    val blkVals = (0 until 4)
+      .map(b => s"($b, ${BigInt(1) << (16 * b)}::HUGEINT)").mkString(", ")
+    s"""WITH RECURSIVE
+       |$toksCte,
+       |tokf AS (SELECT doc_id, tok
+       |  FROM (SELECT doc_id, unnest(w) AS tok FROM toksraw) WHERE length(tok) > 0),
+       |strs AS (SELECT tok AS sid, tok AS s, CAST(42 AS HUGEINT) AS seed
+       |  FROM (SELECT DISTINCT tok FROM tokf)),
+       |${Duck.xxh64StrCtes("strs")},
+       |bits AS (SELECT c0 AS b, c1 AS p FROM (VALUES $bitsVals) v(c0, c1)),
+       |blkp AS (SELECT c0 AS blk, c1 AS p FROM (VALUES $blkVals) v(c0, c1)),
+       |th AS (SELECT t.doc_id, x.h FROM tokf t JOIN xstr x ON x.sid = t.tok),
+       |votes AS (SELECT doc_id, b,
+       |    sum(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN bits GROUP BY doc_id, b),
+       |sig AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 THEN p ELSE 0::HUGEINT END) AS HUGEINT) AS simu
+       |  FROM votes JOIN bits USING (b) GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, simu, ${Duck.toSigned("simu")} AS sim FROM sig),
+       |blocks AS (SELECT doc_id, sim, blk, (simu // p) % 65536 AS blk_val
+       |  FROM sigs CROSS JOIN blkp),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sim, b.sim)) AS hamming
+       |  FROM blocks a JOIN blocks b
+       |    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB twin of [[dedupMinhashLsh]]: per-shingle XXH64, the 32 seeded
+    * variants as hashInt(k,42)→hashLong chains, signed min per (doc, k),
+    * 8×4 banding (bucket equality on band VALUES — band-hash collisions are the
+    * only divergence from Spark's xxhash64(band) bucket key, astronomically
+    * unlikely and absent at test scale), signature-estimated Jaccard ≥ 0.5. */
+  val dedupMinhashLshSql: String = {
+    val kseeds = Duck.stagedSql(
+      "SELECT CAST(unnest(range(0, 32)) AS HUGEINT) AS k",
+      Duck.xxhashIntStages("k", "42", "seedk", "i"))
+    val khash = Duck.stagedSql(
+      "SELECT s.doc_id, s.h0, ks.k, ks.seedk FROM sh0 s CROSS JOIN kseeds ks",
+      Duck.xxhashLongStages("h0", "seedk", "hk", "k"))
+    s"""WITH RECURSIVE
+       |$toksCte,
+       |shing AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+       |        FROM toksraw WHERE len(w) >= 3) q),
+       |strs AS (SELECT sh AS sid, sh AS s, CAST(42 AS HUGEINT) AS seed
+       |  FROM (SELECT DISTINCT sh FROM shing)),
+       |${Duck.xxh64StrCtes("strs")},
+       |sh0 AS (SELECT g.doc_id, x.h AS h0 FROM shing g JOIN xstr x ON x.sid = g.sh),
+       |kseeds AS ($kseeds),
+       |khash AS (SELECT doc_id, k, hk FROM ($khash)),
+       |sig AS (SELECT doc_id, k, min(${Duck.toSigned("hk")}) AS mh
+       |  FROM khash GROUP BY doc_id, k),
+       |bands AS (SELECT doc_id, k // 4 AS band_id, list(mh ORDER BY k) AS band
+       |  FROM sig GROUP BY doc_id, k // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |    CAST(count(*) FILTER (sa.mh = sb.mh) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Embedding-cosine near-dups via sign-LSH buckets (rows-only).
     *
     * The synthetic embeddings are i.i.d. random, so true near-dups don't exist;
@@ -295,6 +379,8 @@ object Pipelines {
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "sim_brute_topk" -> simBruteSql,
     "sim_lsh_topk" -> simLshSql,
