@@ -4,6 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.embed.EmbeddingProvider
 
@@ -41,25 +42,51 @@ object AdaptCache {
     spark.conf.getOption("spark.graft.adaptCacheDir")
       .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/graft_adapt_cache")
 
+  /** Generic keyed parquet memo: compute `build` once per (prefix, digest),
+    * persist atomically (temp dir + rename — a crashed writer never leaves a
+    * partial cache a later reader would trust), register in the session
+    * catalog, return the parquet scan. Cache hits are plain pruned/pushed-down
+    * parquet reads like any other source. */
+  def memo(spark: SparkSession, prefix: String, digest: String)
+          (build: => DataFrame): DataFrame = synchronized {
+    val dir = new Path(cacheRoot(spark), s"${prefix}_$digest.parquet")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) {
+      val tmp = new Path(dir.getParent, s".${prefix}_$digest.tmp")
+      fs.delete(tmp, true)
+      build.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost a race: hit below
+    }
+    val df = spark.read.parquet(dir.toString)
+    df.createOrReplaceTempView(s"${prefix}_$digest")
+    df
+  }
+
   /** [[Adaptation.wordPairDataset]] behind the parameter-keyed cache: load on
     * hit, compute-persist-load on miss. `docs` must be the table at
     * `corpusPath` (the key covers the path, not the plan). */
   def wordPairDataset(docs: DataFrame, corpusPath: String, textCol: String,
                       topK: Int, source: EmbeddingProvider,
-                      target: EmbeddingProvider): DataFrame = synchronized {
-    val spark = docs.sparkSession
-    val k = key(corpusPath, textCol, topK, source, target)
-    val dir = new Path(cacheRoot(spark), s"wordpairs_$k.parquet")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) {
-      val tmp = new Path(dir.getParent, s".wordpairs_$k.tmp")
-      fs.delete(tmp, true)
+                      target: EmbeddingProvider): DataFrame =
+    memo(docs.sparkSession, "adapt_pairs",
+      key(corpusPath, textCol, topK, source, target)) {
       Adaptation.wordPairDataset(docs, textCol, topK, source, target)
-        .write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost a race: hit below
     }
-    val df = spark.read.parquet(dir.toString)
-    df.createOrReplaceTempView(s"adapt_pairs_$k")
-    df
+
+  /** S3/S4 (reference streams/stream_data.py:119-153 embeds each corpus once
+    * and reuses the matrices): the mean-pooled per-document embedding table
+    * behind the adaptation stream, memoized per (corpus path, text column,
+    * provider). At 100 TB the provider pass is the single most expensive
+    * stage of the pipeline — every downstream mapping/drift/report experiment
+    * re-reads the materialized (doc_id, vec) parquet instead. */
+  def pooledDocEmbeddings(docs: DataFrame, corpusPath: String, textCol: String,
+                          provider: EmbeddingProvider): DataFrame = {
+    val raw = Seq(corpusPath, textCol, "meanpool", provider.toString).mkString("|")
+    val digest = MessageDigest.getInstance("SHA-256").digest(raw.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    memo(docs.sparkSession, "pooled_docs", digest) {
+      docs.select(col("doc_id"),
+        EmbeddingProvider.embedMeanPoolCol(provider)(col(textCol)).as("vec"))
+    }
   }
 }

@@ -98,14 +98,11 @@ object AdaptQueries {
     // linear space shift, so the mapped stream can recover exactly — max-pool
     // (P5) does not commute with a signed permutation and would leave phase 3
     // misaligned no matter how good the mapping is.
-    def pooled(p: EmbeddingProvider, df: DataFrame): DataFrame =
-      df.withColumn("vec", EmbeddingProvider.embedMeanPoolCol(p)(col("text")))
-        .select("doc_id", "vec")
-    // Eager materialization: src feeds three branches (pseudo-labels + two
-    // agreement joins) and tgt two — without it every branch re-runs the
-    // embedding UDF over the whole corpus.
-    val src = pooled(sourceProvider, docs).localCheckpoint()
-    val tgt = pooled(targetProvider, docs).localCheckpoint()
+    // S3/S4: the pooled tables are parameter-keyed parquet memos — src feeds
+    // three branches and tgt two, and every adapt/report query re-reads the
+    // materialized embeddings instead of re-running the provider per branch.
+    val src = AdaptCache.pooledDocEmbeddings(docs, dir, "text", sourceProvider)
+    val tgt = AdaptCache.pooledDocEmbeddings(docs, dir, "text", targetProvider)
     // mapping fitted on the word-pair dataset maps source→target; to bring the
     // drifted stream back we need target→source: fit with roles swapped.
     val pairs = AdaptCache.wordPairDataset(docs, dir, "text", TopK,

@@ -16,13 +16,18 @@ object MultimodalQueries {
   private def media(s: SparkSession, dir: String): DataFrame =
     Media.synthesize(Tables.documents(s, dir))
 
-  /** Decode-stats per kind: the decode → aggregate spine. */
+  /** Decode-stats per kind: the decode → aggregate spine. Cross-item stats are
+    * count/int-avg/min/max — all order-free exact aggregates, so the whole
+    * stub-decode pipeline replays bit-for-bit in the DuckDB oracle (a
+    * cross-row double average would depend on accumulation order and is not
+    * reproducible across engines). */
   val mmDecodeStats: Q = (s, dir) =>
     Media.decodeStats(media(s, dir))
       .groupBy("kind")
       .agg(count(lit(1)).as("n"),
         round(avg("n_samples"), 2).as("avg_samples"),
-        round(avg("sample_mean"), 6).as("avg_mean"))
+        round(min("sample_mean"), 6).as("min_mean"),
+        round(max("sample_mean"), 6).as("max_mean"))
       .orderBy("kind")
 
   /** Feature extraction → embedding-space ANN over media features: the
@@ -57,5 +62,144 @@ object MultimodalQueries {
     "mm_feature_ann" -> mmFeatureAnn,
     "mm_resize_frames" -> mmResizeFrames)
 
-  val oracles: Map[String, String] = Map.empty
+  /** The synthetic media table (Media.synthesize) as SQL — metadata is pure
+    * column arithmetic over doc_id, so the metadata-only pipelines replay
+    * exactly; `bytes` = first 64 UTF-8 bytes of the (ASCII) text. */
+  private val mediaCte: String =
+    """media AS (SELECT doc_id AS media_id, doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      ELSE 'video' END AS kind,
+      |    substr(text, 1, 64) AS bytes_txt,
+      |    CAST(doc_id % 4 AS INT) * 64 + 64 AS width,
+      |    CAST(doc_id % 3 AS INT) * 64 + 64 AS height,
+      |    16000 AS sample_rate,
+      |    CAST(doc_id % 10 AS INT) * 1000 + 500 AS duration_ms
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[mmResizeFrames]]: resize + frame sampling are pure
+    * metadata transforms (no codec), so the whole query replays in SQL. */
+  val mmResizeFramesSql: String = {
+    val scale = "CASE WHEN greatest(width, height) <= 128 THEN 1.0 " +
+      "ELSE 128.0 / greatest(width, height) END"
+    s"""WITH $mediaCte,
+       |resized AS (SELECT kind,
+       |    CAST(round(width * ($scale)) AS INT) AS rw,
+       |    CAST(round(height * ($scale)) AS INT) AS rh
+       |  FROM media),
+       |perkind AS (SELECT kind, count(*) AS n, max(rw) AS max_w, max(rh) AS max_h
+       |  FROM resized GROUP BY kind),
+       |frames AS (SELECT count(*) AS n_frames, max(frame_ms) AS max_frame_ms FROM (
+       |  SELECT media_id, unnest(range(0, duration_ms + 1, 1000)[1:8]) AS frame_ms
+       |  FROM media WHERE kind = 'video'))
+       |SELECT kind, n, max_w, max_h FROM perkind
+       |UNION ALL
+       |SELECT 'video_frames', n_frames, NULL, CAST(max_frame_ms AS INT) FROM frames
+       |ORDER BY kind""".stripMargin
+  }
+
+  /** DuckDB twin of [[mmDecodeStats]] — the STUB codec is deterministic
+    * splitmix64 arithmetic (Media.StubCodec), so even the decode path replays:
+    * the per-item seed is a recursive-CTE fold of splitmix64 over the payload
+    * bytes, samples are one splitmix64 per index mapped to float, and the
+    * per-item mean is an order-pinned fold. */
+  val mmDecodeStatsSql: String = {
+    val smSeed = Duck.splitmix64(
+      "SELECT f.media_id, f.pos, xor(f.h, c.code) AS x0 FROM sfold f " +
+        "JOIN mbytes c ON c.media_id = f.media_id AND c.bp = f.pos " +
+        "JOIN mlen l ON l.media_id = f.media_id AND f.pos < l.n")
+    val smSamp = Duck.splitmix64(
+      "SELECT n.media_id, unnest(range(0, n.ns)) AS i, " +
+        "xor(s.h, CAST(unnest(range(0, n.ns)) AS HUGEINT)) AS x0 " +
+        "FROM nsamp n JOIN sd s ON s.media_id = n.media_id")
+    s"""WITH RECURSIVE
+       |$mediaCte,
+       |mlen AS (SELECT media_id, length(bytes_txt) AS n FROM media),
+       |mbytes AS (SELECT media_id, unnest(range(0, length(bytes_txt))) AS bp,
+       |    unnest([CAST(unicode(c) AS HUGEINT) FOR c IN string_split(bytes_txt, '')]) AS code
+       |  FROM media WHERE length(bytes_txt) > 0),
+       |sfold AS (
+       |  SELECT media_id, 0 AS pos, CAST(media_id AS HUGEINT) AS h FROM media
+       |  UNION ALL
+       |  SELECT u.media_id, u.pos + 1, u.sm AS h FROM ($smSeed) u
+       |),
+       |sd AS (SELECT f.media_id, f.h FROM sfold f
+       |  JOIN mlen l ON l.media_id = f.media_id AND f.pos = l.n),
+       |nsamp AS (SELECT media_id, kind,
+       |    CASE kind WHEN 'image' THEN greatest(4, width * height // 1024)
+       |      WHEN 'audio' THEN greatest(4, sample_rate // 100)
+       |      ELSE greatest(2, duration_ms // 500) END AS ns
+       |  FROM media),
+       |svals AS (SELECT media_id, i,
+       |    CAST(CAST(${Duck.toSigned("sm")} AS DOUBLE) / ${Duck.MaxLongD} AS REAL) AS v
+       |  FROM ($smSamp)),
+       |item AS (SELECT s.media_id, n.kind, n.ns,
+       |    ${Duck.foldSum("list(CAST(v AS DOUBLE) ORDER BY i)")} / n.ns AS mean
+       |  FROM svals s JOIN nsamp n ON n.media_id = s.media_id
+       |  GROUP BY s.media_id, n.kind, n.ns)
+       |SELECT kind, count(*) AS n, round(avg(ns), 2) AS avg_samples,
+       |  round(min(mean), 6) AS min_mean, round(max(mean), 6) AS max_mean
+       |FROM item GROUP BY kind ORDER BY kind""".stripMargin
+  }
+
+  /** DuckDB twin of [[mmFeatureAnn]]: stub features are index-mod float
+    * accumulation over the decoded samples (Media.extractFeatures) — replayed
+    * as an order-pinned REAL fold per residue class (CAST-per-step restores
+    * float32 addition exactly; a double-accumulated sum of two floats rounds
+    * to the identical float). Missing residues stay 0.0f via a dense dim
+    * spine. Scoring and ranking mirror the proven sim_brute_topk twin. */
+  val mmFeatureAnnSql: String = {
+    val smSeed = Duck.splitmix64(
+      "SELECT f.media_id, f.pos, xor(f.h, c.code) AS x0 FROM sfold f " +
+        "JOIN mbytes c ON c.media_id = f.media_id AND c.bp = f.pos " +
+        "JOIN mlen l ON l.media_id = f.media_id AND f.pos < l.n")
+    val smSamp = Duck.splitmix64(
+      "SELECT n.media_id, unnest(range(0, n.ns)) AS i, " +
+        "xor(s.h, CAST(unnest(range(0, n.ns)) AS HUGEINT)) AS x0 " +
+        "FROM nsamp n JOIN sd s ON s.media_id = n.media_id")
+    val foldF = "list_reduce(list_prepend(CAST(0.0 AS REAL), " +
+      "list(v ORDER BY i)), (a, b) -> CAST(a + b AS REAL))"
+    s"""WITH RECURSIVE
+       |$mediaCte,
+       |mlen AS (SELECT media_id, length(bytes_txt) AS n FROM media),
+       |mbytes AS (SELECT media_id, unnest(range(0, length(bytes_txt))) AS bp,
+       |    unnest([CAST(unicode(c) AS HUGEINT) FOR c IN string_split(bytes_txt, '')]) AS code
+       |  FROM media WHERE length(bytes_txt) > 0),
+       |sfold AS (
+       |  SELECT media_id, 0 AS pos, CAST(media_id AS HUGEINT) AS h FROM media
+       |  UNION ALL
+       |  SELECT u.media_id, u.pos + 1, u.sm AS h FROM ($smSeed) u
+       |),
+       |sd AS (SELECT f.media_id, f.h FROM sfold f
+       |  JOIN mlen l ON l.media_id = f.media_id AND f.pos = l.n),
+       |nsamp AS (SELECT media_id, kind,
+       |    CASE kind WHEN 'image' THEN greatest(4, width * height // 1024)
+       |      WHEN 'audio' THEN greatest(4, sample_rate // 100)
+       |      ELSE greatest(2, duration_ms // 500) END AS ns
+       |  FROM media),
+       |svals AS (SELECT media_id, i,
+       |    CAST(CAST(${Duck.toSigned("sm")} AS DOUBLE) / ${Duck.MaxLongD} AS REAL) AS v
+       |  FROM ($smSamp)),
+       |fsparse AS (SELECT media_id, CAST(i % 16 AS INT) AS d, $foldF AS fv
+       |  FROM svals GROUP BY media_id, i % 16),
+       |fdense AS (SELECT m.media_id, dm.d,
+       |    CAST(coalesce(fs.fv, 0.0) AS DOUBLE) AS val
+       |  FROM media m CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INT) AS d) dm
+       |  LEFT JOIN fsparse fs ON fs.media_id = m.media_id AND fs.d = dm.d),
+       |nrm AS (SELECT media_id, sqrt(sum(val * val)) AS nrm FROM fdense GROUP BY media_id),
+       |dt AS (SELECT q.media_id AS qid, c.media_id AS cid, sum(q.val * c.val) AS dot
+       |  FROM fdense q JOIN fdense c ON q.d = c.d WHERE q.media_id < 3
+       |  GROUP BY q.media_id, c.media_id),
+       |sc AS (SELECT qid, cid,
+       |    CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0 ELSE dot / (nq.nrm * nc.nrm) END AS cos
+       |  FROM dt JOIN nrm nq ON nq.media_id = qid JOIN nrm nc ON nc.media_id = cid),
+       |r AS (SELECT qid, cid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+       |SELECT qid, rk, cid, round(cos, 4) AS cos FROM r WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode_stats" -> mmDecodeStatsSql,
+    "mm_feature_ann" -> mmFeatureAnnSql,
+    "mm_resize_frames" -> mmResizeFramesSql)
 }

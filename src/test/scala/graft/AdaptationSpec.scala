@@ -103,7 +103,7 @@ class AdaptationSpec extends AnyFunSuite {
       // Prove the second call is a cache READ, not a recompute: tamper with the
       // persisted parquet (keep one row) and observe the tampered content.
       val k = graft.operators.AdaptCache.key("mem://docs", "text", 5, src, tgt)
-      val path = s"$root/wordpairs_$k.parquet"
+      val path = s"$root/adapt_pairs_$k.parquet"
       val one = spark.read.parquet(path).limit(1)
       val tmp = root + "/tamper"
       one.write.parquet(tmp)
@@ -120,6 +120,39 @@ class AdaptationSpec extends AnyFunSuite {
       assert(other.count() == 3)
       // Catalog registration (SURVEY §2.1 S7).
       assert(spark.catalog.tableExists(s"adapt_pairs_$k"))
+    } finally spark.conf.unset("spark.graft.adaptCacheDir")
+  }
+
+  test("S3/S4 pooled-embedding cache: hit is a parquet read, provider keys it") {
+    val root = java.nio.file.Files.createTempDirectory("s3").toString
+    spark.conf.set("spark.graft.adaptCacheDir", root)
+    try {
+      val fresh = graft.operators.AdaptCache
+        .pooledDocEmbeddings(docs, "mem://docs", "text", src)
+      val direct = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.embed.EmbeddingProvider.embedMeanPoolCol(src)(
+          org.apache.spark.sql.functions.col("text")).as("vec"))
+      assert(fresh.orderBy("doc_id").collect().toSeq ==
+        direct.orderBy("doc_id").collect().toSeq)
+      // tamper-and-observe: the second call must READ the persisted file
+      val dirs = new java.io.File(root).listFiles()
+        .filter(f => f.getName.startsWith("pooled_docs_") && f.getName.endsWith(".parquet"))
+      assert(dirs.length == 1)
+      val path = dirs.head.getAbsolutePath
+      val one = spark.read.parquet(path).limit(1)
+      val tmp = root + "/tamper2"
+      one.write.parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+      val second = graft.operators.AdaptCache
+        .pooledDocEmbeddings(docs, "mem://docs", "text", src)
+      assert(second.count() == 1)
+      // a different provider is a different key → full recompute
+      val other = graft.operators.AdaptCache
+        .pooledDocEmbeddings(docs, "mem://docs", "text", tgt)
+      assert(other.count() == docs.count())
     } finally spark.conf.unset("spark.graft.adaptCacheDir")
   }
 }

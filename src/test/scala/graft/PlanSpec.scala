@@ -89,4 +89,23 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Corpus.queries("j1_line_zip")(spark, sf))
     assert(!p.contains("Window"), p)
   }
+
+  test("report reshape: per-stream rank is partitioned; offsets join broadcasts") {
+    import spark.implicits._
+    val feed = (0 until 200).map(i => (i % 3, s"s${i % 3}", i.toLong, 0.5))
+      .toDF("streamOrd", "stream", "batch_id", "accuracy")
+    val p = plan(graft.operators.Report.experimentReport(feed))
+    // the big-side window is the within-stream rank — always keyed by
+    // stream_ord. The only permissible unpartitioned windows are ddmScan
+    // internals, which operate on the per-batch detector feed (one row per
+    // reporting batch by construction): those all order or key on the scan's
+    // batch_id / ai columns, never rank the raw feed globally.
+    val rankWindows = p.linesIterator.filter(_.contains("Window [row_number()")).toSeq
+    assert(rankWindows.nonEmpty, p)
+    rankWindows.foreach { w =>
+      assert(w.matches(""".*\], \[stream_ord#\d+\], \[.*""") ||
+        w.matches(""".*\], \[(ai|batch_id)#\d+L?.*"""), w)
+    }
+    assert(p.contains("BroadcastHashJoin"), p) // offsets reach the feed via broadcast
+  }
 }
