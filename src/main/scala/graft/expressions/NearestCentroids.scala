@@ -48,6 +48,9 @@ case class NearestCentroids(
     val x = input.asInstanceOf[ArrayData]
     val dims = x.numElements()
     val take = math.min(n, centroids.length)
+    // empty centroid table → empty assignment (the codegen path guards
+    // `take > 0`; without this the eval path would index ds(-1))
+    if (take == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
     val ids = new Array[Int](take)
     val ds = new Array[Double](take)
     var filled = 0

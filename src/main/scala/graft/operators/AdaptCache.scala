@@ -27,14 +27,32 @@ import graft.embed.EmbeddingProvider
   * a ≤topK-row parquet instead. */
 object AdaptCache {
 
-  /** Digest of every parameter that determines the dataset's content. */
-  def key(corpusPath: String, textCol: String, topK: Int,
-          source: EmbeddingProvider, target: EmbeddingProvider): String = {
-    val raw = Seq(corpusPath, textCol, topK.toString, source.toString,
-      target.toString).mkString("|")
-    MessageDigest.getInstance("SHA-256").digest(raw.getBytes("UTF-8"))
+  private def digestOf(parts: Seq[String]): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(parts.mkString("|").getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
-  }
+
+  /** Cheap content token for the corpus behind `path`: a digest of the
+    * (name, length, mtime) listing. Without it the key covers only the PATH,
+    * and regenerating the dataset in place would silently serve stale cached
+    * results — with it, a rewrite is a cache miss. Non-listable paths (unit
+    * tests' mem:// markers) degrade to a constant token. */
+  def corpusToken(spark: SparkSession, path: String): String =
+    try {
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) "absent"
+      else digestOf(fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.toSeq)
+    } catch { case _: Exception => "nofs" }
+
+  /** Digest of every parameter that determines the dataset's content,
+    * including the corpus content token. */
+  def key(corpusPath: String, textCol: String, topK: Int,
+          source: EmbeddingProvider, target: EmbeddingProvider): String =
+    digestOf(Seq(corpusPath, corpusToken(SparkSession.active, corpusPath),
+      textCol, topK.toString, source.toString, target.toString))
 
   /** Root for cache tables: `spark.graft.adaptCacheDir` if set, else a
     * `graft_adapt_cache` dir under the session's warehouse. */
@@ -81,9 +99,9 @@ object AdaptCache {
     * re-reads the materialized (doc_id, vec) parquet instead. */
   def pooledDocEmbeddings(docs: DataFrame, corpusPath: String, textCol: String,
                           provider: EmbeddingProvider): DataFrame = {
-    val raw = Seq(corpusPath, textCol, "meanpool", provider.toString).mkString("|")
-    val digest = MessageDigest.getInstance("SHA-256").digest(raw.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    val digest = digestOf(Seq(corpusPath,
+      corpusToken(docs.sparkSession, corpusPath), textCol, "meanpool",
+      provider.toString))
     memo(docs.sparkSession, "pooled_docs", digest) {
       docs.select(col("doc_id"),
         EmbeddingProvider.embedMeanPoolCol(provider)(col(textCol)).as("vec"))

@@ -31,9 +31,16 @@ object Report {
     *         {'None','Warning','Drift'}) ordered by time.
     */
   def experimentReport(feed: DataFrame, detectorEnd: Option[Int] = None): DataFrame = {
+    // Eager materialization: the feed plan fans out into the offsets agg, the
+    // ranked timeline, and the detector scan (which self-joins) — without
+    // pinning it, an expensive upstream (e.g. two GNB scoring passes) would
+    // re-execute once per branch. The feed is one row per reporting batch by
+    // contract, so the checkpoint is tiny. (At cluster scale: persist() or a
+    // parquet materialization plays the same role.)
     val base = feed.select(col("streamOrd").cast("int").as("stream_ord"),
       col("stream"), col("batch_id").cast("long").as("batch_id"),
       col("accuracy").cast("double").as("accuracy"))
+      .localCheckpoint()
     // Global time index = per-stream offset + rank within the stream. The
     // offsets table is one row per stream; its window is over ≤ #streams rows.
     val offsets = base.groupBy("stream_ord").count()

@@ -28,9 +28,14 @@ object TopK {
 
     def zero: Buf = Buf(Array.emptyLongArray, Array.emptyDoubleArray)
 
-    /** (s1, id1) ranks strictly ahead of (s2, id2). */
-    private def ahead(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && id1 < id2)
+    /** (s1, id1) ranks strictly ahead of (s2, id2). Double.compare gives the
+      * window's TOTAL order (NaN greatest, -0.0 < 0.0) — `>` on raw doubles
+      * would silently rank NaN scores last instead of first and diverge from
+      * the row_number formulation this aggregator replaces. */
+    private def ahead(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && id1 < id2)
+    }
 
     private def insert(b: Buf, id: Long, s: Double): Buf = {
       val len = b.ids.length

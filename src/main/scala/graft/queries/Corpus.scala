@@ -228,12 +228,14 @@ object Corpus {
       "batch_id", "err")
 
   val st1Sql: String =
-    s"""WITH acc AS (SELECT batch_id, accuracy FROM $accSub a),
+    s"""WITH RECURSIVE acc AS (SELECT batch_id, accuracy FROM $accSub a),
        |seq AS (SELECT batch_id, 1.0 - accuracy AS err,
        |  row_number() OVER (ORDER BY batch_id) AS i FROM acc),
-       |st AS (SELECT batch_id, i, err,
-       |  avg(err) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
-       |  FROM seq),
+       |rs AS (SELECT batch_id, i, err, CAST(err AS DOUBLE) AS rsum
+       |    FROM seq WHERE i = 1
+       |  UNION ALL SELECT q.batch_id, q.i, q.err, r.rsum + q.err
+       |    FROM rs r JOIN seq q ON q.i = r.i + 1),
+       |st AS (SELECT batch_id, i, err, rsum / i AS p FROM rs),
        |st2 AS (SELECT batch_id, i, p, sqrt(p * (1 - p) / i) AS s FROM st),
        |best AS (SELECT a.i AS ai, b.p AS bp, b.s AS bs,
        |  row_number() OVER (PARTITION BY a.i ORDER BY b.p + b.s ASC, b.i DESC) AS rk

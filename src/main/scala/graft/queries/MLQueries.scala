@@ -162,7 +162,7 @@ object MLQueries {
 
   /** Faithful shared-detector drift signals across the phase boundary (E2
     * semantics: state carries over the stream switch — the phase is encoded in
-    * the ordering, not the detector key). Rows-only. */
+    * the ordering, not the detector key). [SQL: recursive reset-DDM replay] */
   val driftAbruptSignals: Q = (s, dir) => {
     val feed = driftAbruptFeed(s, dir)
       .withColumn("seq", col("phase") * lit(100000L) + col("batch_id"))
@@ -187,7 +187,7 @@ object MLQueries {
   }
 
   val qReportAbruptSql: String =
-    s"""WITH feed AS (SELECT CAST(phase - 1 AS INT) AS stream_ord,
+    s"""WITH RECURSIVE feed AS (SELECT CAST(phase - 1 AS INT) AS stream_ord,
        |    CASE WHEN phase = 1 THEN 'trained' ELSE 'untrained' END AS stream,
        |    batch_id, accuracy FROM ($driftAbruptFeedSql) f),
        |offs AS (SELECT stream_ord, count(*) AS c FROM feed GROUP BY 1),
@@ -199,9 +199,11 @@ object MLQueries {
        |  FROM feed f JOIN offs2 o USING (stream_ord)),
        |seq AS (SELECT time, 1.0 - accuracy AS err,
        |    row_number() OVER (ORDER BY time) AS i FROM timed),
-       |st AS (SELECT time, i,
-       |    avg(err) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
-       |  FROM seq),
+       |rs AS (SELECT time, i, err, CAST(err AS DOUBLE) AS rsum
+       |    FROM seq WHERE i = 1
+       |  UNION ALL SELECT q.time, q.i, q.err, r.rsum + q.err
+       |    FROM rs r JOIN seq q ON q.i = r.i + 1),
+       |st AS (SELECT time, i, rsum / i AS p FROM rs),
        |st2 AS (SELECT time, i, p, sqrt(p * (1 - p) / i) AS s FROM st),
        |best AS (SELECT a.i AS ai, b.p AS bp, b.s AS bs,
        |    row_number() OVER (PARTITION BY a.i ORDER BY b.p + b.s ASC, b.i DESC) AS rk
@@ -289,7 +291,7 @@ object MLQueries {
        |UNION ALL SELECT phase, batch_id, accuracy FROM phase2
        |ORDER BY phase, batch_id""".stripMargin
 
-  /** Faithful shared-detector DDM over the unsupervised feed (rows-only): the
+  /** Faithful shared-detector DDM over the unsupervised feed [SQL]: the
     * flagship drift story — N through phase 1, W/D shortly after the boundary. */
   val driftUnsupSignals: Q = (s, dir) => {
     val feed = driftUnsupFeed(s, dir)
@@ -408,7 +410,7 @@ object MLQueries {
        |  round(CASE WHEN batch_id < 30 THEN $simAccuracySql ELSE agreement END, 6) AS accuracy
        |FROM agr ORDER BY batch_id""".stripMargin
 
-  /** Faithful DDM over the gradual feed (rows-only): W precedes D as the σ
+  /** Faithful DDM over the gradual feed [SQL]: W precedes D as the σ
     * ramp degrades agreement — the gradual-vs-abrupt contrast. */
   val driftGradualSignals: Q = (s, dir) => {
     val feed = driftGradualFeed(s, dir)
@@ -427,7 +429,8 @@ object MLQueries {
     * the remainder with the fine-tuned model. Four-phase feed:
     *   1 source space (simulated near-perfect), 2 drifted+stale model
     *   (collapsed → D), 3 = fine-tune window, 4 drifted+fine-tuned (recovered).
-    * Rows-only; the recovery invariant is asserted in ScalaTest. */
+    * [SQL: three chained GNB fits + recursive reset-DDM replay]; the
+    * recovery invariant is additionally asserted in ScalaTest. */
   val driftFinetuneSignals: Q = (s, dir) => {
     val model = GaussianNB.fit(train(s, dir), "label", "embedding")
     val te = test(s, dir)

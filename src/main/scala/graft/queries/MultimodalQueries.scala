@@ -185,13 +185,11 @@ object MultimodalQueries {
        |    CAST(coalesce(fs.fv, 0.0) AS DOUBLE) AS val
        |  FROM media m CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INT) AS d) dm
        |  LEFT JOIN fsparse fs ON fs.media_id = m.media_id AND fs.d = dm.d),
-       |nrm AS (SELECT media_id, sqrt(sum(val * val)) AS nrm FROM fdense GROUP BY media_id),
-       |dt AS (SELECT q.media_id AS qid, c.media_id AS cid, sum(q.val * c.val) AS dot
-       |  FROM fdense q JOIN fdense c ON q.d = c.d WHERE q.media_id < 3
-       |  GROUP BY q.media_id, c.media_id),
-       |sc AS (SELECT qid, cid,
-       |    CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0 ELSE dot / (nq.nrm * nc.nrm) END AS cos
-       |  FROM dt JOIN nrm nq ON nq.media_id = qid JOIN nrm nc ON nc.media_id = cid),
+       |fvec AS (SELECT media_id, list(val ORDER BY d) AS v
+       |  FROM fdense GROUP BY media_id),
+       |sc AS (SELECT q.media_id AS qid, c.media_id AS cid,
+       |    ${Duck.cosine("q.v", "c.v")} AS cos
+       |  FROM fvec q CROSS JOIN fvec c WHERE q.media_id < 3),
        |r AS (SELECT qid, cid, cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
        |SELECT qid, rk, cid, round(cos, 4) AS cos FROM r WHERE rk <= 5

@@ -77,15 +77,11 @@ object Pipelines {
   /** DuckDB twin of [[dedupNgramJaccard]]: distinct word-3-shingles per doc via
     * a positional self-zip of the cleaned token list. */
   val dedupNgramJaccardSql: String = {
-    val clean = Duck.clean("text", punct = true)
-    val ws = """'\s+'"""
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(regexp_replace(trim($clean), $ws, ' ', 'g'), ' ') AS w
-       |  FROM documents),
+    s"""WITH $toksCte,
        |sh AS (
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
-       |        FROM toks WHERE len(w) >= 3) q),
+       |        FROM toksraw WHERE len(w) >= 3) q),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -99,7 +95,7 @@ object Pipelines {
 
   /** Shared token-list CTE text for the xxhash64-based dedup oracles (same
     * clean/split chain as [[dedupNgramJaccardSql]]). */
-  private val toksCte: String = {
+  private def toksCte: String = {
     val clean = Duck.clean("text", punct = true)
     val ws = """'\s+'"""
     s"""toksraw AS (
@@ -212,18 +208,13 @@ object Pipelines {
   }
 
   val simBruteSql: String =
-    """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
-      |  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
-      |n AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id),
-      |d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.val * c.val) AS dot
-      |  FROM e q JOIN e c ON q.i = c.i WHERE q.vec_id < 5 GROUP BY q.vec_id, c.vec_id),
-      |sc AS (SELECT qid, cid,
-      |  CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0 ELSE dot / (nq.nrm * nc.nrm) END AS cos
-      |  FROM d JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid),
-      |r AS (SELECT qid, cid, cos,
-      |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-      |SELECT qid, rk, cid, round(cos, 4) AS cos FROM r WHERE rk <= 10
-      |ORDER BY qid, rk""".stripMargin
+    s"""WITH sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    ${Duck.cosine("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 5),
+       |r AS (SELECT qid, cid, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+       |SELECT qid, rk, cid, round(cos, 4) AS cos FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
 
   /** LSH-bucketed approximate top-k. [SQL — the sign-LSH buckets are the
     * integer-mix arithmetic of [[Similarity.signBits]], replayed exactly]. */
@@ -349,9 +340,9 @@ object Pipelines {
 
   // ---- Faithful DDM (sequential, with reset) --------------------------------
 
-  /** The exact reference detector semantics over the a4 feed (rows-only; the
-    * no-reset prefix-scan twin st1_ddm_scan carries the SQL oracle, and the two
-    * are asserted equal up to the first drift in ScalaTest). */
+  /** The exact reference detector semantics over the a4 feed [SQL: recursive
+    * reset-DDM replay; the no-reset prefix-scan twin st1_ddm_scan is also
+    * asserted equal up to the first drift in ScalaTest]. */
   val driftDdm: Q = (s, dir) => {
     val feed = Corpus.batchAccuracyDf(s, dir)
       .withColumn("err", lit(1.0) - col("accuracy"))
