@@ -392,7 +392,90 @@ object Relational {
       |FROM events GROUP BY CUBE(event_type, date_part('hour', ts))
       |ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin
 
+  /** Disjunctive-predicate join (TPC-H q19 shape): three OR'd brand/size/
+    * quantity branches — exercises Catalyst's handling of complex disjunctions
+    * (the common `l_partkey = p_partkey` conjunct still drives a hash join;
+    * only the residual OR is a post-join filter, never a nested loop). The
+    * revenue sum routes through DECIMAL(18,4): price×(1−disc) is a 4-decimal
+    * rational, so the cast recovers it exactly on both engines and the sum is
+    * order-free. */
+  val q19DisjunctiveJoin: Q = (s, dir) => {
+    val branch = (brand: String, qLo: Int, qHi: Int, sHi: Int) =>
+      col("p_brand") === brand &&
+        col("l_quantity").between(qLo, qHi) && col("p_size").between(1, sHi)
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#1", 1, 30, 15) || branch("Brand#2", 10, 40, 25) ||
+        branch("Brand#3", 20, 50, 35))
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 30 AND p_size BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 40 AND p_size BETWEEN 1 AND 25)
+      |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 50 AND p_size BETWEEN 1 AND 35)""".stripMargin
+
+  /** Nested semi-join chain (TPC-H q20 shape): suppliers who moved a heavy
+    * volume of one brand's parts — part-filter feeds a keyed aggregate feeds
+    * the supplier join; quantities are small integers so the HAVING sum is
+    * exact in double on any engine. */
+  val q20VolumeSuppliers: Q = (s, dir) => {
+    val brandParts = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#1").select("p_partkey")
+    val vol = Tables.lineitem(s, dir)
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > 50.0)
+    Tables.supplier(s, dir)
+      .join(vol, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_name"), col("total_qty"))
+      .orderBy("s_name")
+  }
+
+  val q20Sql: String =
+    """SELECT s_name, round(total_qty, 2) AS total_qty
+      |FROM supplier JOIN (
+      |  SELECT l_suppkey, sum(l_quantity) AS total_qty FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+      |  GROUP BY l_suppkey HAVING sum(l_quantity) > 50.0) v
+      |ON s_suppkey = l_suppkey
+      |ORDER BY s_name""".stripMargin
+
+  /** Exists + not-exists on the same fact table (TPC-H q21 shape): orders with
+    * at least one returned line and no oversized line, counted by priority —
+    * the semi-join and anti-join compose on one scan pair. */
+  val q21ReturnedNotOversized: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val returned = li.filter(col("l_returnflag") === "R").select("l_orderkey")
+    val oversized = li.filter(col("l_quantity") > 45.0).select("l_orderkey")
+    Tables.orders(s, dir)
+      .join(returned, col("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .join(oversized, col("o_orderkey") === oversized("l_orderkey"), "left_anti")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q21Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+      |        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q19_disjunctive_join" -> q19DisjunctiveJoin,
+    "q20_volume_suppliers" -> q20VolumeSuppliers,
+    "q21_exists_chain" -> q21ReturnedNotOversized,
     "q9_rollup" -> q9Rollup,
     "q10_rank_lag" -> q10RankLag,
     "q11_distinct" -> q11Distinct,
@@ -414,6 +497,9 @@ object Relational {
     "q18_pivot" -> q18Pivot)
 
   val oracles: Map[String, String] = Map(
+    "q19_disjunctive_join" -> q19Sql,
+    "q20_volume_suppliers" -> q20Sql,
+    "q21_exists_chain" -> q21Sql,
     "q16_range_join" -> q16Sql,
     "q17_decorrelate" -> q17Sql,
     "q18_pivot" -> q18Sql,
