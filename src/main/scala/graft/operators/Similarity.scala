@@ -114,4 +114,83 @@ object Similarity {
         VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
     TopK.topKPerQuery(scored, k)
   }
+
+  /** Deterministic PQ codebook: centroid `j` of subspace `b`, component `i` —
+    * the planeComponent integer-mix family scaled to [-1, 1). Reproducible on
+    * any engine (incl. the SQL oracle); trained k-means centroids would slot in
+    * behind the same shape. */
+  def pqCodebook(m: Int, ksub: Int, subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, ksub, subDim) { (b, j, i) =>
+      (Math.floorMod(b * 7919L + j * 2654435761L + i * 40503L + 12345L,
+        100000L).toDouble / 100000.0 - 0.5) * 2.0
+    }
+
+  /** Product-quantization approximate top-k (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the compressed
+    * ANN layout FAISS pairs with IVF): each vector splits into `m` subspaces,
+    * each slice quantizes to one of `ksub` codebook centroids, and candidates
+    * rank by the asymmetric distance Σ_b dtable_b[code_b] where dtable_b is
+    * the query's L2² table to subspace b's centroids.
+    *
+    * Scale design: the corpus encodes in ONE narrow projection to m·log2(ksub)
+    * bits per vector (the compressed file a 100 TB corpus actually stores);
+    * scoring touches only the codes plus per-query distance tables shipped as
+    * plan constants (|Q|·m·ksub doubles), never the raw vectors; the rank is
+    * the bounded [[TopK]] aggregator. Returns (qid, rk, cid, adist) with
+    * adist ascending per query. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 8, ksub: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(col(vecCol)).head.getSeq[Any](0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val cb = pqCodebook(m, ksub, subDim)
+    // Encode: per subspace, the plan-constant NearestCentroids argmin over the
+    // slice — m narrow kernels in one projection, no join, no shuffle.
+    val codeCols = (0 until m).map { b =>
+      element_at(NearestCentroids.column(
+        slice(col("cvec"), b * subDim + 1, subDim), cb(b), 1), 1).as(s"c$b")
+    }
+    val encoded = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .select(col("cid") +: codeCols: _*)
+    // Query distance tables, computed driver-side from the (small) query set:
+    // dtable(b)(j) = Σ_i (q_slice_i − cb(b)(j)(i))², accumulated in i order
+    // (the same fold the oracle replays).
+    val qRows = queries.select(col(qidCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    import spark.implicits._
+    val qTables = qRows.map { case (qid, qv) =>
+      val flat = new Array[Double](m * ksub)
+      var b = 0
+      while (b < m) {
+        var j = 0
+        while (j < ksub) {
+          var s = 0.0
+          var i = 0
+          while (i < subDim) {
+            val d = qv(b * subDim + i) - cb(b)(j)(i)
+            s += d * d
+            i += 1
+          }
+          flat(b * ksub + j) = s
+          j += 1
+        }
+        b += 1
+      }
+      (qid, flat)
+    }.toSeq.toDF("qid", "dtable")
+    // ADC score: Σ_b dtable[b·ksub + code_b], summed in subspace order. The
+    // codes index a small literal-backed array — cheap per row even in the
+    // interpreted HOF path; the heavy vectors never reach this join.
+    val adist = (0 until m).map(b =>
+        element_at(col("dtable"), lit(b * ksub) + col(s"c$b")))
+      .reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(qTables))
+      .select(col("qid"), col("cid"), (-adist).as("cos"))
+    TopK.topKPerQuery(scored, k)
+      .select(col("qid"), col("rk"), col("cid"), (-col("cos")).as("adist"))
+  }
 }

@@ -277,6 +277,49 @@ object Pipelines {
        |SELECT qid, rk, cid, round(cos, 4) AS cos FROM r WHERE rk <= 10
        |ORDER BY qid, rk""".stripMargin
 
+  /** Product-quantization top-k over the embedding corpus. [SQL] */
+  val simPqTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "vec_id", "embedding", k = 10, m = 8, ksub = 16)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+        round(col("adist"), 6).as("adist"))
+      .orderBy("qid", "rk")
+  }
+
+  /** DuckDB twin of [[simPqTopK]] (m=8, ksub=16, k=10): the deterministic
+    * codebook is the same integer-mix arithmetic, the per-subspace argmin
+    * replays the NearestCentroids (L2² asc, id asc) tie-break, and the ADC
+    * sum folds subspace terms in b order — all bit-exact. */
+  val simPqSql: String = {
+    val m = 8; val ksub = 16; val sub = 8
+    val cbComp = // component i-1 of centroid (b, j), i 1-based from range
+      s"((((b * 7919 + j * 2654435761 + (i - 1) * 40503 + 12345) % 100000)" +
+        s" / 100000.0 - 0.5) * 2.0)"
+    s"""WITH cb AS (SELECT b, j, [$cbComp FOR i IN range(1, $sub + 1)] AS cent
+       |  FROM (SELECT unnest(range(0, $m)) AS b)
+       |  CROSS JOIN (SELECT unnest(range(0, $ksub)) AS j)),
+       |sl AS (SELECT vec_id, bb.b,
+       |    embedding[bb.b * $sub + 1 : bb.b * $sub + $sub] AS sl
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $m)) AS b) bb),
+       |dists AS (SELECT s.vec_id, s.b, c.j, ${Duck.l2Sq("s.sl", "c.cent")} AS d
+       |  FROM sl s JOIN cb c ON c.b = s.b),
+       |codes AS (SELECT vec_id, b, j FROM
+       |  (SELECT vec_id, b, j, row_number() OVER (PARTITION BY vec_id, b
+       |     ORDER BY d ASC, j ASC) AS rk FROM dists)
+       |  WHERE rk = 1),
+       |qdist AS (SELECT vec_id AS qid, b, j, d AS qd
+       |  FROM dists WHERE vec_id < 5),
+       |adc AS (SELECT qd.qid, k.vec_id AS cid,
+       |    ${Duck.foldSum("list(qd.qd ORDER BY qd.b)")} AS adist
+       |  FROM codes k JOIN qdist qd ON qd.b = k.b AND qd.j = k.j
+       |  GROUP BY qd.qid, k.vec_id),
+       |r AS (SELECT qid, cid, adist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adist ASC, cid) AS rk FROM adc)
+       |SELECT qid, rk, cid, round(adist, 6) AS adist FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   // ---- Text analysis --------------------------------------------------------
 
   val textStats: Q = (s, dir) =>
@@ -362,6 +405,7 @@ object Pipelines {
     "sim_brute_topk" -> simBruteTopK,
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
+    "sim_pq_topk" -> simPqTopK,
     "text_stats" -> textStats,
     "text_langid" -> textLangId,
     "drift_ddm" -> driftDdm)
@@ -376,6 +420,7 @@ object Pipelines {
     "sim_brute_topk" -> simBruteSql,
     "sim_lsh_topk" -> simLshSql,
     "sim_ivf_topk" -> simIvfSql,
+    "sim_pq_topk" -> simPqSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "drift_ddm" -> Duck.ddmRecursive(

@@ -104,4 +104,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .orderBy("rk").collect()
     assert(out.nonEmpty && out(0).getLong(1) == 0L)
   }
+
+  test("pqTopK: ADC distances ascend and the query attains the minimum") {
+    val out = Similarity.pqTopK(
+      embs.filter(col("vec_id") === 0L), embs, "vec_id", "vec_id", "embedding",
+      k = 5, m = 2, ksub = 4)
+      .orderBy("rk").collect()
+    assert(out.length == 5)
+    val dists = out.map(_.getDouble(3))
+    assert(dists.sameElements(dists.sorted), "adist ascending by rank")
+    // the query's own codes minimize every per-subspace term, so its ADC
+    // distance is the global minimum; anything ranked above it can only tie
+    val selfDist = out.find(_.getLong(2) == 0L).get.getDouble(3)
+    assert(dists.head == selfDist)
+  }
 }

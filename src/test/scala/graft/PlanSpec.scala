@@ -90,6 +90,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("pq top-k: encode is a narrow plan-constant projection, rank is a bounded aggregate") {
+    val p = plan(Pipelines.queries("sim_pq_topk")(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("nearest_centroids"), p) // per-subspace argmin kernels
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p)
+  }
+
   test("report reshape: per-stream rank is partitioned; offsets join broadcasts") {
     import spark.implicits._
     val feed = (0 until 200).map(i => (i % 3, s"s${i % 3}", i.toLong, 0.5))
