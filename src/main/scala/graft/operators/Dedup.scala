@@ -81,29 +81,39 @@ object Dedup {
                  threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
-    // Materialize the banded signatures once (eager local checkpoint): both
-    // sides of the self-join reuse them instead of re-running the regex →
-    // shingle → 32-hash pipeline per branch. At cluster scale the same role is
+    // Materialize the signature table once (eager local checkpoint): every
+    // downstream branch — banding for both join sides, verification for both
+    // pair members — reuses it instead of re-running the regex → shingle →
+    // 32-hash pipeline. One row per doc; at cluster scale the same role is
     // played by a parquet/persist materialization of the signature table.
-    val banded = sigs.select(col("id"), col("sig"),
+    val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
+      .localCheckpoint()
+    // Bucket join on NARROW rows only: (band_id, band_hash, id) — 24 bytes per
+    // exploded row crosses the shuffle, never the numHashes×8-byte signature
+    // (the r2 shape carried sig through the checkpoint and both join sides,
+    // duplicating it ×bands). Banding itself is a cheap slice+hash projection
+    // over the checkpointed sigs, recomputed per side.
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
           .as(Seq("band_id", "band")))
-      .select(col("id"), col("sig"), col("band_id"),
+      .select(col("id"), col("band_id"),
         xxhash64(col("band_id"), concat_ws(",", col("band"))).as("band_hash"))
-      .localCheckpoint()
-    val a = banded.select(col("band_id"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+    val cands = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+      .join(banded.select(col("band_id"), col("band_hash"), col("id").as("id_b")),
+        Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // Verify candidates (a tiny set relative to the corpus) by joining the
+    // signatures back on id — shuffle keyed on 8-byte ids, sigs move once each.
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq)).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   /** 64-bit SimHash over word unigrams: per bit, sum ±1 votes of each token's

@@ -85,6 +85,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("nearest_centroids"), p)
   }
 
+  test("minhash LSH: bucket join shuffles narrow rows — the signature array never crosses it") {
+    val df = Pipelines.queries("dedup_minhash_lsh")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // Candidate generation joins on (band_id, band_hash) and its output — the
+    // row set that feeds the pair-distinct — must be exactly (id_a, id_b):
+    // the signature array only re-enters in the verification joins keyed on
+    // id. (At this SF the bucket join broadcasts; at scale it shuffles the
+    // same narrow row either way.)
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) && l.contains("band_hash"))
+    assert(joinIdx > 0, p)
+    val parent = lines(joinIdx - 1)
+    assert(parent.contains("Project [id_a") && !parent.contains("sig"), parent)
+  }
+
   test("j1_line_zip carries no unpartitioned window (per-partition offset composition)") {
     val p = plan(Corpus.queries("j1_line_zip")(spark, sf))
     assert(!p.contains("Window"), p)
