@@ -28,23 +28,15 @@ import graft.functions.VecFns
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component r_{k,i}: an integer-mix of
-    * (plane k, dim i) mapped to [-0.5, 0.5). Reproducible anywhere (incl. SQL). */
-  private def planeComponent(k: Column, i: Column): Column =
-    pmod(k.cast("long") * 2654435761L + i.cast("long") * 40503L + 12345L,
-      lit(100000L)).cast("double") / 100000.0 - 0.5
-
-  /** Sign-LSH bucket id from `planes` random hyperplanes: bit k = sign(v · r_k). */
-  def signBits(vec: Column, planes: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    val bits = (0 until planes).map { k =>
-      val dotK = aggregate(
-        zip_with(vec, dims, (v, i) => v.cast("double") * planeComponent(lit(k), i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotK >= 0, shiftleft(lit(1L), k)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** Sign-LSH bucket id from `planes` random hyperplanes: bit k = sign(v · r_k),
+    * r_k = the [[planeComponent]] mix. Native codegen kernel
+    * ([[graft.expressions.SignBits]]): the HOF formulation (`planes` stacked
+    * `aggregate(zip_with(...))` trees) generated a Janino unit so large its
+    * *compile* time dominated the query and evicted from the codegen cache;
+    * the kernel is a planes×dims loop with the same ascending-dim fold order,
+    * so bucket ids (and the SQL oracles replaying them) are bit-identical. */
+  def signBits(vec: Column, planes: Int): Column =
+    graft.expressions.SignBits.column(vec, planes)
 
   /** Exact cosine top-k for each query vector. [SQL]
     *
@@ -142,7 +134,15 @@ object Similarity {
              idCol: String, vecCol: String, k: Int,
              m: Int = 8, ksub: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
-    val dim = corpus.select(col(vecCol)).head.getSeq[Any](0).length
+    // Query distance tables, computed driver-side from the (small) query set;
+    // the vector dimension comes from the same collect — no extra Spark job
+    // against the corpus just to probe dim.
+    val qRows = queries.select(col(qidCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "pqTopK requires a non-empty query set")
+    val dim = qRows.head._2.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
     val cb = pqCodebook(m, ksub, subDim)
@@ -154,13 +154,8 @@ object Similarity {
     }
     val encoded = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
       .select(col("cid") +: codeCols: _*)
-    // Query distance tables, computed driver-side from the (small) query set:
     // dtable(b)(j) = Σ_i (q_slice_i − cb(b)(j)(i))², accumulated in i order
     // (the same fold the oracle replays).
-    val qRows = queries.select(col(qidCol).cast("long").as("qid"),
-        col(vecCol).cast("array<double>").as("qvec"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     import spark.implicits._
     val qTables = qRows.map { case (qid, qv) =>
       val flat = new Array[Double](m * ksub)
