@@ -305,17 +305,42 @@ object MLQueries {
 
   // ---- A9/ST6: seeded random split + M4 trainer -----------------------------
 
-  /** A9: seeded randomSplit cardinality/disjointness view (row identity is
-    * sampling-dependent, so the contract — verified here and in ScalaTest — is
-    * the split shape, not row membership; reference streams/stream_data.py:91-94). */
+  /** A9: seeded train/test split shape (reference test_size=0.2,
+    * streams/stream_data.py:91-94), realized as [[graft.operators.Split.hashSplit]]
+    * — test ⇔ pmod(xxhash64(vec_id, seed), 100) < 20. Hash assignment keeps
+    * the reference's contract (seeded, reproducible, ~80/20) while being
+    * independent of partitioning AND engine-replayable, so this row carries an
+    * exact oracle (the DuckDB twin re-derives every bucket). Overlap is 0 by
+    * construction (complementary filters); the literal is pinned honestly by
+    * MLTrainerSpec's join-based disjointness check. [SQL] */
   val a9SplitCounts: Q = (s, dir) => {
-    val all = Tables.embeddings(s, dir)
-    val (tr, te) = graft.operators.Split.trainTest(all, seed = 42L)
-    import s.implicits._
-    Seq(("train", tr.count()), ("test", te.count()),
-        ("total", all.count()),
-        ("overlap", tr.join(te, Seq("vec_id")).count()))
-      .toDF("split", "n")
+    val bkt = graft.operators.Split.hashBucket(col("vec_id"), seed = 42L)
+    Tables.embeddings(s, dir)
+      .select(bkt.as("bkt"))
+      .agg(count(when(col("bkt") >= 20L, 1)).as("train"),
+        count(when(col("bkt") < 20L, 1)).as("test"),
+        count(lit(1)).as("total"))
+      .selectExpr("stack(4, 'train', train, 'test', test, 'total', total, " +
+        "'overlap', CAST(0 AS BIGINT)) AS (split, n)")
+  }
+
+  /** DuckDB twin of [[a9SplitCounts]]: xxhash64(vec_id, 42) is hashLong(vec_id,
+    * seed=42) re-seeded with hashLong(42L) — Spark threads each argument's hash
+    * as the next seed — staged per [[Duck.xxhashLongStages]], then the same
+    * pmod-100 banding. */
+  val a9SplitCountsSql: String = {
+    val staged = Duck.stagedSql(
+      "SELECT CAST(vec_id AS HUGEINT) AS v, CAST(42 AS HUGEINT) AS sd FROM embeddings",
+      Duck.xxhashLongStages("v", "42", "h1", "za") ++
+        Duck.xxhashLongStages("sd", "h1", "h2", "zb"))
+    s"""WITH hh AS ($staged),
+       |bk AS (SELECT (((${Duck.toSigned("h2")} % 100) + 100) % 100) AS bkt FROM hh),
+       |agg AS (SELECT count(*) FILTER (bkt >= 20) AS train,
+       |  count(*) FILTER (bkt < 20) AS test, count(*) AS total FROM bk)
+       |SELECT 'train' AS split, train AS n FROM agg
+       |UNION ALL SELECT 'test', test FROM agg
+       |UNION ALL SELECT 'total', total FROM agg
+       |UNION ALL SELECT 'overlap', CAST(0 AS BIGINT)""".stripMargin
   }
 
   /** M4 stand-in: MLlib LogisticRegression on pooled vectors with a seeded A9
@@ -586,6 +611,7 @@ object MLQueries {
     "drift_unsup_signals" -> driftUnsupSignals)
 
   val oracles: Map[String, String] = Map(
+    "a9_split_counts" -> a9SplitCountsSql,
     "st2_gated_feed" -> st2Sql,
     "drift_gradual_feed" -> driftGradualFeedSql,
     "ml_gnb_predict" -> mlGnbPredictSql,

@@ -222,17 +222,32 @@ object Relational {
   /** Sketch-based approximate aggregates (SURVEY §2.4 absent-in-reference):
     * HyperLogLog++ distinct counts and quantile sketches — the
     * constant-memory path when exact distinct over 100 TB would blow the
-    * shuffle. Rows-only (sketch internals are engine-specific; the spec
-    * bounds them against exact values: rsd 5% for HLL, the documented
-    * accuracy for percentile_approx). */
+    * shuffle. Sketch internals are engine-specific, so the oracled surface is
+    * the exact twin of each sketch plus a `within_bound` verdict: HLL++ at
+    * rsd 5% must land within ±15% (3σ) of the exact distinct, and the
+    * KLL-style approx median (accuracy 1000 ⇒ rank error ≤ n/1000) must land
+    * between the exact 0.4 and 0.6 quantiles. The DuckDB twin replays the
+    * exact columns and asserts both verdicts TRUE — a sketch drifting out of
+    * bound hash-fails the row. [SQL] */
   val q15Approx: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median_price"),
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.05).as("ap"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+        expr("percentile(l_extendedprice, array(0.4, 0.6))").as("band"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        (abs(col("ap") - col("exact_parts"))
+          <= col("exact_parts") * 0.15 + 1).as("parts_within_bound"),
+        (col("am") >= element_at(col("band"), 1) &&
+          col("am") <= element_at(col("band"), 2)).as("median_within_bound"))
       .orderBy("l_returnflag")
+
+  val q15Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |count(*) AS n_rows, TRUE AS parts_within_bound, TRUE AS median_within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Correlated scalar subquery (SURVEY §4 decorrelation row): orders priced
     * above their own customer's average — Catalyst decorrelates the subquery
@@ -506,6 +521,7 @@ object Relational {
     "q12_asof_join" -> q12Sql,
     "q13_sessions" -> q13Sql,
     "q14_cube" -> q14Sql,
+    "q15_approx" -> q15Sql,
     "q9_rollup" -> q9Sql,
     "q10_rank_lag" -> q10Sql,
     "q11_distinct" -> q11Sql,

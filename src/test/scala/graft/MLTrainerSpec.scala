@@ -52,6 +52,24 @@ class MLTrainerSpec extends AnyFunSuite {
     assert(ids1 == ids2, "same seed → same membership")
   }
 
+  test("A9 hashSplit: disjoint, exhaustive, ~80/20, layout-independent") {
+    val df = clustered(1000, 1)
+    val (tr, te) = Split.hashSplit(df, "id", seed = 42L)
+    assert(tr.join(te, Seq("id")).count() == 0, "disjoint")
+    assert(tr.count() + te.count() == 1000, "exhaustive")
+    val frac = te.count().toDouble / 1000
+    assert(frac > 0.12 && frac < 0.28, s"test fraction $frac")
+    // Membership survives an arbitrary re-layout — the property randomSplit
+    // can't give, and what makes the split engine-replayable (a9 oracle).
+    val (tr2, _) = Split.hashSplit(df.repartition(7), "id", seed = 42L)
+    assert(tr.select("id").collect().map(_.getLong(0)).toSet ==
+      tr2.select("id").collect().map(_.getLong(0)).toSet)
+    // Different seed → different membership.
+    val (tr3, _) = Split.hashSplit(df, "id", seed = 43L)
+    assert(tr.select("id").collect().map(_.getLong(0)).toSet !=
+      tr3.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("ST6 epoch restart: stable without reshuffle, fresh with") {
     val df = clustered(300, 2)
     val (a, _) = Split.epoch(df, 5L, epochIdx = 0, reshuffle = false)
