@@ -29,16 +29,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Console tails can truncate a 71-entry line; the file is the durable copy.
+    def render(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Console tails can truncate a 71-entry line (BENCH_r02/r03 both lost the
+    // head of the 9-significant-digit line → parsed:null). The stdout copy uses
+    // millisecond precision (~1.7 KB, fits any sane tail window); the file keeps
+    // full precision and is the durable copy.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    println(json)
+    java.nio.file.Files.write(out, (render(_.toString) + "\n").getBytes("UTF-8"))
+    println(render(v => f"$v%.3f"))
     spark.stop()
   }
 }

@@ -126,20 +126,23 @@ object Drift {
       .withColumn("i", row_number().over(wOrd))
       .withColumn("p", avg("err").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("s", sqrt(col("p") * (lit(1.0) - col("p")) / col("i")))
-    val a = st.select(col("i").as("ai"), col("batch_id"), col("p"), col("s"))
-    val b = st.select(col("i").as("bi"), col("p").as("bp"), col("s").as("bs"))
     val minGate = MinNumInstances - 1 // j with sample_count ≥ 30 post-increment
-    val best = a.join(b, col("bi") <= col("ai") && col("bi") >= minGate)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("ai").orderBy(
-          (col("bp") + col("bs")).asc, col("bi").desc)))
-      .filter(col("rk") === 1)
-      .select(col("ai").as("mi"), col("bp").as("pmin"), col("bs").as("smin"))
-    st.join(best, col("i") === col("mi"), "left")
+    // Cumulative argmin over the gated prefix: min of struct(p+s, -j, p, s) is
+    // lexicographic, so equal p+s resolves toward the *latest* j (skmultiflow
+    // updates its minimum on <=). Pre-warm-up rows contribute null, which min()
+    // skips — one O(n) window pass instead of the previous O(n²) triangular
+    // self-join, so the scan is safe to feed per-row (not just per-batch) data.
+    val cand = when(col("i") >= minGate, struct(
+      (col("p") + col("s")).as("ps"), (-col("i")).as("negj"),
+      col("p").as("pmin"), col("s").as("smin")))
+    st.withColumn("best",
+        min(cand).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("signal",
-        when(col("pmin").isNull, "N")
-          .when(col("p") + col("s") > col("pmin") + lit(OutControlLevel) * col("smin"), "D")
-          .when(col("p") + col("s") > col("pmin") + lit(WarningLevel) * col("smin"), "W")
+        when(col("best").isNull, "N")
+          .when(col("p") + col("s") >
+            col("best.pmin") + lit(OutControlLevel) * col("best.smin"), "D")
+          .when(col("p") + col("s") >
+            col("best.pmin") + lit(WarningLevel) * col("best.smin"), "W")
           .otherwise("N"))
       .select(col("batch_id"),
         round(col("p"), scale).as("p"),

@@ -79,7 +79,8 @@ object Similarity {
 
   /** IVF-style approximate top-k with `nlist` coarse centroids and `nprobe`
     * probed lists per query. Centroids = the first `nlist` corpus vectors by id
-    * (deterministic seeding; a k-means refinement would slot in here). */
+    * (deterministic seeding — exactly SQL-replayable for the oracle gate; the
+    * trained variant is [[ivfTopKTrained]]). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
@@ -92,15 +93,38 @@ object Similarity {
       .select(col("cvec").cast("array<double>"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    // Assign every corpus vector to its nearest centroid with the plan-constant
-    // NearestCentroids kernel: one narrow projection over the corpus — no
-    // ×nlist crossJoin blowup and no re-shuffle of the blown-up set.
+    ivfTopKWith(queries, corpus, qidCol, idCol, vecCol, k, cents, nprobe)
+  }
+
+  /** IVF top-k with seeded-k-means-trained coarse centroids
+    * ([[graft.ml.KMeansQuantizer.fit]]) — what a real clustered 100 TB corpus
+    * needs for recall. Training is fp-order-sensitive, so this variant is
+    * verified by recall gates (ScalaTest + the sim_ivf_trained_recall verdict
+    * oracle) instead of bit-replay. */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                     idCol: String, vecCol: String, k: Int,
+                     nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+                     seed: Long = 42L): DataFrame = {
+    val cents = graft.ml.KMeansQuantizer.fit(corpus, idCol, vecCol, nlist,
+      iters, seed)
+    ivfTopKWith(queries, corpus, qidCol, idCol, vecCol, k, cents, nprobe)
+  }
+
+  /** IVF core with explicit centroids: assign every corpus vector to its
+    * nearest centroid with the plan-constant [[NearestCentroids]] kernel (one
+    * narrow projection — no ×nlist crossJoin blowup, no re-shuffle), probe the
+    * query's `nprobe` nearest lists via a broadcast bucket join. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                  idCol: String, vecCol: String, k: Int,
+                  cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val assigned = c.select(
       element_at(NearestCentroids.column(col("cvec"), cents, 1), 1).as("list_id"),
       col("cid"), col("cvec"))
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
     val qLists = q.select(col("qid"), col("qvec"),
-      explode(NearestCentroids.column(col("qvec"), cents, nprobe)).as("list_id"))
+      explode(NearestCentroids.column(col("qvec"), cents,
+        math.min(nprobe, cents.length))).as("list_id"))
     val scored = assigned.join(broadcast(qLists), Seq("list_id"))
       .select(col("qid"), col("cid"),
         VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
@@ -133,6 +157,56 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
              idCol: String, vecCol: String, k: Int,
              m: Int = 8, ksub: Int = 16): DataFrame = {
+    // The deterministic codebook needs subDim before any Spark job; probe it
+    // from the (small, driver-bound anyway) query set via pqTopKWith's collect
+    // by building the codebook lazily per dim.
+    pqTopKWith(queries, corpus, qidCol, idCol, vecCol, k, null, m, ksub)
+  }
+
+  /** PQ top-k with a seeded-k-means-trained codebook
+    * ([[graft.ml.KMeansQuantizer.fitProduct]]): subspace centroids adapt to
+    * the corpus distribution instead of the hash family — the recall path for
+    * real (clustered) data. Verified by recall gates, not bit-replay. */
+  def pqTopKTrained(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                    idCol: String, vecCol: String, k: Int,
+                    m: Int = 8, ksub: Int = 16, iters: Int = 5,
+                    seed: Long = 42L): DataFrame = {
+    val cb = graft.ml.KMeansQuantizer.fitProduct(corpus, idCol, vecCol, m,
+      ksub, iters, seed)
+    pqTopKWith(queries, corpus, qidCol, idCol, vecCol, k, cb)
+  }
+
+  /** ADC shortlist + exact re-rank (the FAISS "refine" stage): PQ codes give a
+    * cheap `rerank`-deep candidate shortlist per query; the shortlist — and
+    * only the shortlist — is re-scored with exact cosine. The shortlist is
+    * |Q|·rerank ids (broadcast side); the corpus is scanned once more with a
+    * broadcast semi-join to fetch just those vectors, so raw vectors still
+    * never shuffle. */
+  def pqRefineTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                   idCol: String, vecCol: String, k: Int,
+                   cb: Array[Array[Array[Double]]],
+                   rerank: Int = 50): DataFrame = {
+    val shortlist = pqTopKWith(queries, corpus, qidCol, idCol, vecCol,
+        rerank, cb)
+      .select(col("qid"), col("cid"))
+    val q = queries.select(col(qidCol).cast("long").as("qid"),
+      col(vecCol).as("qvec"))
+    val cand = shortlist.join(q, Seq("qid"))
+    val scored = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      .join(broadcast(cand), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
+    TopK.topKPerQuery(scored, k)
+  }
+
+  /** PQ-ADC core with an explicit codebook (`cb` null → the deterministic
+    * [[pqCodebook]] family sized from the query dim, keeping the oracled
+    * [[pqTopK]] bit-replayable). */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                 idCol: String, vecCol: String, k: Int,
+                 cb0: Array[Array[Array[Double]]],
+                 mArg: Int = 8, ksubArg: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
     // Query distance tables, computed driver-side from the (small) query set;
     // the vector dimension comes from the same collect — no extra Spark job
@@ -143,9 +217,11 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(qRows.nonEmpty, "pqTopK requires a non-empty query set")
     val dim = qRows.head._2.length
+    val (m, ksub) = if (cb0 == null) (mArg, ksubArg)
+      else (cb0.length, cb0(0).length)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    val cb = pqCodebook(m, ksub, subDim)
+    val cb = if (cb0 == null) pqCodebook(m, ksub, subDim) else cb0
     // Encode: per subspace, the plan-constant NearestCentroids argmin over the
     // slice — m narrow kernels in one projection, no join, no shuffle.
     val codeCols = (0 until m).map { b =>

@@ -320,6 +320,77 @@ object Pipelines {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** Planted-cluster corpus for the trained-quantizer recall gates: centers =
+    * the first 20 embeddings, each with 25 deterministic pseudo-noise copies
+    * (σ=0.15, ids offset into the 10^7 range) — so each center's exact top-10
+    * is dominated by its own cluster, and a quantizer that separates clusters
+    * must recover it. Same planting device as [[dedupEmbedding]]. */
+  private def plantedClusters(s: SparkSession, dir: String): DataFrame = {
+    val centers = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // Two-stage select: an output alias named `vec_id` next to an expression
+    // reading `vec_id` trips Spark 4's implicit lateral-column-alias
+    // resolution — the noise rowId would silently read the NEW id and
+    // overflow. Naming the copy id first keeps resolution unambiguous.
+    val copies = centers
+      .crossJoin(broadcast(s.range(1, 26).select(col("id").as("j"))))
+      .select((col("vec_id") * 1000 + col("j")).as("copy_id"), col("embedding"))
+      .select((col("copy_id") + 10000000L).as("vec_id"),
+        graft.functions.VecFns.addPseudoNoise(col("embedding"),
+          col("copy_id"), lit(0.15)).as("embedding"))
+    centers.unionByName(copies)
+  }
+
+  /** recall@10 verdict for `approx` against the exact `exact` top-k (both
+    * (qid, cid)): TRUE iff ≥ `need` of the exact top-k appear in approx. A
+    * missing qid (total recall failure) drops the row → rows-mismatch, so the
+    * oracle catches that too. */
+  private def recallVerdict(exact: DataFrame, approx: DataFrame,
+                            need: Int): DataFrame =
+    exact.join(approx.withColumn("hit", lit(1)), Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg((sum(coalesce(col("hit"), lit(0))) >= need).as("recall_ok"))
+      .orderBy("qid")
+
+  /** Seeded-k-means IVF recall gate: trained coarse centroids (nlist=16,
+    * nprobe=4, 5 Lloyd iterations) must recover ≥ 9 of each planted center's
+    * exact top-10. Training is fp-order-sensitive → verdict oracle (the DuckDB
+    * twin pins every recall_ok TRUE), the numeric recall is additionally
+    * asserted ≥ 0.9 in ScalaTest. */
+  val simIvfTrainedRecall: Q = (s, dir) => {
+    val corpus = plantedClusters(s, dir)
+    val q = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, corpus,
+      "vec_id", "vec_id", "embedding", k = 10).select("qid", "cid")
+    val approx = Similarity.ivfTopKTrained(q, corpus,
+        "vec_id", "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4,
+        iters = 5, seed = 42L)
+      .select("qid", "cid")
+    recallVerdict(exact, approx, need = 9)
+  }
+
+  /** Trained-PQ + exact-re-rank recall gate: the m=8×ksub=16 codebook is
+    * k-means-trained per subspace, ADC builds a 50-deep shortlist, and the
+    * shortlist re-ranks by exact cosine (the FAISS refine stage) — ≥ 9 of
+    * each exact top-10 must survive. */
+  val simPqTrainedRecall: Q = (s, dir) => {
+    val corpus = plantedClusters(s, dir)
+    val q = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, corpus,
+      "vec_id", "vec_id", "embedding", k = 10).select("qid", "cid")
+    val cb = graft.ml.KMeansQuantizer.fitProduct(corpus, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 5, seed = 42L)
+    val approx = Similarity.pqRefineTopK(q, corpus,
+        "vec_id", "vec_id", "embedding", k = 10, cb, rerank = 50)
+      .select("qid", "cid")
+    recallVerdict(exact, approx, need = 9)
+  }
+
+  /** The recall verdicts' DuckDB twin: every planted center must pass. */
+  val simTrainedRecallSql: String =
+    """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
+      |WHERE vec_id < 20 ORDER BY qid""".stripMargin
+
   // ---- Text analysis --------------------------------------------------------
 
   val textStats: Q = (s, dir) =>
@@ -406,6 +477,8 @@ object Pipelines {
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
     "sim_pq_topk" -> simPqTopK,
+    "sim_ivf_trained_recall" -> simIvfTrainedRecall,
+    "sim_pq_trained_recall" -> simPqTrainedRecall,
     "text_stats" -> textStats,
     "text_langid" -> textLangId,
     "drift_ddm" -> driftDdm)
@@ -421,6 +494,8 @@ object Pipelines {
     "sim_lsh_topk" -> simLshSql,
     "sim_ivf_topk" -> simIvfSql,
     "sim_pq_topk" -> simPqSql,
+    "sim_ivf_trained_recall" -> simTrainedRecallSql,
+    "sim_pq_trained_recall" -> simTrainedRecallSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "drift_ddm" -> Duck.ddmRecursive(

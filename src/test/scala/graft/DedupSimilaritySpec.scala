@@ -118,4 +118,73 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val selfDist = out.find(_.getLong(2) == 0L).get.getDouble(3)
     assert(dists.head == selfDist)
   }
+
+  // ---- Trained quantizers (VERDICT r2 #2): recall gate on clustered data ----
+
+  /** 8 well-separated deterministic clusters of 40 points in R^16: centers in
+    * [-1,1]^16 (pairwise distance ~3), point noise 0.1 (norm ~0.23). */
+  private def clustered = {
+    def mix(a: Long, b: Long): Double =
+      (Math.floorMod(a * 2654435761L + b * 40503L + 12345L, 100000L)
+        .toDouble / 100000.0 - 0.5) * 2.0
+    (for (c <- 0 until 8; p <- 0 until 40) yield {
+      val id = (c * 40 + p).toLong
+      (id, (0 until 16).map(i => mix(c * 31L + 7, i) + 0.1 * mix(id * 131L + 3, i)))
+    }).toDF("vec_id", "embedding")
+  }
+
+  private def recallOf(exact: Array[(Long, Long)], approx: Array[(Long, Long)]): Double = {
+    val e = exact.toSet
+    (e intersect approx.toSet).size.toDouble / e.size
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+    df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  test("k-means fit recovers the planted cluster centers") {
+    val corpus = clustered
+    val cents = graft.ml.KMeansQuantizer.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 8, seed = 42L)
+    def mix(a: Long, b: Long): Double =
+      (Math.floorMod(a * 2654435761L + b * 40503L + 12345L, 100000L)
+        .toDouble / 100000.0 - 0.5) * 2.0
+    val truth = (0 until 8).map(c => (0 until 16).map(i => mix(c * 31L + 7, i)).toArray)
+    // every true center has a trained centroid within a fraction of the
+    // inter-center distance (~3); noise radius is ~0.23
+    truth.foreach { t =>
+      val d = cents.map(cc =>
+        math.sqrt(cc.zip(t).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(d < 0.5, s"no centroid near a planted center (nearest $d)")
+    }
+  }
+
+  test("trained IVF: recall@10 >= 0.9 on clustered data (untrained centroids fail it)") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") % 40 === 0) // one per cluster
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus,
+      "vec_id", "vec_id", "embedding", k = 10))
+    val trained = pairs(Similarity.ivfTopKTrained(queries, corpus,
+      "vec_id", "vec_id", "embedding", k = 10, nlist = 8, nprobe = 2,
+      iters = 8, seed = 42L))
+    val untrained = pairs(Similarity.ivfTopK(queries, corpus,
+      "vec_id", "vec_id", "embedding", k = 10, nlist = 8, nprobe = 2))
+    val rT = recallOf(exact, trained)
+    val rU = recallOf(exact, untrained)
+    assert(rT >= 0.9, s"trained IVF recall@10 $rT < 0.9")
+    assert(rT > rU,
+      s"training must beat first-nlist centroids on clustered data ($rT vs $rU)")
+  }
+
+  test("trained PQ + exact re-rank: recall@10 >= 0.9 on clustered data") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus,
+      "vec_id", "vec_id", "embedding", k = 10))
+    val cb = graft.ml.KMeansQuantizer.fitProduct(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 8, seed = 42L)
+    val refined = pairs(Similarity.pqRefineTopK(queries, corpus,
+      "vec_id", "vec_id", "embedding", k = 10, cb, rerank = 50))
+    val r = recallOf(exact, refined)
+    assert(r >= 0.9, s"trained-PQ refine recall@10 $r < 0.9")
+  }
 }
