@@ -31,35 +31,23 @@ object KMeansQuantizer {
     * (fewer if the corpus has fewer than k rows). Empty clusters keep their
     * previous centroid, as FAISS's trainer does.
     *
-    * Init is greedy farthest-point (k-center): seed 1 is the hash-min row,
-    * each next seed the row maximizing its distance to the seeds so far —
-    * deterministic (ties → lowest id) and guaranteed to give every
-    * well-separated cluster a seed, where a plain sample routinely drops
-    * clusters and Lloyd's cannot recover them. Each seed costs one
-    * TakeOrdered pass with plan-literal centroids, so init is O(k) narrow
-    * passes — train on a sample when nlist is large (FAISS trains its coarse
-    * quantizer on a sample too). */
+    * Init is greedy farthest-point (k-center) over a hash-ordered candidate
+    * sample, the kmeans|| layout: ONE distributed TakeOrdered pass collects
+    * min(8k, n) candidates (model-sized: 8k×dim), then the greedy argmax runs
+    * driver-local on the sample — deterministic (hash order, ties → first
+    * candidate) and guaranteed to give every well-separated cluster a seed,
+    * where a plain k-sample routinely drops clusters and Lloyd's cannot
+    * recover them. (FAISS likewise trains its coarse quantizer on a sample.) */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val first = v.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(1).select("v").collect()
+    val sample: Array[Array[Double]] = v
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(math.max(8 * k, 64)).select("v").collect()
       .map(_.getSeq[Double](0).toArray)
-    require(first.nonEmpty, "k-means needs a non-empty corpus")
-    var cents: Array[Array[Double]] = first
-    while (cents.length < k) {
-      val dmin = cents.map(c =>
-          graft.functions.VecFns.l2Sq(col("v"), typedLit(c.toSeq)))
-        .reduce((a, b) => least(a, b))
-      // If the corpus has fewer than k rows this re-picks points at d=0 —
-      // the duplicate centroids just end up with empty lists (argmin
-      // tie-break takes the lowest list_id), matching the old limit(k) cap.
-      val far = v.select(col("id"), col("v"), dmin.as("d"))
-        .orderBy(col("d").desc, col("id"))
-        .limit(1).select("v").collect()
-      cents = cents :+ far.head.getSeq[Double](0).toArray
-    }
+    require(sample.nonEmpty, "k-means needs a non-empty corpus")
+    var cents = farthestPoint(sample, k)
     val dim = cents.head.length
     var it = 0
     while (it < iters) {
@@ -84,6 +72,39 @@ object KMeansQuantizer {
     cents
   }
 
+  /** Greedy farthest-point selection of `k` seeds from a candidate sample:
+    * seed 1 = candidates(0) (the hash-min row), each next seed the candidate
+    * maximizing its min squared distance to the seeds so far (ties → first).
+    * O(k·|sample|·dim) driver-local flops on a model-sized array. If the
+    * sample has fewer than k rows the selection wraps and re-picks at d=0 —
+    * duplicate centroids just end up with empty lists (the argmin tie-break
+    * takes the lowest list_id), matching a limit(k) cap. */
+  private def farthestPoint(candidates: Array[Array[Double]],
+                            k: Int): Array[Array[Double]] = {
+    val dmin = Array.fill(candidates.length)(Double.PositiveInfinity)
+    val out = Array.newBuilder[Array[Double]]
+    var pick = 0
+    var s = 0
+    while (s < k) {
+      out += candidates(pick)
+      val c = candidates(pick)
+      var i = 0
+      var best = 0
+      var bestD = Double.NegativeInfinity
+      while (i < candidates.length) {
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = candidates(i)(j) - c(j); d += t * t; j += 1 }
+        if (d < dmin(i)) dmin(i) = d
+        if (dmin(i) > bestD) { bestD = dmin(i); best = i }
+        i += 1
+      }
+      pick = best
+      s += 1
+    }
+    out.result()
+  }
+
   /** Train an m×ksub×(dim/m) product-quantization codebook: subspace `b`'s
     * centroids are k-means over slice `b` of every vector. All m subspaces
     * train together — each iteration is one exploded (b, code, slice)
@@ -96,15 +117,16 @@ object KMeansQuantizer {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val sample = v.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(ksub).select("v").collect()
+      .limit(math.max(8 * ksub, 64)).select("v").collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "k-means needs a non-empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    var cb: Array[Array[Array[Double]]] =
-      Array.tabulate(m, sample.length, subDim)((b, j, i) =>
-        sample(j)(b * subDim + i))
+    // per-subspace farthest-point seeding over the sliced sample
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { b =>
+      farthestPoint(sample.map(_.slice(b * subDim, (b + 1) * subDim)), ksub)
+    }
     var it = 0
     while (it < iters) {
       val entries = explode(array((0 until m).map { b =>

@@ -32,11 +32,16 @@ object AdaptQueries {
         size(col("source")).as("dim_s"), size(col("target")).as("dim_t"))
       .orderBy(col("n").desc, col("word").asc)
 
-  /** A7/M6 + A6: Procrustes alignment quality — one summary row with the
-    * pre/post-mapping MSE and the orthogonality defect of the recovered W. */
+  /** A7/M6 + A6: Procrustes alignment quality. The SVD is host math (not
+    * bit-replayable), so the oracled surface is the q15 verdict pattern:
+    * `n_pairs` replays exactly in SQL (the A1→A2 top-k chain), and the two
+    * quality verdicts — near-total MSE recovery and orthogonality of W — are
+    * pinned TRUE by the DuckDB twin, so a mapping regression hash-fails the
+    * driver gate (raw MSE magnitudes stay asserted in AdaptationSpec). [SQL] */
   val adaptProcrustesEval: Q = (s, dir) => {
     val pairs = AdaptCache.wordPairDataset(Tables.documents(s, dir), dir, "text",
       TopK, sourceProvider, targetProvider).cache()
+    val nPairs = pairs.count()
     val w = Adaptation.procrustes(pairs, "source", "target", Dim)
     val mseUnmapped = Adaptation.mappingMse(pairs, "source", "target", None)
     val mseMapped = Adaptation.mappingMse(pairs, "source", "target", Some(w))
@@ -49,14 +54,19 @@ object AdaptQueries {
     }.max
     pairs.unpersist()
     import s.implicits._
-    Seq((mseUnmapped, mseMapped, ortho))
-      .toDF("mse_unmapped", "mse_procrustes", "ortho_defect")
+    // target space = orthogonal transform of source ⇒ Procrustes recovers it
+    // near-exactly: mapped MSE under 1% of unmapped, W orthogonal to 1e-6.
+    Seq((nPairs, mseMapped < 0.01 * mseUnmapped, ortho < 1e-6))
+      .toDF("n_pairs", "mapped_recovers", "w_orthogonal")
   }
 
-  /** M5 + A6: MLP mapping fit quality — pre/post MSE and first/last epoch loss. */
+  /** M5 + A6: MLP mapping fit quality — verdict surface like
+    * [[adaptProcrustesEval]] (the trained net is host math): the fit must
+    * strictly beat the unmapped MSE and the epoch-loss curve must descend. [SQL] */
   val adaptMlpEval: Q = (s, dir) => {
     val pairs = AdaptCache.wordPairDataset(Tables.documents(s, dir), dir, "text",
       TopK, sourceProvider, targetProvider).cache()
+    val nPairs = pairs.count()
     val (model, losses) = Adaptation.fitMlp(pairs, "source", "target", Dim,
       hidden = 64, epochs = 10, lr = 0.05)
     val mseUnmapped = Adaptation.mappingMse(pairs, "source", "target", None)
@@ -71,8 +81,8 @@ object AdaptQueries {
     }.sum / data.length
     pairs.unpersist()
     import s.implicits._
-    Seq((mseUnmapped, mseMlp, losses.head, losses.last))
-      .toDF("mse_unmapped", "mse_mlp", "epoch0_loss", "epoch_last_loss")
+    Seq((nPairs, mseMlp < mseUnmapped, losses.last < losses.head))
+      .toDF("n_pairs", "mlp_improves", "loss_decreases")
   }
 
   /** Q-adapt-mapping end-to-end (E3 + ST3 recovery): three-phase stream —
@@ -239,6 +249,12 @@ object AdaptQueries {
     * vector VALUES are host-code: replay the tokenization/count/topK exactly
     * and emit the dims as constants. p3_embed_pool goes further and replays
     * the vector values themselves (see [[p3Sql]]). */
+  /** The A1→A2 pair count, exactly replayed (LIMIT TopK over distinct words). */
+  private val nPairsSql: String =
+    s"""SELECT count(*) FROM (
+       |  SELECT word FROM ${Corpus.wordsSub}
+       |  WHERE length(word) > 0 GROUP BY word LIMIT $TopK)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "adapt_word_pairs" ->
       s"""SELECT word, n, $Dim AS dim_s, $Dim AS dim_t FROM (
@@ -246,5 +262,11 @@ object AdaptQueries {
          |  WHERE length(word) > 0 GROUP BY word
          |  ORDER BY n DESC, word LIMIT $TopK)
          |ORDER BY n DESC, word""".stripMargin,
+    "adapt_procrustes_eval" ->
+      s"""SELECT ($nPairsSql) AS n_pairs, TRUE AS mapped_recovers,
+         |TRUE AS w_orthogonal""".stripMargin,
+    "adapt_mlp_eval" ->
+      s"""SELECT ($nPairsSql) AS n_pairs, TRUE AS mlp_improves,
+         |TRUE AS loss_decreases""".stripMargin,
     "p3_embed_pool" -> p3Sql)
 }

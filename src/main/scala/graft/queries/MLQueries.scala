@@ -344,16 +344,38 @@ object MLQueries {
   }
 
   /** M4 stand-in: MLlib LogisticRegression on pooled vectors with a seeded A9
-    * holdout, metrics row (divergence M1 documented — no recurrent nets in
-    * idiomatic Spark; capability = multiclass classifier over pooled
-    * embeddings). On the i.i.d. synthetic labels this sits at chance — the
-    * learnability of the trainer itself is proven on separable data in
-    * MLTrainerSpec. */
+    * holdout (divergence M1 documented — no recurrent nets in idiomatic
+    * Spark; capability = multiclass classifier over pooled embeddings).
+    * LBFGS is host math, so the oracled surface is the q15 verdict pattern:
+    * `n_test` replays the hash-Bernoulli split exactly in SQL, and the
+    * verdicts pin the i.i.d.-label contract — on labels independent of the
+    * features every holdout metric must sit at chance (NClasses = 10, so a
+    * generous ≤ 0.35 band); learnability of the trainer itself is proven on
+    * separable data in MLTrainerSpec, and the drift-recovery profile in the
+    * M1-divergence test. [SQL] */
   val mlLogregHoldout: Q = (s, dir) => {
-    val (tr, te) = graft.operators.Split.trainTest(Tables.embeddings(s, dir), 42L)
+    val (tr, te) = graft.operators.Split.hashSplit(
+      Tables.embeddings(s, dir), "vec_id", seed = 42L)
     val model = graft.ml.LogRegTrainer.fit(tr, "label", "embedding", maxIter = 20)
-    graft.ml.LogRegTrainer.holdoutMetrics(model, te, "vec_id", "label",
+    val m = graft.ml.LogRegTrainer.holdoutMetrics(model, te, "vec_id", "label",
       "embedding", Corpus.NClasses)
+    te.agg(count(lit(1)).as("n_test")).crossJoin(m)
+      .select(col("n_test"),
+        (col("accuracy") <= 0.35).as("acc_at_chance"),
+        (col("macro_f1") <= 0.35).as("f1_at_chance"))
+  }
+
+  /** DuckDB twin of [[mlLogregHoldout]]: the xxhash64 bucket replay of
+    * [[a9SplitCountsSql]] counts the test side; verdicts pinned TRUE. */
+  val mlLogregHoldoutSql: String = {
+    val staged = Duck.stagedSql(
+      "SELECT CAST(vec_id AS HUGEINT) AS v, CAST(42 AS HUGEINT) AS sd FROM embeddings",
+      Duck.xxhashLongStages("v", "42", "h1", "za") ++
+        Duck.xxhashLongStages("sd", "h1", "h2", "zb"))
+    s"""WITH hh AS ($staged),
+       |bk AS (SELECT (((${Duck.toSigned("h2")} % 100) + 100) % 100) AS bkt FROM hh)
+       |SELECT count(*) FILTER (bkt < 20) AS n_test,
+       |  TRUE AS acc_at_chance, TRUE AS f1_at_chance FROM bk""".stripMargin
   }
 
   // ---- ST2: print_every feed gating -----------------------------------------
@@ -566,8 +588,12 @@ object MLQueries {
 
   /** MLlib PCA(k=2) over the embedding column: the 2-D reduction behind the
     * reference's mapping scatter plots (t-SNE is out of idiomatic-Spark scope —
-    * documented divergence M7). Output: explained variance + projected extent.
-    * Rows-only (eigenvector sign is implementation-defined). */
+    * documented divergence M7). Eigen-decomposition is engine-specific (sign
+    * and fp noise), so the oracled surface is the q15 verdict pattern:
+    * `n_rows` replays exactly, and the spectral invariants — components
+    * ordered by explained variance, the k=2 ratio mass inside (0, 1], a
+    * non-degenerate projected extent — are pinned TRUE by the DuckDB twin.
+    * Raw magnitudes stay asserted in ScalaTest. [SQL] */
   val m7PcaSummary: Q = (s, dir) => {
     import org.apache.spark.ml.feature.PCA
     val feats = graft.ml.LogRegTrainer.toFeatures(
@@ -579,15 +605,17 @@ object MLQueries {
       .select(col("vec_id"), col("pca"))
     val extent = projected.select(
       max(abs(element_at(vec_to_array(col("pca")), 1))).as("max_pc1"),
-      max(abs(element_at(vec_to_array(col("pca")), 2))).as("max_pc2"))
-    import s.implicits._
-    extent.crossJoin(
-      Seq((ev(0), ev(1))).toDF("explained_var_1", "explained_var_2"))
-      .select(round(col("explained_var_1"), 6).as("explained_var_1"),
-        round(col("explained_var_2"), 6).as("explained_var_2"),
-        round(col("max_pc1"), 4).as("max_pc1"),
-        round(col("max_pc2"), 4).as("max_pc2"))
+      max(abs(element_at(vec_to_array(col("pca")), 2))).as("max_pc2"),
+      count(lit(1)).as("n_rows"))
+    extent.select(col("n_rows"),
+      lit(ev(0) >= ev(1)).as("ev_ordered"),
+      lit(ev(0) > 0 && ev(1) > 0 && ev(0) + ev(1) <= 1.0 + 1e-9).as("ev_in_unit"),
+      (col("max_pc1") > 0.0 && col("max_pc2") > 0.0).as("extent_nondegenerate"))
   }
+
+  val m7PcaSummarySql: String =
+    """SELECT count(*) AS n_rows, TRUE AS ev_ordered, TRUE AS ev_in_unit,
+      |TRUE AS extent_nondegenerate FROM embeddings""".stripMargin
 
   private def vec_to_array(c: Column): Column = {
     val f = udf { v: org.apache.spark.ml.linalg.Vector => v.toArray }
@@ -628,5 +656,7 @@ object MLQueries {
       s"SELECT CAST(phase * 100000 + batch_id AS BIGINT) AS ord, " +
         s"1.0 - accuracy AS err FROM ($driftUnsupFeedSql) f", "seq"),
     "drift_finetune_signals" -> driftFinetuneSignalsSql,
-    "drift_unsup_feed" -> driftUnsupFeedSql)
+    "drift_unsup_feed" -> driftUnsupFeedSql,
+    "ml_logreg_holdout" -> mlLogregHoldoutSql,
+    "m7_pca_summary" -> m7PcaSummarySql)
 }

@@ -338,7 +338,9 @@ object Pipelines {
       .select((col("copy_id") + 10000000L).as("vec_id"),
         graft.functions.VecFns.addPseudoNoise(col("embedding"),
           col("copy_id"), lit(0.15)).as("embedding"))
-    centers.unionByName(copies)
+    // Pinned once: k-means iterations + brute/approx/verdict all re-read this
+    // tiny (520-row) corpus many times — don't re-derive the planting per job.
+    centers.unionByName(copies).localCheckpoint()
   }
 
   /** recall@10 verdict for `approx` against the exact `exact` top-k (both

@@ -134,4 +134,32 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(p.contains("BroadcastHashJoin"), p) // offsets reach the feed via broadcast
   }
+
+  test("trained IVF keeps the plan-constant assignment shape (no window, no cross product)") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = graft.operators.Similarity.ivfTopKTrained(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 2, iters = 2)
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("nearest_centroids"), p) // trained centroids ride as plan constants
+  }
+
+  test("pq refine: shortlist re-rank is a broadcast join; rank stays a bounded aggregate") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = graft.ml.KMeansQuantizer.fitProduct(emb, "vec_id", "embedding",
+      m = 8, ksub = 4, iters = 2)
+    val df = graft.operators.Similarity.pqRefineTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "vec_id", "embedding",
+      k = 5, cb, rerank = 20)
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("nearest_centroids"), p)
+    // the exact re-rank fetches shortlist vectors via a broadcast hash join on
+    // cid — the corpus is scanned, never shuffled, and raw vectors only flow
+    // into that narrow join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p)
+  }
 }

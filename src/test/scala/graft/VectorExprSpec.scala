@@ -129,4 +129,29 @@ class VectorExprSpec extends AnyFunSuite {
     // and the generated code actually compiles: force evaluation
     assert(df.collect().length == 4)
   }
+
+  /** The HOF formulation SignBits replaced (plane-k dot via zip_with over the
+    * dim sequence, ascending fold) — kept here as the bit-parity oracle. */
+  private def hofSignBits(v: org.apache.spark.sql.Column, planes: Int) =
+    (0 until planes).map { k =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          d(x) * (pmod(lit(k.toLong) * 2654435761L + i.cast("long") * 40503L
+            + 12345L, lit(100000L)).cast("double") / 100000.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0.0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  test("sign_bits buckets are bit-equal to the stacked HOF formulation") {
+    val df = vecs(64, 33).toDF("id", "a", "b").cache()
+    Seq(1, 8, 10, 63).foreach { planes =>
+      val got = df.select(
+        graft.expressions.SignBits.column($"a", planes).as("g")).collect()
+      val want = df.select(hofSignBits($"a", planes).as("w")).collect()
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getLong(0) == w.getLong(0), s"planes=$planes bucket bits")
+      }
+    }
+    df.unpersist()
+  }
 }
