@@ -355,7 +355,7 @@ object Pipelines {
       .orderBy("qid")
 
   /** Seeded-k-means IVF recall gate: trained coarse centroids (nlist=16,
-    * nprobe=4, 5 Lloyd iterations) must recover ≥ 9 of each planted center's
+    * nprobe=4, 3 Lloyd iterations) must recover ≥ 9 of each planted center's
     * exact top-10. Training is fp-order-sensitive → verdict oracle (the DuckDB
     * twin pins every recall_ok TRUE), the numeric recall is additionally
     * asserted ≥ 0.9 in ScalaTest. */
@@ -366,7 +366,7 @@ object Pipelines {
       "vec_id", "vec_id", "embedding", k = 10).select("qid", "cid")
     val approx = Similarity.ivfTopKTrained(q, corpus,
         "vec_id", "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4,
-        iters = 5, seed = 42L)
+        iters = 3, seed = 42L)
       .select("qid", "cid")
     recallVerdict(exact, approx, need = 9)
   }
@@ -381,7 +381,7 @@ object Pipelines {
     val exact = Similarity.bruteForceTopK(q, corpus,
       "vec_id", "vec_id", "embedding", k = 10).select("qid", "cid")
     val cb = graft.ml.KMeansQuantizer.fitProduct(corpus, "vec_id", "embedding",
-      m = 8, ksub = 16, iters = 5, seed = 42L)
+      m = 8, ksub = 16, iters = 3, seed = 42L)
     val approx = Similarity.pqRefineTopK(q, corpus,
         "vec_id", "vec_id", "embedding", k = 10, cb, rerank = 50)
       .select("qid", "cid")

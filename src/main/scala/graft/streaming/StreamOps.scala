@@ -142,4 +142,70 @@ object StreamOps {
       out
     }
   }
+
+  /** Mini-batch k-means over a micro-batched stream (Sculley, "Web-Scale
+    * K-Means Clustering", WWW 2010 — the Structured-Streaming twin of the
+    * legacy DStream StreamingKMeans): the continuously-refreshed coarse
+    * quantizer a streaming ingest pipeline pairs with the IVF/PQ operators.
+    *
+    * Centroids live on the driver (model-sized, like [[PrequentialNB]]'s
+    * accumulators); each micro-batch contributes ONE narrow assignment
+    * projection — the plan-constant `NearestCentroids` kernel, no join, no
+    * ×k blow-up — feeding a combinable groupBy whose shuffle carries at most
+    * k×(dim+1) partial sums per upstream partition. The decayed update
+    *   w_j ← λ·w_j (all j);  c_j ← (w_j·c_j + m_j·x̄_j)/(w_j + m_j);
+    *   w_j ← w_j + m_j (batch-hit j)
+    * makes the quantizer track drift: λ=1 weights all history equally, λ→0
+    * forgets it. Seeding = farthest-point k-means on the first batch
+    * ([[graft.ml.KMeansQuantizer.fit]]). State advances once per trigger, in
+    * trigger order — the foreachBatch consistency contract. */
+  final class StreamingKMeans(k: Int, decay: Double = 0.9, seed: Long = 42L,
+                              seedIters: Int = 2) extends Serializable {
+    require(decay >= 0.0 && decay <= 1.0, s"decay in [0,1], got $decay")
+    @volatile private var cents: Array[Array[Double]] = _
+    private var weights: Array[Double] = _
+
+    /** Snapshot of the current centroids (empty before the first batch). */
+    def centroids: Array[Array[Double]] =
+      if (cents == null) Array.empty else cents.map(_.clone())
+
+    def processBatch(batch: DataFrame, idCol: String, vecCol: String): Unit = {
+      if (batch.isEmpty) return
+      if (cents == null) {
+        cents = graft.ml.KMeansQuantizer.fit(batch, idCol, vecCol, k,
+          seedIters, seed)
+        weights = Array.fill(cents.length)(0.0)
+      }
+      val dim = cents.head.length
+      val v = batch.select(col(vecCol).cast("array<double>").as("v"))
+      val aggCols = (0 until dim)
+        .map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val rows = v.select(
+          element_at(graft.expressions.NearestCentroids.column(col("v"),
+            cents, 1), 1).as("cl"), col("v"))
+        .groupBy("cl").agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      var j = 0
+      while (j < weights.length) { weights(j) *= decay; j += 1 }
+      rows.foreach { r =>
+        val cl = r.getAs[Number](0).intValue - 1 // list_id is 1-based
+        val m = r.getLong(dim + 1).toDouble
+        val w = weights(cl)
+        var i = 0
+        while (i < dim) {
+          val batchMean = r.getDouble(i + 1) / m
+          next(cl)(i) = (w * next(cl)(i) + m * batchMean) / (w + m)
+          i += 1
+        }
+        weights(cl) = w + m
+      }
+      cents = next
+    }
+
+    /** `writeStream.foreachBatch(sink(...))` adapter. */
+    def sink(idCol: String, vecCol: String): (DataFrame, Long) => Unit =
+      (df, _) => processBatch(df, idCol, vecCol)
+  }
 }

@@ -173,4 +173,42 @@ class StreamingSpec extends AnyFunSuite {
       mu.zip(oneShot(c)._2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
     }
   }
+
+  test("streaming mini-batch k-means tracks drifting cluster centers") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def mix(a: Long, b: Long): Double =
+      (Math.floorMod(a * 2654435761L + b * 40503L + 12345L, 100000L)
+        .toDouble / 100000.0 - 0.5) * 2.0
+    def center(c: Int, shift: Double): Seq[Double] =
+      (0 until dim).map(i => mix(c * 31L + 7, i) + (if (i == 0) shift else 0.0))
+    def wave(w: Int, shift: Double): Seq[(Long, Seq[Double])] =
+      for (c <- 0 until 4; p <- 0 until 50) yield {
+        val id = (w * 1000 + c * 50 + p).toLong
+        (id, center(c, shift).zipWithIndex.map { case (x, i) =>
+          x + 0.1 * mix(id * 131L + 3, i)
+        })
+      }
+    def maxGap(cents: Array[Array[Double]], shift: Double): Double =
+      (0 until 4).map { c =>
+        val t = center(c, shift)
+        cents.map(cc => math.sqrt(
+          cc.zip(t).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      }.max
+    val skm = new StreamOps.StreamingKMeans(k = 4, decay = 0.5)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val query = mem.toDF().toDF("id", "vec")
+      .writeStream.foreachBatch(skm.sink("id", "vec")).start()
+    try {
+      mem.addData(wave(0, 0.0): _*); query.processAllAvailable()
+      assert(maxGap(skm.centroids, 0.0) < 0.25,
+        s"seeded centroids off the planted centers: ${maxGap(skm.centroids, 0.0)}")
+      // concept drift: all four centers shift +0.6 along dim 0; with λ=0.5
+      // two decayed waves bring every centroid within noise of the new spot
+      mem.addData(wave(1, 0.6): _*); query.processAllAvailable()
+      mem.addData(wave(2, 0.6): _*); query.processAllAvailable()
+      assert(maxGap(skm.centroids, 0.6) < 0.25,
+        s"centroids failed to track the drift: ${maxGap(skm.centroids, 0.6)}")
+    } finally query.stop()
+  }
 }
