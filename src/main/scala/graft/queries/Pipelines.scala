@@ -388,6 +388,26 @@ object Pipelines {
     recallVerdict(exact, approx, need = 9)
   }
 
+  /** Persisted-IVF-index recall gate: the index builds once per (corpus
+    * content, params) into the keyed cache — coarse centroids trained, the
+    * inverted file written `partitionBy(list_id)` — and the query path reads
+    * ONLY the probed partitions (static partition pruning, pinned in
+    * AnnIndexSpec). Same planted-cluster ground truth and verdict oracle as
+    * the in-memory trained gates. */
+  val simIvfIndexRecall: Q = (s, dir) => {
+    val corpus = plantedClusters(s, dir)
+    val q = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, corpus,
+      "vec_id", "vec_id", "embedding", k = 10).select("qid", "cid")
+    val idx = graft.operators.AnnIndex.ivfIndexDir(corpus,
+      s"$dir/embeddings.parquet", "vec_id", "embedding",
+      nlist = 16, iters = 3, seed = 42L, variant = "planted_v1")
+    val approx = graft.operators.AnnIndex.queryIvf(s, idx, q,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("qid", "cid")
+    recallVerdict(exact, approx, need = 9)
+  }
+
   /** The recall verdicts' DuckDB twin: every planted center must pass. */
   val simTrainedRecallSql: String =
     """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
@@ -481,6 +501,7 @@ object Pipelines {
     "sim_pq_topk" -> simPqTopK,
     "sim_ivf_trained_recall" -> simIvfTrainedRecall,
     "sim_pq_trained_recall" -> simPqTrainedRecall,
+    "sim_ivf_index_recall" -> simIvfIndexRecall,
     "text_stats" -> textStats,
     "text_langid" -> textLangId,
     "drift_ddm" -> driftDdm)
@@ -498,6 +519,7 @@ object Pipelines {
     "sim_pq_topk" -> simPqSql,
     "sim_ivf_trained_recall" -> simTrainedRecallSql,
     "sim_pq_trained_recall" -> simTrainedRecallSql,
+    "sim_ivf_index_recall" -> simTrainedRecallSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "drift_ddm" -> Duck.ddmRecursive(

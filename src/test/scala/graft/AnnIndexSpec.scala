@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndex, Similarity}
+
+/** Persisted-IVF-index contracts: build-once reuse, probe-pruned scans
+  * (partition pruning visible in the executed plan), and recall against the
+  * exact brute-force ground truth on clustered data. */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mix(a: Long, b: Long): Double =
+    (Math.floorMod(a * 2654435761L + b * 40503L + 12345L, 100000L)
+      .toDouble / 100000.0 - 0.5) * 2.0
+
+  /** 8 separated clusters of 40 points in R^16 (same family as
+    * DedupSimilaritySpec's recall gates). */
+  private def clustered = (for (c <- 0 until 8; p <- 0 until 40) yield {
+    val id = (c * 40 + p).toLong
+    (id, (0 until 16).map(i => mix(c * 31L + 7, i) + 0.1 * mix(id * 131L + 3, i)))
+  }).toDF("vec_id", "embedding")
+
+  test("IVF index: build once, query via pruned partitions, recall@10 >= 0.9") {
+    val corpus = clustered.cache()
+    val queries = corpus.filter($"vec_id" % 40 === 0)
+    val dir = AnnIndex.ivfIndexDir(corpus, "mem://ann_index_spec", "vec_id",
+      "embedding", nlist = 8, iters = 3, seed = 42L, variant = "spec_v1")
+    // build is idempotent: a second call must reuse the same directory
+    assert(dir == AnnIndex.ivfIndexDir(corpus, "mem://ann_index_spec",
+      "vec_id", "embedding", nlist = 8, iters = 3, seed = 42L,
+      variant = "spec_v1"))
+
+    val got = AnnIndex.queryIvf(spark, dir, queries, "vec_id", "embedding",
+      k = 10, nprobe = 2)
+    // probe pruning is structural: the inverted-file scan must carry a static
+    // list_id partition filter (only nprobe/nlist of the files are touched)
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [list_id"), p)
+
+    val exact = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val approx = got.select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.length
+    assert(recall >= 0.9, s"index recall@10 $recall < 0.9")
+    corpus.unpersist()
+  }
+}
