@@ -223,4 +223,48 @@ object Dedup {
     val toDrop = pairs.select(col("id_b").as(idCol)).distinct()
     docs.join(toDrop, Seq(idCol), "left_anti")
   }
+
+  /** Connected components over a near-dup pair graph: (id, cluster_id) with
+    * cluster_id = the minimum doc id reachable from `id` — the canonical-doc
+    * assignment real dedup pipelines run AFTER pair generation (pairs alone
+    * under-merge: a~b, b~c must collapse to one cluster even when a~c was
+    * never emitted as a candidate).
+    *
+    * Algorithm: hash-min label propagation with pointer jumping. Each round
+    * (1) every node takes the min label across itself and its neighbors —
+    * one join + one map-side-combinable min aggregate; (2) labels shortcut
+    * through their own label (l ← l(l)), which collapses chains O(log n)
+    * rounds instead of O(diameter). Per-round `localCheckpoint` truncates the
+    * iterative lineage (the standard Spark pattern for loops); all shuffles
+    * key on 8-byte ids. The pair graph is output-sized (near-dups only), far
+    * smaller than the corpus, so the loop's working set stays tiny even at
+    * 100 TB of documents. [SQL oracle: recursive-CTE reachability]. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("s"),
+      col("id_b").cast("long").as("d"))
+    val sym = edges.union(edges.select(col("d").as("s"), col("s").as("d")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("s").as("v")).distinct()
+      .select(col("v"), col("v").as("l")).localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      // (1) propagate: min label over self ∪ neighbors
+      val nbr = sym.join(labels.withColumnRenamed("v", "d"), Seq("d"))
+        .select(col("s").as("v"), col("l"))
+      val prop = labels.union(nbr).groupBy("v").agg(min("l").as("l"))
+      // (2) pointer jump: l ← l(l). Every label value is a node id (mins of
+      // node ids), so the lookup join is total; labels only decrease.
+      val lmap = prop.select(col("v").as("jk"), col("l").as("l2"))
+      val next = prop.join(lmap, prop("l") === lmap("jk"))
+        .select(col("v"), col("l2").as("l"))
+        .localCheckpoint()
+      done = next.join(labels.select(col("v"), col("l").as("lp")), Seq("v"))
+        .filter(col("l") =!= col("lp")).isEmpty
+      labels = next
+      it += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("v").as("id"), col("l").as("cluster_id"))
+  }
 }

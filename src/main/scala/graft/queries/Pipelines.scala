@@ -74,10 +74,11 @@ object Pipelines {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
-  /** DuckDB twin of [[dedupNgramJaccard]]: distinct word-3-shingles per doc via
-    * a positional self-zip of the cleaned token list. */
-  val dedupNgramJaccardSql: String = {
-    s"""WITH $toksCte,
+  /** Shared CTE chain producing the word-3-shingle Jaccard pair set (the
+    * [[dedupNgramJaccard]] semantics): toksraw → distinct shingles → sizes →
+    * intersections. Reused by the pair query and the cluster oracle. */
+  private def ngramPairCtes: String =
+    s"""$toksCte,
        |sh AS (
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
@@ -85,13 +86,54 @@ object Pipelines {
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  /** DuckDB twin of [[dedupNgramJaccard]]: distinct word-3-shingles per doc via
+    * a positional self-zip of the cleaned token list. */
+  val dedupNgramJaccardSql: String = {
+    s"""WITH $ngramPairCtes
        |SELECT id_a, id_b,
        |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Near-dup clusters: connected components over the n-gram-Jaccard pair
+    * graph — (doc_id, cluster_id = min reachable id, csize). The step real
+    * dedup pipelines run after pair generation: transitive closure merges
+    * a~b, b~c into one cluster even when a~c never surfaced as a candidate.
+    * [SQL — recursive-CTE reachability over the same pair set]. */
+  val dedupClusters: Q = (s, dir) => {
+    val pairs = Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("csize"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[dedupClusters]]: min-reachable-id per node via a
+    * recursive reachability CTE over the symmetrized pair edges (exact on the
+    * oracle-scale graph; the Spark side scales by hash-min + pointer-jump
+    * label propagation instead of closure materialization). */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, rc.r FROM edges e JOIN reach rc ON rc.v = e.d),
+       |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+       |sz AS (SELECT cluster_id, count(*) AS csize FROM cc GROUP BY cluster_id)
+       |SELECT cc.doc_id, cc.cluster_id, sz.csize
+       |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
   /** Shared token-list CTE text for the xxhash64-based dedup oracles (same
     * clean/split chain as [[dedupNgramJaccardSql]]). */
@@ -494,6 +536,7 @@ object Pipelines {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_clusters" -> dedupClusters,
     "dedup_embedding" -> dedupEmbedding,
     "sim_brute_topk" -> simBruteTopK,
     "sim_lsh_topk" -> simLshTopK,
@@ -510,6 +553,7 @@ object Pipelines {
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_embedding" -> dedupEmbeddingSql,

@@ -187,4 +187,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val r = recallOf(exact, refined)
     assert(r >= 0.9, s"trained-PQ refine recall@10 $r < 0.9")
   }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: transitive chains collapse to the min id") {
+    // a~b, b~c with no a~c candidate — the whole point of the cluster pass
+    val cc = ccOf(Seq((10L, 20L), (20L, 30L), (5L, 7L)))
+    assert(cc == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 5L -> 5L, 7L -> 5L))
+  }
+
+  test("connected components: a 64-node path converges (pointer jumping)") {
+    // worst case for plain min-propagation (diameter 63); pointer jumping
+    // must close it inside the default round budget
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val cc = ccOf(path)
+    assert(cc.size == 64 && cc.values.forall(_ == 0L))
+  }
+
+  test("connected components: union-find parity on a random-ish pair set") {
+    // deterministic pseudo-random edges over 60 nodes
+    val edges = (0 until 40).map { k =>
+      val a = Math.floorMod(k * 2654435761L + 12345L, 60L)
+      val b = Math.floorMod(k * 40503L + 99991L, 60L)
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    val cc = ccOf(edges)
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = cc.keys.map(v => v -> find(v)).toMap
+    // union-find roots are min-ids here because unions always point max→min
+    assert(cc == truth)
+  }
 }
