@@ -485,6 +485,97 @@ object Pipelines {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher/C4-style quality filters (repetition + shape): per doc, token
+    * count, mean word length, top-unigram mass, duplicate 2-/3-gram
+    * fractions, and the composite `quality_ok` verdict a training-data
+    * pipeline filters on. One tokenization projection feeds three combinable
+    * aggregation branches (unigram counts, 2-gram set size, 3-gram set size)
+    * joined back on doc_id — everything shuffles 8-byte keyed partial
+    * aggregates, never documents. [SQL] */
+  val textQuality: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    // one projection barrier for the regex-clean chain (see TextFns HOF note),
+    // reused by all three aggregation branches
+    val toks = docs.select(col("doc_id"),
+        TextFns.normTokens(TextFns.cleanText(col("text"), removePunctuation = true))
+          .as("toks0"))
+      .select(col("doc_id"),
+        filter(col("toks0"), t => length(t) > 0).as("toks"))
+      .localCheckpoint()
+    val tokf = toks.select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+      .filter(col("tok").isNotNull)
+    val us = tokf.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max("c").as("topc"), sum("c").as("n"),
+        sum(col("c") * length(col("tok"))).as("sumlen"))
+    def grams(n: Int) = toks
+      .select(col("doc_id"),
+        explode_outer(TextFns.shinglesFromTokens(col("toks"), n)).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as(s"tot$n"), countDistinct(col("g")).as(s"dst$n"))
+    docs.select("doc_id")
+      .join(us, Seq("doc_id"), "left")
+      .join(grams(2), Seq("doc_id"), "left")
+      .join(grams(3), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        round(when(col("n").isNull, 0.0)
+          .otherwise(col("sumlen").cast("double") / col("n")), 6)
+          .as("mean_word_len"),
+        round(when(col("n").isNull, 0.0)
+          .otherwise(col("topc").cast("double") / col("n")), 6)
+          .as("top_unigram_ratio"),
+        round(when(col("tot2").isNull, 0.0)
+          .otherwise(lit(1.0) - col("dst2").cast("double") / col("tot2")), 6)
+          .as("dup_2gram_ratio"),
+        round(when(col("tot3").isNull, 0.0)
+          .otherwise(lit(1.0) - col("dst3").cast("double") / col("tot3")), 6)
+          .as("dup_3gram_ratio"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("top_unigram_ratio") <= 0.15 && col("dup_2gram_ratio") <= 0.05)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[textQuality]] — same clean/split chain as the dedup
+    * oracles, same integer counts, same rounded-double thresholds. */
+  val textQualitySql: String =
+    s"""WITH $toksCte,
+       |toks AS (SELECT doc_id, list_filter(w, x -> length(x) > 0) AS w FROM toksraw),
+       |tokf AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+       |us AS (SELECT doc_id, max(c) AS topc, sum(c) AS n, sum(c * ln_) AS sumlen FROM
+       |  (SELECT doc_id, tok, count(*) AS c, length(tok) AS ln_ FROM tokf
+       |   GROUP BY doc_id, tok) u GROUP BY doc_id),
+       |g2 AS (SELECT doc_id, count(*) AS tot2, count(DISTINCT g) AS dst2 FROM
+       |  (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+       |   FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+       |         FROM toks WHERE len(w) >= 2) q) GROUP BY doc_id),
+       |g3 AS (SELECT doc_id, count(*) AS tot3, count(DISTINCT g) AS dst3 FROM
+       |  (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |   FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+       |         FROM toks WHERE len(w) >= 3) q) GROUP BY doc_id),
+       |m AS (SELECT d.doc_id,
+       |  coalesce(CAST(us.n AS BIGINT), 0) AS n_tokens,
+       |  round(CASE WHEN us.n IS NULL THEN 0.0
+       |    ELSE CAST(us.sumlen AS DOUBLE) / us.n END, 6) AS mean_word_len,
+       |  round(CASE WHEN us.n IS NULL THEN 0.0
+       |    ELSE CAST(us.topc AS DOUBLE) / us.n END, 6) AS top_unigram_ratio,
+       |  round(CASE WHEN g2.tot2 IS NULL THEN 0.0
+       |    ELSE 1.0 - CAST(g2.dst2 AS DOUBLE) / g2.tot2 END, 6) AS dup_2gram_ratio,
+       |  round(CASE WHEN g3.tot3 IS NULL THEN 0.0
+       |    ELSE 1.0 - CAST(g3.dst3 AS DOUBLE) / g3.tot3 END, 6) AS dup_3gram_ratio
+       |  FROM documents d LEFT JOIN us USING (doc_id)
+       |  LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id))
+       |SELECT doc_id, n_tokens, mean_word_len, top_unigram_ratio,
+       |  dup_2gram_ratio, dup_3gram_ratio,
+       |  (n_tokens >= 20 AND n_tokens <= 100000
+       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND top_unigram_ratio <= 0.15 AND dup_2gram_ratio <= 0.05) AS quality_ok
+       |FROM m ORDER BY doc_id""".stripMargin
+
   /** Language-ID heuristic: argmax marker-word score, 'und' when all zero. [SQL] */
   val textLangId: Q = (s, dir) => {
     val langs = TextFns.langMarkers.keys.toSeq.sorted
@@ -547,6 +638,7 @@ object Pipelines {
     "sim_ivf_index_recall" -> simIvfIndexRecall,
     "text_stats" -> textStats,
     "text_langid" -> textLangId,
+    "text_quality" -> textQuality,
     "drift_ddm" -> driftDdm)
 
   val oracles: Map[String, String] = Map(
@@ -566,6 +658,7 @@ object Pipelines {
     "sim_ivf_index_recall" -> simTrainedRecallSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
+    "text_quality" -> textQualitySql,
     "drift_ddm" -> Duck.ddmRecursive(
       s"SELECT CAST(batch_id AS BIGINT) AS ord, 1.0 - accuracy AS err " +
         s"FROM ${Corpus.accSub} a", "batch_id"))
