@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-token-budget training blocks
+  * (the concatenate-and-chunk packing LLM pre-training pipelines run before
+  * batching — docs concatenate in corpus order, the token stream chunks into
+  * `budget`-sized blocks, and a doc belongs to the block holding its first
+  * token).
+  *
+  * Scale design: the global token cumsum is composed per partition like
+  * [[ZipIndex]] — `repartitionByRange(order)` gives a total order across
+  * range partitions, a window PARTITIONED BY the physical partition id
+  * computes intra-partition cumsums in parallel (never a global
+  * single-partition window), per-partition totals (numPartitions rows,
+  * model-sized) collect to the driver for prefix offsets, and a broadcast
+  * join composes the global position. [SQL oracle: a window cumsum]. */
+object Pack {
+
+  /** Per-doc packing assignment: (orderCol, tokCol untouched) +
+    * `bin_id` = block index of the doc's first token (0-based) and
+    * `bin_offset` = position of that token inside the block.
+    *
+    * @param orderCol unique corpus order key (doc id)
+    * @param tokCol   per-doc token count
+    */
+  def packByBudget(docs: DataFrame, orderCol: String, tokCol: String,
+                   budget: Long): DataFrame = {
+    require(budget > 0)
+    val spark = docs.sparkSession
+    // Freeze the range layout: spark_partition_id is physical, and BOTH
+    // branches below (per-partition totals + intra-partition cumsum) must
+    // see the same pid assignment.
+    val sorted = docs.select(col(orderCol).as("ord"),
+        col(tokCol).cast("long").as("n_tokens"))
+      .repartitionByRange(col("ord")).sortWithinPartitions("ord")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // Prefix offsets per partition: numPartitions rows — model-sized by
+    // contract (same job shape as ZipIndex's per-partition count pass).
+    val totals = sorted.groupBy("pid").agg(sum("n_tokens").as("ptot"))
+      .orderBy("pid").collect()
+    var acc = 0L
+    val offs = totals.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    import spark.implicits._
+    val offDf = offs.toDF("pid", "poff")
+    // Intra-partition cumsum: the window is PARTITIONED (by pid) — every
+    // range partition ranks in parallel; no global-order window anywhere.
+    val w = Window.partitionBy("pid").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sorted
+      .withColumn("cum", sum("n_tokens").over(w))
+      .join(broadcast(offDf), Seq("pid"))
+      .select(col("ord").as(orderCol), col("n_tokens"),
+        (col("poff") + col("cum") - col("n_tokens")).as("first_tok"))
+      .select(col(orderCol), col("n_tokens"),
+        expr(s"first_tok DIV $budget").as("bin_id"),
+        pmod(col("first_tok"), lit(budget)).as("bin_offset"))
+  }
+}

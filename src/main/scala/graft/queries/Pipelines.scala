@@ -576,6 +576,27 @@ object Pipelines {
        |   AND top_unigram_ratio <= 0.15 AND dup_2gram_ratio <= 0.05) AS quality_ok
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing: concatenate-and-chunk docs into 512-token training
+    * blocks ([[graft.operators.Pack.packByBudget]] — per-partition cumsum
+    * composition, never a global window). [SQL — window cumsum twin]. */
+  val packSequences: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+    graft.operators.Pack.packByBudget(docs, "doc_id", "n_toks", budget = 512L)
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH c AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '${"""\s+"""}')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+       |  FROM c)
+       |SELECT doc_id, n_tokens, prev // 512 AS bin_id, prev % 512 AS bin_offset
+       |FROM p ORDER BY doc_id""".stripMargin
+
   /** Language-ID heuristic: argmax marker-word score, 'und' when all zero. [SQL] */
   val textLangId: Q = (s, dir) => {
     val langs = TextFns.langMarkers.keys.toSeq.sorted
@@ -639,6 +660,7 @@ object Pipelines {
     "text_stats" -> textStats,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
+    "pack_sequences" -> packSequences,
     "drift_ddm" -> driftDdm)
 
   val oracles: Map[String, String] = Map(
@@ -659,6 +681,7 @@ object Pipelines {
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_quality" -> textQualitySql,
+    "pack_sequences" -> packSequencesSql,
     "drift_ddm" -> Duck.ddmRecursive(
       s"SELECT CAST(batch_id AS BIGINT) AS ord, 1.0 - accuracy AS err " +
         s"FROM ${Corpus.accSub} a", "batch_id"))

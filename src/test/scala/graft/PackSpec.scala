@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pack
+
+/** Sequence-packing contracts: bit-parity with the sequential
+  * concatenate-and-chunk definition across partition boundaries, and the
+  * no-global-window plan shape. */
+class PackSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def lens(n: Int): Seq[(Long, Long)] =
+    (0 until n).map(i => (i.toLong, 1L + Math.floorMod(i * 2654435761L, 97L)))
+
+  test("packByBudget matches the sequential definition across partitions") {
+    val data = lens(500)
+    // force many range partitions so docs straddle partition boundaries
+    val df = data.toDF("doc_id", "n_toks").repartition(13)
+    val got = Pack.packByBudget(df, "doc_id", "n_toks", budget = 128L)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    var cum = 0L
+    data.foreach { case (id, n) =>
+      assert(got(id) == (cum / 128L, cum % 128L),
+        s"doc $id: got ${got(id)}, want ${(cum / 128, cum % 128)}")
+      cum += n
+    }
+  }
+
+  test("docs spanning a block boundary keep their first-token block") {
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("doc_id", "n")
+    val got = Pack.packByBudget(df, "doc_id", "n", budget = 128L)
+      .orderBy("doc_id").collect()
+    // doc 2 starts at token 100 (block 0, offset 100) even though it spills
+    // into block 1; doc 3 starts at 200 → block 1, offset 72
+    assert(got.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L), (0L, 100L), (1L, 72L)))
+  }
+
+  test("plan: the cumsum window is partition-parallel (no single-partition exchange)") {
+    val df = lens(200).toDF("doc_id", "n_toks")
+    val plan = Pack.packByBudget(df, "doc_id", "n_toks", budget = 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global window funnels the corpus through one partition:\n$plan")
+  }
+}
