@@ -597,6 +597,24 @@ object Pipelines {
        |SELECT doc_id, n_tokens, prev // 512 AS bin_id, prev % 512 AS bin_offset
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Stratified rebalancing sample: 5 docs per (lang, source) stratum by the
+    * seeded deterministic draw ([[graft.operators.Sample.stratifiedTopN]] —
+    * bounded TopK aggregation, not a corpus-wide window). [SQL]. */
+  val sampleStratified: Q = (s, dir) =>
+    graft.operators.Sample.stratifiedTopN(Tables.documents(s, dir),
+        Seq("lang", "source"), "doc_id", n = 5, seed = 7L)
+      .orderBy("lang", "source", "smp_rank")
+
+  val sampleStratifiedSql: String = {
+    val draw = graft.operators.Sample.drawSql("doc_id", 7L)
+    s"""WITH r AS (SELECT lang, source, doc_id,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY $draw DESC, doc_id) AS smp_rank
+       |  FROM documents)
+       |SELECT lang, source, doc_id, CAST(smp_rank AS BIGINT) AS smp_rank
+       |FROM r WHERE smp_rank <= 5 ORDER BY lang, source, smp_rank""".stripMargin
+  }
+
   /** Language-ID heuristic: argmax marker-word score, 'und' when all zero. [SQL] */
   val textLangId: Q = (s, dir) => {
     val langs = TextFns.langMarkers.keys.toSeq.sorted
@@ -661,6 +679,7 @@ object Pipelines {
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "pack_sequences" -> packSequences,
+    "sample_stratified" -> sampleStratified,
     "drift_ddm" -> driftDdm)
 
   val oracles: Map[String, String] = Map(
@@ -682,6 +701,7 @@ object Pipelines {
     "text_langid" -> textLangIdSql,
     "text_quality" -> textQualitySql,
     "pack_sequences" -> packSequencesSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "drift_ddm" -> Duck.ddmRecursive(
       s"SELECT CAST(batch_id AS BIGINT) AS ord, 1.0 - accuracy AS err " +
         s"FROM ${Corpus.accSub} a", "batch_id"))
