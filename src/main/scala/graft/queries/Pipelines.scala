@@ -605,12 +605,30 @@ object Pipelines {
         Seq("lang", "source"), "doc_id", n = 5, seed = 7L)
       .orderBy("lang", "source", "smp_rank")
 
+  /** DuckDB twin of [[graft.operators.Sample.drawCol]] as a staged subquery
+    * over `table`: emits `cols` plus `draw` ∈ [0, 2^52). Mirrors Spark's
+    * xxhash64 argument chaining — hashLong(id, 42) seeds hashLong(seed, ·) —
+    * via [[Duck.xxhashLongStages]]; `>>> 12` on the unsigned hash is
+    * `// 4096`. Requires non-negative ids (true of all engine tables). */
+  private def drawSelect(table: String, idCol: String, cols: Seq[String],
+                         seed: Long): String = {
+    val sdU = BigInt(seed) & BigInt("FFFFFFFFFFFFFFFF", 16) // two's-complement view
+    val keep = (cols :+ idCol).distinct.mkString(", ")
+    val inner = s"SELECT $keep, CAST($idCol AS HUGEINT) AS v, " +
+      s"CAST('$sdU' AS HUGEINT) AS sd FROM $table"
+    val staged = Duck.stagedSql(inner,
+      Duck.xxhashLongStages("v", "42", "h1", "da") ++
+        Duck.xxhashLongStages("sd", "h1", "h2", "db"))
+    s"SELECT $keep, h2 // 4096 AS draw FROM ($staged)"
+  }
+
   val sampleStratifiedSql: String = {
-    val draw = graft.operators.Sample.drawSql("doc_id", 7L)
-    s"""WITH r AS (SELECT lang, source, doc_id,
+    val drawn = drawSelect("documents", "doc_id", Seq("lang", "source"), 7L)
+    s"""WITH d AS ($drawn),
+       |r AS (SELECT lang, source, doc_id,
        |    row_number() OVER (PARTITION BY lang, source
-       |      ORDER BY $draw DESC, doc_id) AS smp_rank
-       |  FROM documents)
+       |      ORDER BY draw DESC, doc_id) AS smp_rank
+       |  FROM d)
        |SELECT lang, source, doc_id, CAST(smp_rank AS BIGINT) AS smp_rank
        |FROM r WHERE smp_rank <= 5 ORDER BY lang, source, smp_rank""".stripMargin
   }
