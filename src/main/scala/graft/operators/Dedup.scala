@@ -249,19 +249,22 @@ object Dedup {
     var it = 0
     var done = false
     while (!done && it < maxIter) {
-      // (1) propagate: min label over self ∪ neighbors
+      // (1) propagate: min label over self ∪ neighbors. The previous label
+      // rides along as `lp` (non-null on exactly the one self row per v, and
+      // min skips nulls), so convergence is read off the propagated result
+      // itself — no separate rejoin against the old labels per round.
       val nbr = sym.join(labels.withColumnRenamed("v", "d"), Seq("d"))
-        .select(col("s").as("v"), col("l"))
-      val prop = labels.union(nbr).groupBy("v").agg(min("l").as("l"))
+        .select(col("s").as("v"), col("l"), lit(null).cast("long").as("lp"))
+      val prop = labels.select(col("v"), col("l"), col("l").as("lp")).union(nbr)
+        .groupBy("v").agg(min("l").as("l"), min("lp").as("lp"))
       // (2) pointer jump: l ← l(l). Every label value is a node id (mins of
       // node ids), so the lookup join is total; labels only decrease.
       val lmap = prop.select(col("v").as("jk"), col("l").as("l2"))
       val next = prop.join(lmap, prop("l") === lmap("jk"))
-        .select(col("v"), col("l2").as("l"))
+        .select(col("v"), col("l2").as("l"), col("lp"))
         .localCheckpoint()
-      done = next.join(labels.select(col("v"), col("l").as("lp")), Seq("v"))
-        .filter(col("l") =!= col("lp")).isEmpty
-      labels = next
+      done = next.filter(col("l") =!= col("lp")).isEmpty
+      labels = next.select("v", "l")
       it += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
