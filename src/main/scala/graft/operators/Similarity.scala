@@ -160,7 +160,7 @@ object Similarity {
     // The deterministic codebook needs subDim before any Spark job; probe it
     // from the (small, driver-bound anyway) query set via pqTopKWith's collect
     // by building the codebook lazily per dim.
-    pqTopKWith(queries, corpus, qidCol, idCol, vecCol, k, null, m, ksub)
+    pqTopKWith(queries, corpus, qidCol, idCol, vecCol, k, None, m, ksub)
   }
 
   /** PQ top-k with a seeded-k-means-trained codebook
@@ -173,7 +173,7 @@ object Similarity {
                     seed: Long = 42L): DataFrame = {
     val cb = graft.ml.KMeansQuantizer.fitProduct(corpus, idCol, vecCol, m,
       ksub, iters, seed)
-    pqTopKWith(queries, corpus, qidCol, idCol, vecCol, k, cb)
+    pqTopKWith(queries, corpus, qidCol, idCol, vecCol, k, Some(cb))
   }
 
   /** ADC shortlist + exact re-rank (the FAISS "refine" stage): PQ codes give a
@@ -187,7 +187,7 @@ object Similarity {
                    cb: Array[Array[Array[Double]]],
                    rerank: Int = 50): DataFrame = {
     val shortlist = pqTopKWith(queries, corpus, qidCol, idCol, vecCol,
-        rerank, cb)
+        rerank, Some(cb))
       .select(col("qid"), col("cid"))
     val q = queries.select(col(qidCol).cast("long").as("qid"),
       col(vecCol).as("qvec"))
@@ -200,13 +200,16 @@ object Similarity {
     TopK.topKPerQuery(scored, k)
   }
 
-  /** PQ-ADC core with an explicit codebook (`cb` null → the deterministic
-    * [[pqCodebook]] family sized from the query dim, keeping the oracled
-    * [[pqTopK]] bit-replayable). */
+  /** PQ-ADC core with an optional explicit codebook (`None` → the
+    * deterministic [[pqCodebook]] family sized from the query dim, keeping
+    * the oracled [[pqTopK]] bit-replayable). */
   def pqTopKWith(queries: DataFrame, corpus: DataFrame, qidCol: String,
                  idCol: String, vecCol: String, k: Int,
-                 cb0: Array[Array[Array[Double]]],
+                 cbOpt: Option[Array[Array[Array[Double]]]],
                  mArg: Int = 8, ksubArg: Int = 16): DataFrame = {
+    cbOpt.foreach { c =>
+      require(c.nonEmpty && c(0).nonEmpty, "explicit codebook must be non-empty")
+    }
     val spark = corpus.sparkSession
     // Query distance tables, computed driver-side from the (small) query set;
     // the vector dimension comes from the same collect — no extra Spark job
@@ -217,11 +220,10 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(qRows.nonEmpty, "pqTopK requires a non-empty query set")
     val dim = qRows.head._2.length
-    val (m, ksub) = if (cb0 == null) (mArg, ksubArg)
-      else (cb0.length, cb0(0).length)
+    val (m, ksub) = cbOpt.fold((mArg, ksubArg))(c => (c.length, c(0).length))
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    val cb = if (cb0 == null) pqCodebook(m, ksub, subDim) else cb0
+    val cb = cbOpt.getOrElse(pqCodebook(m, ksub, subDim))
     // Encode: per subspace, the plan-constant NearestCentroids argmin over the
     // slice — m narrow kernels in one projection, no join, no shuffle.
     val codeCols = (0 until m).map { b =>
