@@ -143,4 +143,21 @@ case class NearestCentroids(
 object NearestCentroids {
   def column(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
     SqlBridge.column(NearestCentroids(SqlBridge.expression(vec), centroids, n))
+
+  /** Driver-side twin of the kernel for model-sized inputs (probe-set
+    * computation): the `n` nearest centroid ids (1-based) of `vec` by
+    * (L2² asc, id asc) — the identical tie-break, so driver-derived probe
+    * sets agree with plan-side assignments. */
+  def nearest(vec: Array[Double], centroids: Array[Array[Double]],
+              n: Int): Array[Int] =
+    centroids.zipWithIndex.map { case (cent, c) =>
+        var s = 0.0
+        var i = 0
+        val d = math.min(vec.length, cent.length)
+        while (i < d) { val t = vec(i) - cent(i); s += t * t; i += 1 }
+        (s, c + 1)
+      }
+      .sortBy(identity) // (d2 asc, id asc)
+      .take(math.min(n, centroids.length))
+      .map(_._2)
 }

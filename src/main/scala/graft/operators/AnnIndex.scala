@@ -61,6 +61,157 @@ object AnnIndex {
     dir.toString
   }
 
+  /** Build (or reuse) a persisted IVF+PQ index: the on-disk FAISS IVFPQ
+    * layout. Unlike [[ivfIndexDir]] — whose inverted lists store raw vectors —
+    * the lists here store only (cid, c0..c{m-1}) PQ codes, shrinking on-disk
+    * bytes by ~dim·8 / m (≈ 64× at dim=64, m=8): the layout that makes a
+    * 100 TB corpus' index fit on local disks. Codebook + coarse centroids
+    * ride as model-sized sidecars. One corpus pass: coarse-assign and
+    * PQ-encode in the SAME narrow projection, then `partitionBy(list_id)`.
+    * Content-digest keyed and atomically renamed like [[ivfIndexDir]]. */
+  def ivfPqIndexDir(corpus: DataFrame, corpusPath: String, idCol: String,
+                    vecCol: String, nlist: Int = 16, m: Int = 8,
+                    ksub: Int = 16, iters: Int = 3, seed: Long = 42L,
+                    variant: String = ""): String = {
+    val spark = corpus.sparkSession
+    val digest = AdaptCache.digestOf(Seq(corpusPath,
+      AdaptCache.corpusToken(spark, corpusPath), idCol, vecCol,
+      nlist.toString, m.toString, ksub.toString, iters.toString,
+      seed.toString, variant))
+    val dir = new Path(AdaptCache.cacheRoot(spark), s"ivfpq_index_$digest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) AdaptCache.synchronized {
+      if (!fs.exists(dir)) {
+        val cents = graft.ml.KMeansQuantizer.fit(corpus, idCol, vecCol,
+          nlist, iters, seed)
+        val cb = graft.ml.KMeansQuantizer.fitProduct(corpus, idCol, vecCol,
+          m, ksub, iters, seed)
+        val tmp = new Path(dir.getParent, s".ivfpq_index_$digest.tmp")
+        fs.delete(tmp, true)
+        val codeCols = Similarity.pqCodeCols(col(vecCol), cb)
+          .map(_.cast("int"))
+        corpus.select(Seq(
+            element_at(NearestCentroids.column(col(vecCol), cents, 1), 1)
+              .as("list_id"),
+            col(idCol).as("cid")) ++ codeCols: _*)
+          .write.partitionBy("list_id").parquet(s"$tmp/lists")
+        val spark2 = spark
+        import spark2.implicits._
+        cents.zipWithIndex
+          .map { case (c, i) => (i + 1, c.toSeq) }.toSeq
+          .toDF("list_id", "cvec")
+          .coalesce(1).write.parquet(s"$tmp/centroids")
+        cb.zipWithIndex.flatMap { case (sub, b) =>
+            sub.zipWithIndex.map { case (cent, j) => (b, j, cent.toSeq) }
+          }.toSeq
+          .toDF("b", "j", "cent")
+          .coalesce(1).write.parquet(s"$tmp/codebook")
+        if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost a race: reuse
+      }
+    }
+    dir.toString
+  }
+
+  /** Top-k over the persisted IVF+PQ index: ADC over the probed lists' codes
+    * builds a `rerank`-deep shortlist per query (the index's raw bytes never
+    * hold a vector), then the shortlist — |Q|·rerank ids, broadcast — is
+    * re-scored with exact cosine against `corpus` (the FAISS refine stage):
+    * one more corpus scan with a broadcast semi-join, raw vectors never
+    * shuffle. Returns (qid, rk, cid, cos). */
+  def queryIvfPq(spark: SparkSession, indexDir: String, corpus: DataFrame,
+                 queries: DataFrame, qidCol: String, idCol: String,
+                 vecCol: String, k: Int, nprobe: Int = 4,
+                 rerank: Int = 50): DataFrame = {
+    val cents: Array[Array[Double]] = spark.read
+      .parquet(s"$indexDir/centroids").orderBy("list_id")
+      .select(col("cvec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cbRows = spark.read.parquet(s"$indexDir/codebook")
+      .orderBy("b", "j")
+      .select(col("b"), col("j"), col("cent").cast("array<double>")).collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val qRows = queries.select(col(qidCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "queryIvfPq requires a non-empty query set")
+    // Probe set is driver-known (|Q|·nprobe ints) → static partition filter.
+    val probed = qRows.flatMap { case (_, qv) =>
+      NearestCentroids.nearest(qv, cents, math.min(nprobe, cents.length))
+    }.distinct
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(probed.map(Int.box): _*))
+    val qTables = Similarity.adcQueryTables(spark, qRows, cb)
+    val qProbe = qTables.sparkSession.createDataFrame(
+        qRows.flatMap { case (qid, qv) =>
+          NearestCentroids.nearest(qv, cents, math.min(nprobe, cents.length))
+            .map(l => (qid, l))
+        }.toSeq).toDF("qid", "list_id")
+      .join(qTables, Seq("qid"))
+    // ADC over probed codes only: the join key is the partition column, the
+    // broadcast side is model-sized, and each row costs m array lookups.
+    val scored = lists.join(broadcast(qProbe), Seq("list_id"))
+      .select(col("qid"), col("cid"),
+        (-Similarity.adcDist(m, ksub)).as("cos"))
+    val shortlist = TopK.topKPerQuery(scored, rerank).select("qid", "cid")
+    // Refine: exact cosine on just the shortlist vectors.
+    val q = queries.select(col(qidCol).cast("long").as("qid"),
+      col(vecCol).as("qvec"))
+    val cand = shortlist.join(q, Seq("qid"))
+    val rescored = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      .join(broadcast(cand), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
+    TopK.topKPerQuery(rescored, k)
+  }
+
+  /** Streaming index maintenance: a `writeStream.foreachBatch` sink that
+    * assigns each newly ingested micro-batch with the index's own coarse
+    * centroids (read once per sink, model-sized) and appends it into the
+    * partitioned inverted file — closing the ingest loop on the build-once /
+    * query-many index. Each append adds new parquet files under the matching
+    * `list_id=` partition dirs; existing files are never rewritten, and
+    * queries pick the new rows up on their next scan (plain
+    * partition-discovery semantics — no index rebuild). Vectors are cast to
+    * `array<double>`, the lists' built schema.
+    *
+    * Idempotent under foreachBatch's at-least-once re-delivery: each epoch
+    * leaves a marker file after its append commits, and a re-delivered (or
+    * restarted-without-checkpoint) epoch that finds its marker is skipped —
+    * without this, a replayed batch would double its vectors in the lists and
+    * duplicate ids would crowd true neighbors out of top-k results. One
+    * maintainer stream per index (epoch ids are the stream's own).
+    * Re-centering over drift is [[graft.streaming.StreamOps.StreamingKMeans]]'s
+    * job: when its centroids wander far from the index's, rebuild with a new
+    * variant token. */
+  def ivfAppender(spark: SparkSession, indexDir: String, idCol: String,
+                  vecCol: String): (DataFrame, Long) => Unit = {
+    val cents: Array[Array[Double]] = spark.read
+      .parquet(s"$indexDir/centroids").orderBy("list_id")
+      .select(col("cvec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    (batch: DataFrame, epoch: Long) => {
+      val marker = new Path(s"$indexDir/_ingested_epoch_$epoch")
+      val fs = marker.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker) && !batch.isEmpty) {
+        batch.select(col(idCol).cast("long").as("cid"),
+            col(vecCol).cast("array<double>").as("cvec"))
+          .select(
+            element_at(NearestCentroids.column(col("cvec"), cents, 1), 1)
+              .as("list_id"),
+            col("cid"), col("cvec"))
+          .write.mode("append").partitionBy("list_id")
+          .parquet(s"$indexDir/lists")
+        fs.create(marker, true).close()
+      }
+    }
+  }
+
   /** Top-k cosine over the persisted index, probing `nprobe` lists per query.
     * Returns (qid, rk, cid, cos) like the other similarity operators. */
   def queryIvf(spark: SparkSession, indexDir: String, queries: DataFrame,

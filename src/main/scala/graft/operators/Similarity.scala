@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.NearestCentroids
@@ -224,18 +224,40 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
     val cb = cbOpt.getOrElse(pqCodebook(m, ksub, subDim))
-    // Encode: per subspace, the plan-constant NearestCentroids argmin over the
-    // slice — m narrow kernels in one projection, no join, no shuffle.
-    val codeCols = (0 until m).map { b =>
-      element_at(NearestCentroids.column(
-        slice(col("cvec"), b * subDim + 1, subDim), cb(b), 1), 1).as(s"c$b")
-    }
     val encoded = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .select(col("cid") +: codeCols: _*)
-    // dtable(b)(j) = Σ_i (q_slice_i − cb(b)(j)(i))², accumulated in i order
-    // (the same fold the oracle replays).
+      .select(col("cid") +: pqCodeCols(col("cvec"), cb): _*)
+    val qTables = adcQueryTables(spark, qRows, cb)
+    val scored = encoded.crossJoin(broadcast(qTables))
+      .select(col("qid"), col("cid"), (-adcDist(m, ksub)).as("cos"))
+    TopK.topKPerQuery(scored, k)
+      .select(col("qid"), col("rk"), col("cid"), (-col("cos")).as("adist"))
+  }
+
+  /** c0..c{m-1} PQ code columns (1-based) for `vec` under `cb`: per subspace,
+    * the plan-constant [[NearestCentroids]] argmin over the slice — m narrow
+    * kernels in one projection, no join, no shuffle. Shared by the in-memory
+    * ADC path and the persisted IVF+PQ index build. */
+  private[operators] def pqCodeCols(vec: Column,
+                                    cb: Array[Array[Array[Double]]]): Seq[Column] = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    (0 until m).map { b =>
+      element_at(NearestCentroids.column(
+        slice(vec, b * subDim + 1, subDim), cb(b), 1), 1).as(s"c$b")
+    }
+  }
+
+  /** Broadcastable (qid, dtable) query-side distance tables, computed
+    * driver-side: dtable(b)(j) = Σ_i (q_slice_i − cb(b)(j)(i))², accumulated
+    * in i order (the same fold the oracle replays), flattened b-major. */
+  private[operators] def adcQueryTables(spark: SparkSession,
+                                        qRows: Array[(Long, Array[Double])],
+                                        cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val ksub = cb(0).length
+    val subDim = cb(0)(0).length
     import spark.implicits._
-    val qTables = qRows.map { case (qid, qv) =>
+    qRows.map { case (qid, qv) =>
       val flat = new Array[Double](m * ksub)
       var b = 0
       while (b < m) {
@@ -255,15 +277,13 @@ object Similarity {
       }
       (qid, flat)
     }.toSeq.toDF("qid", "dtable")
-    // ADC score: Σ_b dtable[b·ksub + code_b], summed in subspace order. The
-    // codes index a small literal-backed array — cheap per row even in the
-    // interpreted HOF path; the heavy vectors never reach this join.
-    val adist = (0 until m).map(b =>
+  }
+
+  /** ADC distance: Σ_b dtable[b·ksub + c_b], summed in subspace order. The
+    * codes index a small broadcast-backed array — cheap per row; the heavy
+    * vectors never reach the join this scores. */
+  private[operators] def adcDist(m: Int, ksub: Int): Column =
+    (0 until m).map(b =>
         element_at(col("dtable"), lit(b * ksub) + col(s"c$b")))
       .reduce(_ + _)
-    val scored = encoded.crossJoin(broadcast(qTables))
-      .select(col("qid"), col("cid"), (-adist).as("cos"))
-    TopK.topKPerQuery(scored, k)
-      .select(col("qid"), col("rk"), col("cid"), (-col("cos")).as("adist"))
-  }
 }

@@ -462,6 +462,26 @@ object Pipelines {
     recallVerdict(exact, approx, need = 9)
   }
 
+  /** Persisted-IVF+PQ-index recall gate: inverted lists hold m-byte PQ codes
+    * (never raw vectors — the ~64×-smaller on-disk FAISS IVFPQ layout), the
+    * query path ADCs only the probed partitions into a 50-deep shortlist,
+    * and the shortlist re-ranks by exact cosine against the corpus. Same
+    * planted ground truth and verdict oracle as the other trained gates. */
+  val simIvfPqIndexRecall: Q = (s, dir) => {
+    val corpus = plantedClusters(s, dir)
+    val q = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, corpus,
+      "vec_id", "vec_id", "embedding", k = 10).select("qid", "cid")
+    val idx = graft.operators.AnnIndex.ivfPqIndexDir(corpus,
+      s"$dir/embeddings.parquet", "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, iters = 3, seed = 42L,
+      variant = "planted_v1")
+    val approx = graft.operators.AnnIndex.queryIvfPq(s, idx, corpus, q,
+        "vec_id", "vec_id", "embedding", k = 10, nprobe = 4, rerank = 50)
+      .select("qid", "cid")
+    recallVerdict(exact, approx, need = 9)
+  }
+
   /** The recall verdicts' DuckDB twin: every planted center must pass. */
   val simTrainedRecallSql: String =
     """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
@@ -705,6 +725,7 @@ object Pipelines {
     "sim_ivf_trained_recall" -> simIvfTrainedRecall,
     "sim_pq_trained_recall" -> simPqTrainedRecall,
     "sim_ivf_index_recall" -> simIvfIndexRecall,
+    "sim_ivfpq_index_recall" -> simIvfPqIndexRecall,
     "text_stats" -> textStats,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
@@ -727,6 +748,7 @@ object Pipelines {
     "sim_ivf_trained_recall" -> simTrainedRecallSql,
     "sim_pq_trained_recall" -> simTrainedRecallSql,
     "sim_ivf_index_recall" -> simTrainedRecallSql,
+    "sim_ivfpq_index_recall" -> simTrainedRecallSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_quality" -> textQualitySql,

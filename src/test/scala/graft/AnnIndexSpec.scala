@@ -49,4 +49,38 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"index recall@10 $recall < 0.9")
     corpus.unpersist()
   }
+
+  test("IVF+PQ index: lists hold codes only, pruned ADC + refine, recall@10 >= 0.9") {
+    val corpus = clustered.cache()
+    val queries = corpus.filter($"vec_id" % 40 === 0)
+    val dir = AnnIndex.ivfPqIndexDir(corpus, "mem://ann_index_spec", "vec_id",
+      "embedding", nlist = 8, m = 8, ksub = 16, iters = 3, seed = 42L,
+      variant = "spec_pq_v1")
+    assert(dir == AnnIndex.ivfPqIndexDir(corpus, "mem://ann_index_spec",
+      "vec_id", "embedding", nlist = 8, m = 8, ksub = 16, iters = 3,
+      seed = 42L, variant = "spec_pq_v1"))
+
+    // The space win is structural: the inverted lists persist ONLY
+    // (cid, c0..c{m-1}) — no vector column anywhere in the on-disk schema.
+    val listCols = spark.read.parquet(s"$dir/lists").columns.toSet
+    assert(listCols == (Set("cid", "list_id") ++ (0 until 8).map(b => s"c$b")),
+      listCols.toString)
+
+    val got = AnnIndex.queryIvfPq(spark, dir, corpus, queries,
+      "vec_id", "vec_id", "embedding", k = 10, nprobe = 2, rerank = 30)
+    val p = got.queryExecution.executedPlan.toString
+    // ADC scan: static partition pruning on list_id; refine: broadcast join
+    // fetching only shortlist vectors (no shuffle of the corpus side).
+    assert(p.contains("PartitionFilters: [list_id"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+
+    val exact = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val approx = got.select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.length
+    assert(recall >= 0.9, s"ivfpq index recall@10 $recall < 0.9")
+    corpus.unpersist()
+  }
 }

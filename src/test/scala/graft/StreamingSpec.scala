@@ -211,4 +211,52 @@ class StreamingSpec extends AnyFunSuite {
         s"centroids failed to track the drift: ${maxGap(skm.centroids, 0.6)}")
     } finally query.stop()
   }
+
+  test("streaming ingest appends into the persisted IVF index; " +
+    "vectors from later micro-batches are retrievable (recall@10 >= 0.9)") {
+    import graft.operators.{AnnIndex, Similarity}
+    def mix(a: Long, b: Long): Double =
+      (Math.floorMod(a * 2654435761L + b * 40503L + 12345L, 100000L)
+        .toDouble / 100000.0 - 0.5) * 2.0
+    // 8 separated clusters in R^16; the first 15 points of each cluster are
+    // the build-time corpus, the remaining 25 arrive as two micro-batches.
+    def pt(c: Int, p: Int): (Long, Seq[Double]) = {
+      val id = (c * 40 + p).toLong
+      (id, (0 until 16).map(i => mix(c * 31L + 7, i) + 0.1 * mix(id * 131L + 3, i)))
+    }
+    val initial = (for (c <- 0 until 8; p <- 0 until 15) yield pt(c, p))
+      .toDF("vec_id", "embedding")
+    val batch1 = for (c <- 0 until 8; p <- 15 until 28) yield pt(c, p)
+    val batch2 = for (c <- 0 until 8; p <- 28 until 40) yield pt(c, p)
+
+    val dir = AnnIndex.ivfIndexDir(initial, "mem://stream_append_spec",
+      "vec_id", "embedding", nlist = 8, iters = 3, seed = 42L,
+      variant = "stream_v2") // v2: fresh dir after the pre-marker append format
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val query = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(AnnIndex.ivfAppender(spark, dir, "vec_id", "embedding"))
+      .start()
+    try {
+      mem.addData(batch1: _*); query.processAllAvailable()
+      mem.addData(batch2: _*); query.processAllAvailable()
+    } finally query.stop()
+
+    // Ground truth over the FULL corpus (built + both ingested batches): the
+    // exact top-10 of each cluster center is dominated by late-arriving
+    // points, so recall requires the appended rows to be found in the index.
+    val full = (for (c <- 0 until 8; p <- 0 until 40) yield pt(c, p))
+      .toDF("vec_id", "embedding")
+    val queries = full.filter($"vec_id" % 40 === 39) // ingested-in-batch-2 ids
+    val exact = Similarity.bruteForceTopK(queries, full,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = AnnIndex.queryIvf(spark, dir, queries, "vec_id", "embedding",
+        k = 10, nprobe = 2)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.length
+    assert(recall >= 0.9, s"post-append recall@10 $recall < 0.9")
+  }
 }
