@@ -140,4 +140,37 @@ object TextFns {
     val toks = split(lower(trim(c)), "\\s+")
     size(filter(toks, t => t.isInCollection(langMarkers(lang))))
   }
+
+  // ---- PII detection / redaction (training-data-pipeline extension) ---------
+  //
+  // Pattern-based PII scrubbing — the standard pre-training hygiene pass
+  // (emails / IPv4 / phone-shaped strings → fixed placeholder tokens). The
+  // regexes are deliberately RE2-safe (no lookaround, no backreferences) so
+  // the identical pattern runs in Spark (Java regex) and the DuckDB oracle
+  // (RE2) with the same matches; everything is codegen'd `regexp_*` — no UDF.
+
+  /** Email addresses ("user@host.tld", alpha TLD so IPv4 hosts don't match). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 literals. */
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** International-style phone numbers: '+' then ≥8 digits allowing separators
+    * (the leading '+' keeps IPv4 and bare ids out of scope). */
+  val PhoneRe: String = "\\+\\d[\\d ()-]{6,}\\d"
+
+  /** Occurrence count of `re` in `c` (codegen'd regexp_count). */
+  def countPattern(c: Column, re: String): Column =
+    regexp_count(c, lit(re)).cast("long")
+
+  /** Replace every email/phone/IPv4 with a placeholder token. Order matters
+    * and is part of the contract: emails first (their local parts may contain
+    * digits a later pattern could nibble), then phones (longest digit spans),
+    * then IPs. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 }

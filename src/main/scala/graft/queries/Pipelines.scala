@@ -710,7 +710,167 @@ object Pipelines {
       .orderBy("batch_id")
   }
 
+  // ---- Decontamination / PII / TF-IDF / mixture (pipeline extensions) -------
+
+  /** Benchmark decontamination: training docs (doc_id ≥ 10) sharing word
+    * 4-grams with the "benchmark" set (doc_id < 10) — the eval-leak scrub
+    * run before training ([[graft.operators.Decontam]]). [SQL] */
+  val decontamOverlap: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Decontam.overlap(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
+  /** [[decontamOverlap]] twin: 4-gram join on shingle STRINGS — the hash
+    * join's collision-free replay, same precedent as dedup_ngram_jaccard. */
+  val decontamOverlapSql: String =
+    s"""WITH $toksCte,
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i
+       |        FROM toksraw WHERE len(w) >= 4) q),
+       |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id < 10),
+       |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 10)
+       |SELECT t.doc_id, count(DISTINCT t.sh) AS hits,
+       |  count(DISTINCT e.eval_id) AS eval_docs
+       |FROM tr t JOIN ev e ON e.sh = t.sh
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** PII scrub over deterministically planted contacts: the synthetic corpus
+    * carries no natural PII, so the query plants one email/IPv4/phone per doc
+    * from its id (the plantedClusters device) and then runs the real
+    * match-count + placeholder-redaction chain
+    * ([[graft.functions.TextFns.redactPii]] — codegen'd regexp, no UDF). [SQL] */
+  val textPii: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com from 10."), pmod(col("doc_id"), lit(256L)),
+          lit(".0.1 call +1 555 "),
+          (lit(1000L) + pmod(col("doc_id"), lit(9000L)))).as("txt"))
+      .select(col("doc_id"),
+        TextFns.countPattern(col("txt"), TextFns.EmailRe).as("n_email"),
+        TextFns.countPattern(col("txt"), TextFns.Ipv4Re).as("n_ip"),
+        TextFns.countPattern(col("txt"), TextFns.PhoneRe).as("n_phone"),
+        length(col("txt")).cast("long").as("raw_len"),
+        length(TextFns.redactPii(col("txt"))).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+
+  /** [[textPii]] twin: the same RE2-safe regexes verbatim (that's the point
+    * of keeping them lookaround-free), counts via regexp_extract_all, the
+    * same replace order with the 'g' flag. */
+  val textPiiSql: String = {
+    def cnt(re: String) =
+      s"CAST(len(regexp_extract_all(txt, '$re')) AS BIGINT)"
+    s"""WITH p AS (SELECT doc_id, text || ' contact user' ||
+       |    CAST(doc_id AS VARCHAR) || '@example.com from 10.' ||
+       |    CAST(doc_id % 256 AS VARCHAR) || '.0.1 call +1 555 ' ||
+       |    CAST(1000 + doc_id % 9000 AS VARCHAR) AS txt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  ${cnt(TextFns.EmailRe)} AS n_email,
+       |  ${cnt(TextFns.Ipv4Re)} AS n_ip,
+       |  ${cnt(TextFns.PhoneRe)} AS n_phone,
+       |  CAST(length(txt) AS BIGINT) AS raw_len,
+       |  CAST(length(regexp_replace(regexp_replace(regexp_replace(txt,
+       |    '${TextFns.EmailRe}', '<EMAIL>', 'g'),
+       |    '${TextFns.PhoneRe}', '<PHONE>', 'g'),
+       |    '${TextFns.Ipv4Re}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-doc top-5 terms by tf-idf. The idf is the rational surrogate
+    * (N+1)/(df+1) — one exact integer product and one IEEE division, so both
+    * engines compute bit-identical scores (ln() is libm-dependent, NOT
+    * guaranteed correctly rounded, and would poison the hash compare at
+    * rounding boundaries; the surrogate is order-isomorphic to +idf for
+    * ranking). The per-doc rank is a window PARTITIONED BY doc_id —
+    * high-cardinality partitioning, each partition one doc's vocabulary, so
+    * it scales where a global window would not. [SQL] */
+  val textTfidf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"),
+        explode(TextFns.words(TextFns.cleanText(col("text"),
+          removePunctuation = true))).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("word")).crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs").cast("double") + 1.0) /
+          (col("df").cast("double") + 1.0))
+    scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("word"))))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("word"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val textTfidfSql: String = {
+    val clean = Duck.clean("text", punct = true)
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($clean, ' ')) AS word
+       |  FROM documents),
+       |w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (SELECT t.doc_id, t.word,
+       |    CAST(t.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) + 1.0)
+       |      / (CAST(d.df AS DOUBLE) + 1.0) AS score
+       |  FROM tf t JOIN dfreq d USING (word) CROSS JOIN n),
+       |r AS (SELECT doc_id, word, score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM scored)
+       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, round(score, 6) AS tfidf
+       |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
+  }
+
+  /** Per-source mixture weights: the up/down-sampling factor per domain that
+    * hits a uniform token share across sources — the domain-mixing step a
+    * pipeline runs before interleaving corpora. One combinable agg over the
+    * corpus; the 20-row per-source table is pinned and self-joined against
+    * its own 1-row totals (at 100 TB the corpus is scanned ONCE). [SQL] */
+  val mixWeights: Q = (s, dir) => {
+    val per = Tables.documents(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .localCheckpoint()
+    val tot = per.agg(sum("n_tokens").as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"),
+          6).as("token_share"),
+        round(col("tot_tokens").cast("double") /
+            (col("n_sources").cast("double") * col("n_tokens").cast("double")),
+          6).as("uniform_weight"))
+      .orderBy("source")
+  }
+
+  val mixWeightsSql: String = {
+    val ws = """'\s+'"""
+    s"""WITH per AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(regexp_split_to_array(text, $ws))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_tokens) AS tot_tokens, count(*) AS n_sources FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+       |    AS token_share,
+       |  round(CAST(tot_tokens AS DOUBLE) /
+       |    (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+       |    AS uniform_weight
+       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "decontam_overlap" -> decontamOverlap,
+    "text_pii" -> textPii,
+    "text_tfidf" -> textTfidf,
+    "mix_weights" -> mixWeights,
     "dedup_exact" -> dedupExact,
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -734,6 +894,10 @@ object Pipelines {
     "drift_ddm" -> driftDdm)
 
   val oracles: Map[String, String] = Map(
+    "decontam_overlap" -> decontamOverlapSql,
+    "text_pii" -> textPiiSql,
+    "text_tfidf" -> textTfidfSql,
+    "mix_weights" -> mixWeightsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
