@@ -162,4 +162,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p)
   }
+
+  test("decontamination: eval shingles broadcast; the corpus never sort-merge-joins") {
+    val docs = Tables.documents(spark, sf)
+    val df = graft.operators.Decontam.overlap(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+      "doc_id", "text", n = 4)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_pii is one scan-side projection: no shuffle, no join, all codegen'd regexp") {
+    val p = plan(Pipelines.textPii(spark, sf).limit(10))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    // regexp_count/replace run inside whole-stage codegen, not a UDF
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("tf-idf: tf aggregation is partial+final; rank window is doc-partitioned and group-limited") {
+    val p = plan(Pipelines.textTfidf(spark, sf))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    // the window must be partitioned by doc_id (never a global single-partition window)
+    assert(p.contains("windowspecdefinition(doc_id#"), p)
+    // and the rk<=5 filter must push into the window as a partial group limit,
+    // so each map task forwards ≤5 rows per doc instead of the full vocabulary
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), p)
+  }
 }
