@@ -877,7 +877,82 @@ object Pipelines {
        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  /** End-to-end training-data preparation — the full prep DAG as ONE query,
+    * proving the operator suite composes: Gopher/C4 quality gate → near-dup
+    * drop (cluster non-canonicals keep only the min-id representative) →
+    * benchmark decontamination → token-budget packing of the survivors into
+    * 512-token blocks. One row per training candidate (doc_id ≥ 10) with its
+    * full disposition; bin_id is null for dropped docs. Each stage is the
+    * SAME operator the standalone queries run (memoized pair graph included),
+    * so this is composition, not re-implementation. [SQL — the component
+    * twins nested as subqueries and stitched]. */
+  val pipelinePrep: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") >= 10)
+    val quality = textQuality(s, dir).select("doc_id", "quality_ok")
+    val dups = dedupClusters(s, dir)
+      .select(col("doc_id"), (col("cluster_id") =!= col("doc_id")).as("dup0"))
+    val contam = decontamOverlap(s, dir)
+      .select(col("doc_id"), lit(true).as("cont0"))
+    val flagged = docs
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(quality, Seq("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), col("quality_ok"),
+        coalesce(col("dup0"), lit(false)).as("is_dup"),
+        coalesce(col("cont0"), lit(false)).as("contaminated"))
+      .withColumn("keep",
+        col("quality_ok") && !col("is_dup") && !col("contaminated"))
+      .localCheckpoint() // two consumers: the packed survivors + the final join
+    val packed = graft.operators.Pack.packByBudget(
+        flagged.filter(col("keep")).select("doc_id", "n_toks"),
+        "doc_id", "n_toks", budget = 512L)
+      .select(col("doc_id"), col("bin_id"))
+    flagged.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks").as("n_tokens"), col("quality_ok"),
+        col("is_dup"), col("contaminated"), col("keep"), col("bin_id"))
+      .orderBy("doc_id")
+  }
+
+  val pipelinePrepSql: String = {
+    val ws = """'\s+'"""
+    s"""SELECT f.doc_id, f.n_tokens, f.quality_ok, f.is_dup, f.contaminated,
+       |  (f.quality_ok AND NOT f.is_dup AND NOT f.contaminated) AS keep,
+       |  p.prev // 512 AS bin_id
+       |FROM (
+       |  SELECT b.doc_id, b.n_tokens, q.quality_ok,
+       |    coalesce(cl.cluster_id <> b.doc_id, FALSE) AS is_dup,
+       |    (dc.doc_id IS NOT NULL) AS contaminated
+       |  FROM (SELECT doc_id,
+       |      CAST(len(regexp_split_to_array(text, $ws)) AS BIGINT) AS n_tokens
+       |    FROM documents WHERE doc_id >= 10) b
+       |  JOIN (SELECT doc_id, quality_ok FROM ($textQualitySql)) q USING (doc_id)
+       |  LEFT JOIN (SELECT doc_id, cluster_id FROM ($dedupClustersSql)) cl
+       |    ON cl.doc_id = b.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM ($decontamOverlapSql)) dc
+       |    ON dc.doc_id = b.doc_id) f
+       |LEFT JOIN (
+       |  SELECT doc_id, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+       |  FROM (
+       |    SELECT b.doc_id, b.n_tokens
+       |    FROM (SELECT doc_id,
+       |        CAST(len(regexp_split_to_array(text, $ws)) AS BIGINT) AS n_tokens
+       |      FROM documents WHERE doc_id >= 10) b
+       |    JOIN (SELECT doc_id, quality_ok FROM ($textQualitySql)) q USING (doc_id)
+       |    LEFT JOIN (SELECT doc_id, cluster_id FROM ($dedupClustersSql)) cl
+       |      ON cl.doc_id = b.doc_id
+       |    LEFT JOIN (SELECT doc_id FROM ($decontamOverlapSql)) dc
+       |      ON dc.doc_id = b.doc_id
+       |    WHERE q.quality_ok AND NOT coalesce(cl.cluster_id <> b.doc_id, FALSE)
+       |      AND dc.doc_id IS NULL) k) p
+       |  ON p.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_prep" -> pipelinePrep,
     "decontam_overlap" -> decontamOverlap,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
@@ -905,6 +980,7 @@ object Pipelines {
     "drift_ddm" -> driftDdm)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_prep" -> pipelinePrepSql,
     "decontam_overlap" -> decontamOverlapSql,
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,
