@@ -260,9 +260,12 @@ object Dedup {
       // (2) pointer jump: l ← l(l). Every label value is a node id (mins of
       // node ids), so the lookup join is total; labels only decrease.
       val lmap = prop.select(col("v").as("jk"), col("l").as("l2"))
+      // Lazy checkpoint: the convergence filter right below is the action
+      // that materializes this round's blocks — eager would run a separate
+      // job per round just to write them.
       val next = prop.join(lmap, prop("l") === lmap("jk"))
         .select(col("v"), col("l2").as("l"), col("lp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       done = next.filter(col("l") =!= col("lp")).isEmpty
       labels = next.select("v", "l")
       it += 1
