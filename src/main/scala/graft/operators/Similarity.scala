@@ -200,6 +200,43 @@ object Similarity {
     TopK.topKPerQuery(scored, k)
   }
 
+  /** Random-projection top-k (Johnson–Lindenstrauss): project both sides to
+    * `targetDim` with a seeded dense matrix (the integer-mix family, shipped
+    * as a plan constant through the [[graft.expressions.MatVecProduct]]
+    * codegen kernel — one narrow projection, no join, no shuffle), take a
+    * `rerank`-deep shortlist by cosine in the reduced space, then re-rank the
+    * shortlist with exact full-dim cosine (broadcast fetch, as the PQ refine
+    * stage). The dimensionality-reduction scale path for very high-dim
+    * embeddings: the reduced corpus costs targetDim/dim of the scan + score,
+    * and the full-dim vectors are touched only for |Q|·rerank rows.
+    * Verified by recall gates (ScalaTest + the sim_rp_topk verdict oracle). */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, qidCol: String,
+             idCol: String, vecCol: String, k: Int, targetDim: Int,
+             seed: Long = 42L, rerank: Int = 50): DataFrame = {
+    val dim = queries.select(col(vecCol)).head().getSeq[Double](0).length
+    val scale = 1.0 / math.sqrt(targetDim.toDouble)
+    val w = Array.tabulate(targetDim, dim) { (r, i) =>
+      (Math.floorMod(seed * 7919L + r * 2654435761L + i * 40503L + 12345L,
+        100000L).toDouble / 100000.0 - 0.5) * 2.0 * scale
+    }
+    def reduced(df: DataFrame, id: String, out: String): DataFrame =
+      df.select(col(id), VecFns.matApply(w, col(vecCol).cast("array<double>"))
+        .as(out))
+    val shortlist = bruteForceTopK(
+        reduced(queries, qidCol, "rvec"), reduced(corpus, idCol, "rvec"),
+        qidCol, idCol, "rvec", rerank)
+      .select("qid", "cid")
+    val q = queries.select(col(qidCol).cast("long").as("qid"),
+      col(vecCol).as("qvec"))
+    val cand = shortlist.join(q, Seq("qid"))
+    val rescored = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      .join(broadcast(cand), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        VecFns.cosine(col("qvec"), col("cvec")).as("cos"))
+    TopK.topKPerQuery(rescored, k)
+  }
+
   /** PQ-ADC core with an optional explicit codebook (`None` → the
     * deterministic [[pqCodebook]] family sized from the query dim, keeping
     * the oracled [[pqTopK]] bit-replayable). */

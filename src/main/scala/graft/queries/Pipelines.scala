@@ -493,6 +493,28 @@ object Pipelines {
     recallVerdict(exact, approx, need = 9)
   }
 
+  /** Random-projection recall gate: the 64-dim planted vectors reduce to 32
+    * dims through a seeded JL matrix (2× cheaper scan+score), a 150-deep
+    * reduced-space shortlist re-ranks by exact full-dim cosine, and ≥ 9 of
+    * each exact top-10 must survive — the dimensionality-reduction scale
+    * path verified like the quantizer gates. The shortlist depth is sized to
+    * the JL error at k=32 on THIS corpus (noisy copies sit at ~0.8 cosine to
+    * their center, so the exact-top-10 borderline is within the ±1/√32
+    * inner-product error — 100 measurably misses members, 150 recovers all);
+    * operationally the contract is the ABSOLUTE |Q|·rerank fetch, which at
+    * real corpus sizes is a vanishing fraction of a scan. */
+  val simRpTopK: Q = (s, dir) => {
+    val corpus = plantedClusters(s, dir)
+    val q = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, corpus,
+      "vec_id", "vec_id", "embedding", k = 10).select("qid", "cid")
+    val approx = Similarity.rpTopK(q, corpus,
+        "vec_id", "vec_id", "embedding", k = 10, targetDim = 32,
+        seed = 42L, rerank = 150)
+      .select("qid", "cid")
+    recallVerdict(exact, approx, need = 9)
+  }
+
   /** The recall verdicts' DuckDB twin: every planted center must pass. */
   val simTrainedRecallSql: String =
     """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
@@ -972,6 +994,7 @@ object Pipelines {
     "sim_pq_trained_recall" -> simPqTrainedRecall,
     "sim_ivf_index_recall" -> simIvfIndexRecall,
     "sim_ivfpq_index_recall" -> simIvfPqIndexRecall,
+    "sim_rp_topk" -> simRpTopK,
     "text_stats" -> textStats,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
@@ -1000,6 +1023,7 @@ object Pipelines {
     "sim_pq_trained_recall" -> simTrainedRecallSql,
     "sim_ivf_index_recall" -> simTrainedRecallSql,
     "sim_ivfpq_index_recall" -> simTrainedRecallSql,
+    "sim_rp_topk" -> simTrainedRecallSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_quality" -> textQualitySql,
