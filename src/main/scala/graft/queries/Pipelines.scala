@@ -973,8 +973,46 @@ object Pipelines {
        |ORDER BY f.doc_id""".stripMargin
   }
 
+  // ---- Skew toolkit, oracled (salting must be RESULT-invisible) -------------
+
+  /** Salted fact⋈dim join + aggregate: the salted plan must produce results
+    * hash-identical to the plain join the oracle runs — salting is a physical
+    * rewrite, invisible in the output. numSalts=8 spreads each hot orderkey
+    * over 8 shuffle partitions (the explicit fallback for skew AQE can't
+    * re-plan, e.g. a replicated build side). [SQL — plain join]. */
+  val skewSaltedJoin: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("okey"),
+      col("l_quantity"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+      col("o_orderpriority"))
+    graft.operators.Skew.saltedJoin(li, ord, Seq("okey"), numSalts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Salted exact distinct-count: the two-stage (key, hash(value)%salts)
+    * pre-aggregation must equal a plain COUNT(DISTINCT) — each distinct value
+    * lands in exactly one salt bucket, so the per-bucket counts sum exactly.
+    * [SQL — plain count distinct]. */
+  val skewDistinctCount: Q = (s, dir) =>
+    graft.operators.Skew.saltedDistinctCount(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_partkey", numSalts = 8)
+      .orderBy("l_returnflag")
+
+  val skewDistinctCountSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_prep" -> pipelinePrep,
+    "skew_salted_join" -> skewSaltedJoin,
+    "skew_distinct_count" -> skewDistinctCount,
     "decontam_overlap" -> decontamOverlap,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
@@ -1004,6 +1042,8 @@ object Pipelines {
 
   val oracles: Map[String, String] = Map(
     "pipeline_prep" -> pipelinePrepSql,
+    "skew_salted_join" -> skewSaltedJoinSql,
+    "skew_distinct_count" -> skewDistinctCountSql,
     "decontam_overlap" -> decontamOverlapSql,
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,

@@ -259,4 +259,32 @@ class StreamingSpec extends AnyFunSuite {
     val recall = exact.count(got.contains).toDouble / exact.length
     assert(recall >= 0.9, s"post-append recall@10 $recall < 0.9")
   }
+
+  test("streaming prep front door: quality gate + watermark dedup compose on a stream") {
+    import graft.functions.TextFns
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val good = ("worker value " * 15).trim                 // 30 tokens, len-5/5 words
+    val bad = "tiny doc"                                   // fails the n_tokens >= 20 gate
+    // the batch quality expressions run unchanged on the stream (stateless
+    // projection), feeding the stateful watermark dedup — the ingest shape of
+    // the pipeline_prep front stages
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val gated = StreamOps.dedupWithinWatermark(docs, "doc_id", "10 minutes")
+      .withColumn("n_tokens", TextFns.tokenCount(col("text")))
+      .withColumn("quality_ok", col("n_tokens") >= 20)
+    val query = gated.writeStream.format("memory").queryName("prep_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), 1L, good), (ts(1), 2L, bad))
+      query.processAllAvailable()
+      mem.addData((ts(2), 1L, good), (ts(3), 3L, good)) // id 1 re-delivered
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("prep_stream")
+      .select("doc_id", "quality_ok").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, true), (2L, false), (3L, true)), rows.mkString(","))
+  }
 }
