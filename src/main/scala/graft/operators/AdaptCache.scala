@@ -27,7 +27,7 @@ import graft.embed.EmbeddingProvider
   * a ≤topK-row parquet instead. */
 object AdaptCache {
 
-  private[operators] def digestOf(parts: Seq[String]): String =
+  private[graft] def digestOf(parts: Seq[String]): String =
     MessageDigest.getInstance("SHA-256")
       .digest(parts.mkString("|").getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString

@@ -200,6 +200,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-document duplicated-span stats: how much of each doc is made of
+    * `window`-token runs that also occur verbatim in some OTHER document —
+    * the substring-duplication signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") used to trim boilerplate
+    * and templated spans that doc-level near-dup misses entirely (two
+    * different pages sharing a nav header are NOT near-dups, but the header
+    * is still memorization fuel).
+    *
+    * Output: (id, n_windows, n_dup) — every stride-1 window of `window`
+    * tokens, and how many of them hash-match a window in another doc.
+    *
+    * Scale design: windows never materialize as strings past the map side —
+    * each becomes one 64-bit xxhash, so the shuffle carries (id, wh) 16-byte
+    * rows, ≈ one row per corpus token (linear, the same budget as the shingle
+    * suite). Cross-doc occurrence is a keyed count over (id, wh) groups —
+    * no pair join at all, unlike the Jaccard path. The exact-suffix-array
+    * construction the paper uses is a single-machine algorithm; hashed
+    * fixed-length windows are its standard distributed surrogate.
+    * [SQL oracle: the same windows compared as strings]. */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 16): DataFrame = {
+    val wins = docs
+      .select(col(idCol).as("id"),
+        TextFns.normTokens(TextFns.cleanText(col(textCol),
+          removePunctuation = true)).as("toks"))
+      .select(col("id"),
+        explode(TextFns.shinglesFromTokens(col("toks"), window)).as("win"))
+      .select(col("id"), xxhash64(col("win")).as("wh"))
+    // (id, wh, n): reused by totals, the dup-hash dim, and the dup count
+    val perDocHash = wins.groupBy("id", "wh").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val dup = perDocHash.groupBy("wh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("wh") // count = distinct docs here
+    val nDup = perDocHash.join(dup, Seq("wh"), "left_semi")
+      .groupBy("id").agg(sum("n").as("n_dup"))
+    perDocHash.groupBy("id").agg(sum("n").as("n_windows"))
+      .join(nDup, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH bucketing (see
     * [[Similarity.signBits]]): candidates share a sign-LSH bucket, verified by
     * exact cosine ≥ threshold. Linear candidate generation — no full cross join. */

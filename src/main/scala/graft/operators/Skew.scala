@@ -44,6 +44,35 @@ object Skew {
     l.join(r, keys :+ "__salt").drop("__salt")
   }
 
+  /** Hot-key-only salted join — the production form of [[saltedJoin]]:
+    * replication cost proportional to the skew, not to the table.
+    *
+    * One partial+final count aggregate over the left side finds the keys
+    * with ≥ `hotThreshold` rows (map-side combine means the hot key itself
+    * costs the count nothing); that key dim is small by the definition of
+    * "hot", so it broadcasts to tag both sides. Hot left rows scatter over
+    * `numSalts` salt buckets and hot right rows replicate `numSalts`×; cold
+    * keys pass through in salt bucket 0 with NO replication. With no hot
+    * keys the plan degrades to the plain join plus one broadcast of an
+    * empty dim. */
+  def saltedJoinSkewed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       numSalts: Int, hotThreshold: Long): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    val hot = left.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= hotThreshold)
+      .select(keys.map(col) :+ lit(true).as("__hot"): _*)
+    val lSalt = pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(numSalts))
+    val l = left.join(broadcast(hot), keys, "left")
+      .withColumn("__salt",
+        when(col("__hot"), lSalt).otherwise(lit(0L)))
+      .drop("__hot")
+    val r = right.join(broadcast(hot), keys, "left")
+      .withColumn("__salt", explode(sequence(lit(0L),
+        when(col("__hot"), lit(numSalts - 1L)).otherwise(lit(0L)))))
+      .drop("__hot")
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
   /** Exact per-group distinct counts with the distinct pre-aggregation salted:
     * stage 1 groups by (key, hash(value) % numSalts) so each distinct value
     * lands in exactly one salt bucket; stage 2 sums the per-bucket distinct

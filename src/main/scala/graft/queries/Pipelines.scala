@@ -146,6 +146,33 @@ object Pipelines {
        |SELECT cc.doc_id, cc.cluster_id, sz.csize
        |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  /** Duplicated-span fraction per doc: stride-1 16-token windows that recur
+    * verbatim in another document ([[Dedup.spanDupStats]]) — the
+    * substring-level dedup signal doc-level near-dup misses. [SQL — same
+    * windows compared as strings (join-on-hash vs join-on-string, the
+    * dedup_ngram_jaccard precedent)]. */
+  val dedupSpanFraction: Q = (s, dir) =>
+    Dedup.spanDupStats(Tables.documents(s, dir), "doc_id", "text", window = 16)
+      .select(col("id").as("doc_id"), col("n_windows"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_windows"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+
+  val dedupSpanFractionSql: String =
+    s"""WITH $toksCte,
+       |wins AS (
+       |  SELECT doc_id, array_to_string(w[i:i+15], ' ') AS win
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 14)) AS i
+       |        FROM toksraw WHERE len(w) >= 16) q),
+       |perdh AS (SELECT doc_id, win, count(*) AS n FROM wins GROUP BY 1, 2),
+       |dup AS (SELECT win FROM perdh GROUP BY win HAVING count(*) >= 2),
+       |nd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_dup
+       |  FROM perdh JOIN dup USING (win) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_windows
+       |  FROM perdh GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_windows, COALESCE(nd.n_dup, 0) AS n_dup,
+       |  round(CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / t.n_windows, 6) AS dup_frac
+       |FROM tot t LEFT JOIN nd USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Shared token-list CTE text for the xxhash64-based dedup oracles (same
     * clean/split chain as [[dedupNgramJaccardSql]]). */
   private def toksCte: String = {
@@ -862,6 +889,51 @@ object Pipelines {
        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
   }
 
+  /** Unigram-frequency document score: the corpus-LM quality proxy (CCNet
+    * trains a real LM; the distributed two-pass shape is identical) — pass 1
+    * builds the corpus unigram table, pass 2 scores each doc by its tokens'
+    * corpus frequencies. Docs dominated by rare tokens (high `rare_frac`,
+    * low `mean_tok_freq`) are gibberish/OCR noise candidates; the score is
+    * a standard pre-training filter signal.
+    *
+    * Formulated integer-exactly (counts and count-sums, divided once at the
+    * end) so the oracle matches bit-for-bit — a log-prob mean would hang the
+    * hash on float summation order. Pass 2's token→count join keys on the
+    * word (vocabulary-sized right side; AQE broadcasts it when it fits);
+    * the per-doc rollup is a partial+final agg keyed on doc_id. [SQL] */
+  val textUnigramScore: Q = (s, dir) => {
+    val words = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextFns.words(TextFns.cleanText(col("text"),
+          removePunctuation = true))).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    words.join(counts, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"),
+        sum("cnt").as("sum_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_frac"),
+        round(col("sum_cnt").cast("double") / col("n_tokens"), 4).as("mean_tok_freq"))
+      .orderBy("doc_id")
+  }
+
+  val textUnigramScoreSql: String = {
+    val clean = Duck.clean("text", punct = true)
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($clean, ' ')) AS word
+       |  FROM documents),
+       |w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+       |c AS (SELECT word, count(*) AS cnt FROM w2 GROUP BY 1),
+       |s AS (SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |    CAST(sum(cnt) AS BIGINT) AS sum_cnt
+       |  FROM w2 JOIN c USING (word) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_rare,
+       |  round(CAST(n_rare AS DOUBLE) / n_tokens, 6) AS rare_frac,
+       |  round(CAST(sum_cnt AS DOUBLE) / n_tokens, 4) AS mean_tok_freq
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source mixture weights: the up/down-sampling factor per domain that
     * hits a uniform token share across sources — the domain-mixing step a
     * pipeline runs before interleaving corpora. One combinable agg over the
@@ -977,15 +1049,19 @@ object Pipelines {
 
   /** Salted fact⋈dim join + aggregate: the salted plan must produce results
     * hash-identical to the plain join the oracle runs — salting is a physical
-    * rewrite, invisible in the output. numSalts=8 spreads each hot orderkey
-    * over 8 shuffle partitions (the explicit fallback for skew AQE can't
-    * re-plan, e.g. a replicated build side). [SQL — plain join]. */
+    * rewrite, invisible in the output. Uses the hot-key-only form
+    * ([[graft.operators.Skew.saltedJoinSkewed]]): orderkeys with ≥ 5 line
+    * rows are salted over 8 buckets, the rest join untouched — so the oracle
+    * exercises BOTH the salted and the pass-through path in one result (the
+    * explicit fallback for skew AQE can't re-plan, e.g. a replicated build
+    * side). [SQL — plain join]. */
   val skewSaltedJoin: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("okey"),
       col("l_quantity"))
     val ord = Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
       col("o_orderpriority"))
-    graft.operators.Skew.saltedJoin(li, ord, Seq("okey"), numSalts = 8)
+    graft.operators.Skew.saltedJoinSkewed(li, ord, Seq("okey"),
+        numSalts = 8, hotThreshold = 5L)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
       .orderBy("o_orderpriority")
@@ -1009,13 +1085,49 @@ object Pipelines {
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- Bucketed layout: co-located join + agg, oracled --------------------
+
+  /** Fact⋈fact join over bucketed copies of lineitem/orders (see
+    * [[graft.sources.Bucketed]]): the per-order aggregation AND the
+    * orderkey join both run on bucket-aligned splits — no Exchange, no Sort
+    * before the merge join (pinned in PlanSpec); the only shuffle left is
+    * the 3-row status rollup. The write-once/join-free-forever layout is THE
+    * 100 TB answer for a fact table joined on its key every day; results
+    * must be hash-identical to the plain join the oracle runs. [SQL]. */
+  val bucketedJoin: Q = (s, dir) => {
+    val li = graft.sources.Bucketed.read(s, dir, "lineitem",
+      Seq("l_orderkey"), numBuckets = 8)
+    val ord = graft.sources.Bucketed.read(s, dir, "orders",
+      Seq("o_orderkey"), numBuckets = 8)
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("qty"))
+    perOrder.join(ord, perOrder("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("qty"), 2).as("total_qty"),
+        round(avg("n_lines"), 4).as("avg_lines"))
+      .orderBy("o_orderstatus")
+  }
+
+  val bucketedJoinSql: String =
+    """WITH per AS (
+      |  SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  round(sum(qty), 2) AS total_qty, round(avg(n_lines), 4) AS avg_lines
+      |FROM per JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_prep" -> pipelinePrep,
     "skew_salted_join" -> skewSaltedJoin,
     "skew_distinct_count" -> skewDistinctCount,
+    "bucketed_join" -> bucketedJoin,
     "decontam_overlap" -> decontamOverlap,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
+    "text_unigram_score" -> textUnigramScore,
+    "dedup_span_fraction" -> dedupSpanFraction,
     "mix_weights" -> mixWeights,
     "dedup_exact" -> dedupExact,
     "dedup_fingerprint" -> dedupFingerprint,
@@ -1044,9 +1156,12 @@ object Pipelines {
     "pipeline_prep" -> pipelinePrepSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "skew_distinct_count" -> skewDistinctCountSql,
+    "bucketed_join" -> bucketedJoinSql,
     "decontam_overlap" -> decontamOverlapSql,
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,
+    "text_unigram_score" -> textUnigramScoreSql,
+    "dedup_span_fraction" -> dedupSpanFractionSql,
     "mix_weights" -> mixWeightsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,

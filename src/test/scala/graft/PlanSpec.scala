@@ -182,6 +182,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("bucketed join: per-order agg and orderkey join run shuffle-free on bucket-aligned scans") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Pipelines.queries("bucketed_join")(spark, sf))
+      assert(p.contains("SortMergeJoin"), p)
+      // exactly ONE hash exchange in the whole plan — the 3-row status
+      // rollup; neither the per-order aggregation nor the orderkey join
+      // shuffles (both ride the bucket layout)
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("tf-idf: tf aggregation is partial+final; rank window is doc-partitioned and group-limited") {
     val p = plan(Pipelines.textTfidf(spark, sf))
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)

@@ -37,6 +37,20 @@ class SkewSpec extends AnyFunSuite {
     assert(salts == 8)
   }
 
+  test("saltedJoinSkewed equals the plain join; cold-only input stays unreplicated") {
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+    val salted = Skew.saltedJoinSkewed(left, right, Seq("k"),
+      numSalts = 8, hotThreshold = 100L) // only key 0 qualifies (1800 rows)
+    assert(salted.select("k", "lv", "rv").exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted.select("k", "lv", "rv")).count() == 0)
+    // with the threshold above every key's count, nothing is hot: results
+    // still match and no right row is replicated (pass-through degradation)
+    val cold = Skew.saltedJoinSkewed(left, right, Seq("k"),
+      numSalts = 8, hotThreshold = 10000L)
+    assert(cold.select("k", "lv", "rv").exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(cold.select("k", "lv", "rv")).count() == 0)
+  }
+
   test("saltedDistinctCount equals plain countDistinct per group") {
     val df = left.withColumn("v", concat(lit("u"), ($"lv" % 97).cast("string")))
     val plain = df.groupBy("k").agg(countDistinct("v").as("n_distinct"))
