@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Persisted exact-dedup fingerprint store for streaming ingest: drop every
+  * document whose text was EVER seen before — in corpus history, not just
+  * inside the stream's watermark (which is all
+  * [[graft.streaming.StreamOps.dedupWithinWatermark]] can promise). The
+  * continuous-crawl shape: yesterday's 100 TB corpus is history, today's
+  * micro-batches must not re-admit its documents.
+  *
+  * Layout: an append-only parquet table of 64-bit text fingerprints,
+  * `partitionBy(shard)` on the fingerprint's low byte, plus one Bloom-filter
+  * sidecar file per ingest epoch.
+  *
+  * Scale design — the point is what each micro-batch does NOT do:
+  *  - No full-store join. The union of epoch Bloom filters (loaded once per
+  *    sink, kept on the driver, ~1.2 GB per 10⁹ keys at 1% FPP) screens the
+  *    batch first; only possible-hits go to disk verification.
+  *  - Verification reads ONLY the store shards that contain a candidate —
+  *    `shard IN (...)` is a static partition filter over the candidates'
+  *    low bytes (a handful of dirs for a small candidate set), pinned by the
+  *    same partition-pruning contract as [[AnnIndex]].
+  *  - Survivors append as new files under their shard dirs; nothing is
+  *    rewritten, so the store grows like a log and concurrent readers are
+  *    never torn.
+  *  - Idempotent under foreachBatch at-least-once re-delivery via the
+  *    [[AnnIndex.ivfAppender]] epoch-marker protocol: a replayed epoch that
+  *    finds its marker is skipped (its fps are already stored — replaying
+  *    would drop the whole batch as "dup" AND double-append fingerprints).
+  */
+object FingerprintStore {
+
+  private val NumShards = 256
+
+  /** Fingerprint = xxhash64 of the raw text (the [[Dedup.fingerprint]]
+    * exact-dup key); shard = its low byte. */
+  private def fpCol(textCol: String) = xxhash64(col(textCol))
+
+  /** Seed (or extend) a store from a static corpus — the "yesterday's
+    * corpus" bulk load. One narrow projection + sharded write. */
+  def seed(docs: DataFrame, textCol: String, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fps = docs.select(fpCol(textCol).as("fp"))
+      .withColumn("shard", pmod(col("fp"), lit(NumShards)))
+      .distinct()
+    fps.write.mode("append").partitionBy("shard").parquet(s"$dir/fps")
+    writeBloom(fs, dir, "seed",
+      fps.stat.bloomFilter("fp", expectedNumItems = 1 << 20, fpp = 0.01))
+  }
+
+  private def writeBloom(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                         tag: String, bf: BloomFilter): Unit = {
+    val out = fs.create(new Path(s"$dir/bloom_$tag"), true)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  private def loadBlooms(spark: SparkSession, dir: String): Option[BloomFilter] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("bloom_"))
+    if (files.isEmpty) None
+    else Some(files.map { p =>
+      val in = fs.open(p)
+      try BloomFilter.readFrom(in) finally in.close()
+    }.reduce { (a, b) => a.mergeInPlace(b); a })
+  }
+
+  /** foreachBatch sink: pass each micro-batch's never-seen-before documents
+    * to `out` (at most one survivor per distinct text, min id wins) and
+    * record their fingerprints. `out` receives the batch's surviving rows
+    * with their original columns.
+    *
+    * `streamTag` scopes the idempotence markers to one logical stream:
+    * epoch ids restart at 0 for every NEW query, so a fresh stream over the
+    * same store must carry a fresh tag (a checkpoint-restarted query keeps
+    * both its epoch numbering and its tag, which is exactly when the marker
+    * must suppress the replay). */
+  def dedupSink(spark: SparkSession, dir: String, idCol: String,
+                textCol: String, streamTag: String = "stream")
+               (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    // Bloom union is loaded once per sink start and extended in memory as
+    // epochs commit — a restarted sink reloads the persisted sidecars.
+    var bloom: Option[BloomFilter] = loadBlooms(spark, dir)
+    (batch: DataFrame, epoch: Long) => {
+      val fs = new Path(dir).getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      val marker = new Path(s"$dir/_ingested_${streamTag}_epoch_$epoch")
+      if (!fs.exists(marker) && !batch.isEmpty) {
+        // one survivor per distinct text within the batch (min id)
+        val keyed = batch.withColumn("__fp", fpCol(textCol))
+        val firsts = keyed.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+          .join(keyed, Seq("__fp", idCol)) // tiny: batch-sized
+          .localCheckpoint()
+        // Bloom screen on the driver-held union: definite-new rows skip disk
+        val bf = bloom
+        val candidates = bf match {
+          case Some(b) =>
+            val possib = udf((fp: Long) => b.mightContainLong(fp))
+            firsts.filter(possib(col("__fp")))
+          case None => firsts.limit(0)
+        }
+        val candFps = candidates.select("__fp").collect().map(_.getLong(0))
+        // verify candidates against ONLY their shards (static partition filter)
+        val confirmed: Set[Long] =
+          if (candFps.isEmpty) Set.empty
+          else {
+            val shards = candFps.map(f => math.floorMod(f, NumShards).toLong)
+              .distinct.toSeq
+            spark.read.parquet(s"$dir/fps")
+              .filter(col("shard").isin(shards: _*))
+              .filter(col("fp").isin(candFps.toSeq: _*))
+              .select("fp").collect().map(_.getLong(0)).toSet
+          }
+        val isDup = udf((fp: Long) => confirmed.contains(fp))
+        val survivors = firsts.filter(!isDup(col("__fp"))).localCheckpoint()
+        out(survivors.drop("__fp"))
+        val newFps = survivors
+          .select(col("__fp").as("fp"),
+            pmod(col("__fp"), lit(NumShards)).as("shard"))
+        newFps.write.mode("append").partitionBy("shard").parquet(s"$dir/fps")
+        val epochBloom = newFps.stat.bloomFilter("fp",
+          expectedNumItems = 1 << 20, fpp = 0.01)
+        writeBloom(fs, dir, s"epoch_$epoch", epochBloom)
+        bloom = Some(bloom.fold(epochBloom) { b =>
+          b.mergeInPlace(epochBloom); b })
+        fs.create(marker, true).close()
+      }
+    }
+  }
+}

@@ -260,6 +260,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"post-append recall@10 $recall < 0.9")
   }
 
+  test("fingerprint store: ingest dedup drops corpus-history, in-batch, and cross-batch dups") {
+    import graft.operators.FingerprintStore
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpstore").toString
+    // "yesterday's corpus": doc text that must never be re-admitted
+    FingerprintStore.seed(
+      Seq((100L, "seen before")).toDF("doc_id", "text"), "text", dir)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink = FingerprintStore.dedupSink(spark, dir, "doc_id", "text",
+      streamTag = "run1") { df =>
+      got ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    val query = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      // 2 dups of history, an in-batch dup pair (min id 1 survives)
+      mem.addData((1L, "fresh one"), (2L, "seen before"), (3L, "fresh one"))
+      query.processAllAvailable()
+      // cross-batch dup of id 1's text + one genuinely new doc
+      mem.addData((4L, "fresh one"), (5L, "another new"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(got.sorted.toSeq == Seq(1L, 5L), got.mkString(","))
+    // a restarted sink reloads the persisted sidecars: same history applies
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink2 = FingerprintStore.dedupSink(spark, dir, "doc_id", "text",
+      streamTag = "run2") { df =>
+      got2 ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = mem2.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink2).start()
+    try {
+      mem2.addData((6L, "another new"), (7L, "brand new"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got2.sorted.toSeq == Seq(7L), got2.mkString(","))
+  }
+
   test("streaming prep front door: quality gate + watermark dedup compose on a stream") {
     import graft.functions.TextFns
     implicit val sqlCtx = spark.sqlContext
