@@ -80,6 +80,20 @@ object Pipelines {
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, threshold = 0.5).localCheckpoint())
 
+  /** Connected-components labels over [[jaccardPairs]], memoized like the
+    * pair graph itself: the label-propagation loop is the most iterative
+    * (= expensive) piece of the dedup chain and BOTH `dedup_clusters` and
+    * `pipeline_prep` consume the identical assignment — computing it once
+    * per (session, corpus) is the same shared-artifact contract as
+    * [[graft.operators.AdaptCache]]. */
+  private val ccMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def clusterAssignments(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ =>
+      Dedup.connectedComponents(jaccardPairs(s, dir).select("id_a", "id_b"))
+        .localCheckpoint())
+
   /** Exact word-3-shingle Jaccard pairs ≥ 0.5. [SQL] */
   val dedupNgramJaccard: Q = (s, dir) =>
     jaccardPairs(s, dir)
@@ -117,8 +131,7 @@ object Pipelines {
     * a~b, b~c into one cluster even when a~c never surfaced as a candidate.
     * [SQL — recursive-CTE reachability over the same pair set]. */
   val dedupClusters: Q = (s, dir) => {
-    val pairs = jaccardPairs(s, dir)
-    val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    val cc = clusterAssignments(s, dir)
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
     cc.join(sizes, Seq("cluster_id"))
       .select(col("id").as("doc_id"), col("cluster_id"), col("csize"))
