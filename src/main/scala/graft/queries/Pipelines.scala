@@ -1122,6 +1122,35 @@ object Pipelines {
       .orderBy("o_orderstatus")
   }
 
+  /** Z-order sort key over (partkey, suppkey) ([[graft.sources.Layout]]):
+    * first 20 lineitem rows in Morton order. The z-value IS the clustered
+    * layout's sort key — checking it bit-for-bit against the same
+    * mask-and-shift arithmetic in DuckDB pins the interleave the
+    * file-skipping layout depends on. [SQL — spread-bits replay]. */
+  val layoutZorder: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.sources.Layout.zorder(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy("z", "l_orderkey", "l_linenumber")
+      .limit(20)
+
+  val layoutZorderSql: String = {
+    def spread(in: String): String = {
+      val steps = Seq((16, "281470681808895"), (8, "71777214294589695"),
+        (4, "1085102592571150095"), (2, "3689348814741910323"),
+        (1, "6148914691236517205"))
+      steps.foldLeft(s"(CAST($in AS BIGINT) & 2147483647)") {
+        case (e, (sh, m)) => s"((($e | ($e << $sh)) & $m))"
+      }
+    }
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |  l_partkey, l_suppkey,
+       |  (${spread("l_partkey")} | (${spread("l_suppkey")} << 1)) AS z
+       |FROM lineitem
+       |ORDER BY z, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+  }
+
   val bucketedJoinSql: String =
     """WITH per AS (
       |  SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS qty
@@ -1136,6 +1165,7 @@ object Pipelines {
     "skew_salted_join" -> skewSaltedJoin,
     "skew_distinct_count" -> skewDistinctCount,
     "bucketed_join" -> bucketedJoin,
+    "layout_zorder" -> layoutZorder,
     "decontam_overlap" -> decontamOverlap,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
@@ -1170,6 +1200,7 @@ object Pipelines {
     "skew_salted_join" -> skewSaltedJoinSql,
     "skew_distinct_count" -> skewDistinctCountSql,
     "bucketed_join" -> bucketedJoinSql,
+    "layout_zorder" -> layoutZorderSql,
     "decontam_overlap" -> decontamOverlapSql,
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,
