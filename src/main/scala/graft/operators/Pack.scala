@@ -61,4 +61,24 @@ object Pack {
         expr(s"first_tok DIV $budget").as("bin_id"),
         pmod(col("first_tok"), lit(budget)).as("bin_offset"))
   }
+
+  /** Export packed training shards: the docs (payload columns intact) land
+    * under `shard=K/` dirs of `binsPerShard` consecutive blocks each, sorted
+    * by (bin_id, bin_offset) inside every file — so a trainer streams one
+    * shard dir sequentially and sees its blocks' docs in concatenation
+    * order. The write is one range shuffle on (shard, bin_id): each task
+    * emits whole shards, files never interleave shards, and shard count
+    * scales with the corpus while each dir stays trainer-loadable. */
+  def writeShards(docs: DataFrame, orderCol: String, tokCol: String,
+                  budget: Long, binsPerShard: Long, dir: String): Unit = {
+    require(binsPerShard > 0)
+    val packed = packByBudget(docs, orderCol, tokCol, budget)
+      .select(col(orderCol), col("bin_id"), col("bin_offset"))
+      .join(docs, Seq(orderCol))
+    packed
+      .withColumn("shard", expr(s"bin_id DIV $binsPerShard"))
+      .repartitionByRange(col("shard"), col("bin_id"), col("bin_offset"))
+      .sortWithinPartitions("shard", "bin_id", "bin_offset")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
 }

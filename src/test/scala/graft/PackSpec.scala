@@ -29,6 +29,29 @@ class PackSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShards: complete disjoint shard dirs, payload intact, in-shard order") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = lens(500).map { case (id, n) => (id, n, s"payload-$id") }
+      .toDF("doc_id", "n_toks", "text").repartition(7)
+    Pack.writeShards(docs, "doc_id", "n_toks", budget = 128L,
+      binsPerShard = 16L, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    assert(back.select("text").as[String].collect().toSet ==
+      (0 until 500).map(i => s"payload-$i").toSet)
+    // each shard holds exactly its bin range: max bin of shard k < min bin
+    // of shard k+1, and every bin DIV binsPerShard equals its shard
+    assert(back.filter(expr("bin_id DIV 16") =!= col("shard")).count() == 0)
+    val perShard = back.groupBy("shard")
+      .agg(min("bin_id").as("lo"), max("bin_id").as("hi"))
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    perShard.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   test("docs spanning a block boundary keep their first-token block") {
     val df = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("doc_id", "n")
     val got = Pack.packByBudget(df, "doc_id", "n", budget = 128L)
