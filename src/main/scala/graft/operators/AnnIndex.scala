@@ -118,14 +118,16 @@ object AnnIndex {
     * re-scored with exact cosine against `corpus` (the FAISS refine stage):
     * one more corpus scan with a broadcast semi-join, raw vectors never
     * shuffle. Returns (qid, rk, cid, cos). */
-  def queryIvfPq(spark: SparkSession, indexDir: String, corpus: DataFrame,
-                 queries: DataFrame, qidCol: String, idCol: String,
-                 vecCol: String, k: Int, nprobe: Int = 4,
-                 rerank: Int = 50): DataFrame = {
-    val cents: Array[Array[Double]] = spark.read
-      .parquet(s"$indexDir/centroids").orderBy("list_id")
+  /** The index's coarse centroids, ordered by list id (model-sized). */
+  private def loadCentroids(spark: SparkSession,
+                            indexDir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexDir/centroids").orderBy("list_id")
       .select(col("cvec").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
+
+  /** The index's PQ codebook as cb(b)(j) = sub-centroid (model-sized). */
+  private def loadCodebook(spark: SparkSession,
+                           indexDir: String): Array[Array[Array[Double]]] = {
     val cbRows = spark.read.parquet(s"$indexDir/codebook")
       .orderBy("b", "j")
       .select(col("b"), col("j"), col("cent").cast("array<double>")).collect()
@@ -133,6 +135,17 @@ object AnnIndex {
     val ksub = cbRows.map(_.getInt(1)).max + 1
     val cb = Array.ofDim[Array[Double]](m, ksub)
     cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    cb
+  }
+
+  def queryIvfPq(spark: SparkSession, indexDir: String, corpus: DataFrame,
+                 queries: DataFrame, qidCol: String, idCol: String,
+                 vecCol: String, k: Int, nprobe: Int = 4,
+                 rerank: Int = 50): DataFrame = {
+    val cents = loadCentroids(spark, indexDir)
+    val cb = loadCodebook(spark, indexDir)
+    val m = cb.length
+    val ksub = cb(0).length
     val qRows = queries.select(col(qidCol).cast("long").as("qid"),
         col(vecCol).cast("array<double>").as("qvec"))
       .collect()
@@ -190,10 +203,7 @@ object AnnIndex {
     * variant token. */
   def ivfAppender(spark: SparkSession, indexDir: String, idCol: String,
                   vecCol: String): (DataFrame, Long) => Unit = {
-    val cents: Array[Array[Double]] = spark.read
-      .parquet(s"$indexDir/centroids").orderBy("list_id")
-      .select(col("cvec").cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val cents = loadCentroids(spark, indexDir)
     (batch: DataFrame, epoch: Long) => {
       val marker = new Path(s"$indexDir/_ingested_epoch_$epoch")
       val fs = marker.getFileSystem(
@@ -205,6 +215,38 @@ object AnnIndex {
             element_at(NearestCentroids.column(col("cvec"), cents, 1), 1)
               .as("list_id"),
             col("cid"), col("cvec"))
+          .write.mode("append").partitionBy("list_id")
+          .parquet(s"$indexDir/lists")
+        fs.create(marker, true).close()
+      }
+    }
+  }
+
+  /** Streaming maintenance for the PQ-coded index ([[ivfPqIndexDir]]): same
+    * epoch-marker idempotence protocol as [[ivfAppender]], but each appended
+    * row is the coarse list assignment plus `m` sub-quantizer codes — the
+    * ingested vector itself never lands in the index, so on-disk growth
+    * stays ~50–100× below raw-vector appends at ingest rate. The refine
+    * stage ([[queryIvfPq]]) re-scores against the caller's corpus table,
+    * which the ingest pipeline appends separately; codebook and centroids
+    * are read once per sink (model-sized, plan constants thereafter).
+    * Codes drift as the data does — when [[graft.streaming.StreamOps.StreamingKMeans]]
+    * reports centroid wander, rebuild under a new variant token. */
+  def ivfPqAppender(spark: SparkSession, indexDir: String, idCol: String,
+                    vecCol: String): (DataFrame, Long) => Unit = {
+    val cents = loadCentroids(spark, indexDir)
+    val cb = loadCodebook(spark, indexDir)
+    (batch: DataFrame, epoch: Long) => {
+      val marker = new Path(s"$indexDir/_ingested_epoch_$epoch")
+      val fs = marker.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker) && !batch.isEmpty) {
+        val vec = col(vecCol).cast("array<double>")
+        val codeCols = Similarity.pqCodeCols(vec, cb).map(_.cast("int"))
+        batch.select(Seq(
+            element_at(NearestCentroids.column(vec, cents, 1), 1)
+              .as("list_id"),
+            col(idCol).cast("long").as("cid")) ++ codeCols: _*)
           .write.mode("append").partitionBy("list_id")
           .parquet(s"$indexDir/lists")
         fs.create(marker, true).close()

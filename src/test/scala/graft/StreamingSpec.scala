@@ -260,6 +260,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"post-append recall@10 $recall < 0.9")
   }
 
+  test("streaming ingest appends PQ codes into the persisted IVF+PQ index; " +
+    "later micro-batches retrievable through ADC + refine (recall@10 >= 0.9)") {
+    import graft.operators.{AnnIndex, Similarity}
+    def mix(a: Long, b: Long): Double =
+      (Math.floorMod(a * 2654435761L + b * 40503L + 12345L, 100000L)
+        .toDouble / 100000.0 - 0.5) * 2.0
+    def pt(c: Int, p: Int): (Long, Seq[Double]) = {
+      val id = (c * 40 + p).toLong
+      (id, (0 until 16).map(i => mix(c * 31L + 7, i) + 0.1 * mix(id * 131L + 3, i)))
+    }
+    val initial = (for (c <- 0 until 8; p <- 0 until 15) yield pt(c, p))
+      .toDF("vec_id", "embedding")
+    val batch1 = for (c <- 0 until 8; p <- 15 until 28) yield pt(c, p)
+    val batch2 = for (c <- 0 until 8; p <- 28 until 40) yield pt(c, p)
+
+    val dir = AnnIndex.ivfPqIndexDir(initial, "mem://stream_pq_append_spec",
+      "vec_id", "embedding", nlist = 8, m = 8, ksub = 16, iters = 3,
+      seed = 42L, variant = "stream_pq_v1")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val query = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(AnnIndex.ivfPqAppender(spark, dir, "vec_id", "embedding"))
+      .start()
+    try {
+      mem.addData(batch1: _*); query.processAllAvailable()
+      mem.addData(batch2: _*); query.processAllAvailable()
+    } finally query.stop()
+
+    val full = (for (c <- 0 until 8; p <- 0 until 40) yield pt(c, p))
+      .toDF("vec_id", "embedding")
+    val queries = full.filter($"vec_id" % 40 === 39) // ingested-in-batch-2 ids
+    val exact = Similarity.bruteForceTopK(queries, full,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // refine reads raw vectors from the caller-maintained corpus (built +
+    // ingested), the index itself holds only codes
+    val got = AnnIndex.queryIvfPq(spark, dir, full, queries, "vec_id",
+        "vec_id", "embedding", k = 10, nprobe = 2, rerank = 40)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.length
+    assert(recall >= 0.9, s"post-append PQ recall@10 $recall < 0.9")
+  }
+
   test("fingerprint store: ingest dedup drops corpus-history, in-batch, and cross-batch dups") {
     import graft.operators.FingerprintStore
     implicit val sqlCtx = spark.sqlContext
