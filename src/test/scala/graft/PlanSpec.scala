@@ -196,6 +196,29 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dedup_span_fraction: keyed aggregation only — no pair join, no window, no cross product") {
+    val p = plan(Pipelines.queries("dedup_span_fraction")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // dup detection is partial+final aggregation over (id, wh) groups
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("text_unigram_score: partial+final aggs; token->count join is never a loop join") {
+    val p = plan(Pipelines.queries("text_unigram_score")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("layout_zorder: global top-20 plans as TakeOrderedAndProject, interleave stays codegen'd") {
+    val p = plan(Pipelines.queries("layout_zorder")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
   test("tf-idf: tf aggregation is partial+final; rank window is doc-partitioned and group-limited") {
     val p = plan(Pipelines.textTfidf(spark, sf))
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
