@@ -211,23 +211,34 @@ object Dedup {
     * Output: (id, n_windows, n_dup) — every stride-1 window of `window`
     * tokens, and how many of them hash-match a window in another doc.
     *
-    * Scale design: windows never materialize as strings past the map side —
-    * each becomes one 64-bit xxhash, so the shuffle carries (id, wh) 16-byte
-    * rows, ≈ one row per corpus token (linear, the same budget as the shingle
-    * suite). Cross-doc occurrence is a keyed count over (id, wh) groups —
-    * no pair join at all, unlike the Jaccard path. The exact-suffix-array
-    * construction the paper uses is a single-machine algorithm; hashed
-    * fixed-length windows are its standard distributed surrogate.
-    * [SQL oracle: the same windows compared as strings]. */
+    * Scale design: windows never materialize as strings AT ALL — each token
+    * hashes once (codegen'd), and the window hash is one multi-column
+    * xxhash64 over `window` lead()s of the token-hash stream, so the whole
+    * chain stays inside whole-stage codegen (the HOF `transform`+`array_join`
+    * formulation is CodegenFallback and was 10× slower at sf0.1). The
+    * window runs PARTITIONED BY doc — high-cardinality, one narrow
+    * (id, pos, h) shuffle ≈ one 20-byte row per corpus token (linear, the
+    * same budget as the shingle suite). Cross-doc occurrence is a keyed
+    * count over (id, wh) groups — no pair join at all, unlike the Jaccard
+    * path. The exact-suffix-array construction the paper uses is a
+    * single-machine algorithm; hashed fixed-length windows are its standard
+    * distributed surrogate. [SQL oracle: the same windows compared as
+    * strings — hash-vs-string join parity, the dedup_ngram_jaccard
+    * precedent]. */
   def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
                    window: Int = 16): DataFrame = {
-    val wins = docs
+    val toks = docs
       .select(col(idCol).as("id"),
-        TextFns.normTokens(TextFns.cleanText(col(textCol),
-          removePunctuation = true)).as("toks"))
+        posexplode(TextFns.normTokens(TextFns.cleanText(col(textCol),
+          removePunctuation = true))).as(Seq("pos", "tok")))
+      .select(col("id"), col("pos"), xxhash64(col("tok")).as("h"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leadCols = (1 until window).map(i => lead(col("h"), i).over(w).as(s"h$i"))
+    val wins = toks
+      .select(col("id") +: col("h").as("h0") +: leadCols: _*)
+      .filter(col(s"h${window - 1}").isNotNull) // tail positions: no full window
       .select(col("id"),
-        explode(TextFns.shinglesFromTokens(col("toks"), window)).as("win"))
-      .select(col("id"), xxhash64(col("win")).as("wh"))
+        xxhash64((0 until window).map(i => col(s"h$i")): _*).as("wh"))
     // (id, wh, n): reused by totals, the dup-hash dim, and the dup count
     val perDocHash = wins.groupBy("id", "wh").agg(count(lit(1)).as("n"))
       .localCheckpoint()

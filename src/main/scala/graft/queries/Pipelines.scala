@@ -1151,6 +1151,19 @@ object Pipelines {
        |ORDER BY z, l_orderkey, l_linenumber LIMIT 20""".stripMargin
   }
 
+  /** Footer-only table stats ([[graft.sources.Stats]]): count + key ranges
+    * answered from parquet metadata via V2 aggregate pushdown — the "what's
+    * in this 100 TB table" query that must never cost a scan. [SQL]. */
+  val tableStats: Q = (s, dir) =>
+    graft.sources.Stats.tableStats(s, dir, "lineitem",
+      Seq("l_orderkey", "l_quantity"))
+
+  val tableStatsSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(l_orderkey) AS min_l_orderkey, max(l_orderkey) AS max_l_orderkey,
+      |  min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity
+      |FROM lineitem""".stripMargin
+
   val bucketedJoinSql: String =
     """WITH per AS (
       |  SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS qty
@@ -1160,12 +1173,53 @@ object Pipelines {
       |FROM per JOIN orders ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Per-source corpus health: the one-page summary a curator pulls before
+    * mixing — doc/token counts, quality pass rate, near-dup rate, language
+    * spread per source. Pure composition of already-oracled signals (the
+    * quality gate, the memoized cluster labels) over one corpus scan each;
+    * every column is an integer count, so the oracle is exact by
+    * construction. [SQL — component twins stitched]. */
+  val corpusHealth: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+    val quality = textQuality(s, dir).select("doc_id", "quality_ok")
+    val dups = dedupClusters(s, dir)
+      .select(col("doc_id"), (col("cluster_id") =!= col("doc_id")).as("is_dup"))
+    docs.join(quality, Seq("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum(col("quality_ok").cast("long")).as("n_quality_ok"),
+        sum(coalesce(col("is_dup"), lit(false)).cast("long")).as("n_dups"),
+        countDistinct("lang").as("n_langs"))
+      .orderBy("source")
+  }
+
+  val corpusHealthSql: String = {
+    val ws = """'\s+'"""
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       |  CAST(sum(CASE WHEN coalesce(cluster_id <> doc_id, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |FROM (SELECT doc_id, source, lang,
+       |    CAST(len(regexp_split_to_array(text, $ws)) AS BIGINT) AS n_toks
+       |  FROM documents) b
+       |JOIN (SELECT doc_id, quality_ok FROM ($textQualitySql)) q USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, cluster_id FROM ($dedupClustersSql)) cl USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_prep" -> pipelinePrep,
+    "corpus_health" -> corpusHealth,
     "skew_salted_join" -> skewSaltedJoin,
     "skew_distinct_count" -> skewDistinctCount,
     "bucketed_join" -> bucketedJoin,
     "layout_zorder" -> layoutZorder,
+    "table_stats" -> tableStats,
     "decontam_overlap" -> decontamOverlap,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
@@ -1197,10 +1251,12 @@ object Pipelines {
 
   val oracles: Map[String, String] = Map(
     "pipeline_prep" -> pipelinePrepSql,
+    "corpus_health" -> corpusHealthSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "skew_distinct_count" -> skewDistinctCountSql,
     "bucketed_join" -> bucketedJoinSql,
     "layout_zorder" -> layoutZorderSql,
+    "table_stats" -> tableStatsSql,
     "decontam_overlap" -> decontamOverlapSql,
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,

@@ -196,13 +196,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("dedup_span_fraction: keyed aggregation only — no pair join, no window, no cross product") {
+  test("dedup_span_fraction: doc-partitioned window, keyed aggs, no pair join or cross product") {
     val p = plan(Pipelines.queries("dedup_span_fraction")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("Window"), p)
-    // dup detection is partial+final aggregation over (id, wh) groups
+    // dup detection is partial+final aggregation over (id, wh) groups.
+    // (The sliding-window stage itself sits behind the operator's
+    // lineage-truncating checkpoint — its doc-partitioned shape is pinned
+    // by the fragment test below.)
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("span-dedup window fragment is doc-partitioned (never a global window)") {
+    import spark.implicits._
+    // the same projection spanDupStats builds ahead of its checkpoint
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id").as("id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val p = plan(toks.select(col("id"),
+      lead(xxhash64(col("tok")), 1).over(w).as("h1")))
+    assert(p.contains("windowspecdefinition(id#"), p)
   }
 
   test("text_unigram_score: partial+final aggs; token->count join is never a loop join") {
@@ -217,6 +232,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Pipelines.queries("layout_zorder")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("table_stats: count/min/max are answered from parquet footers (PushedAggregation)") {
+    val p = graft.sources.Stats.statsPlan(spark, sf, "lineitem",
+      Seq("l_orderkey", "l_quantity"))
+    assert(p.contains("PushedAggregation"), p)
   }
 
   test("tf-idf: tf aggregation is partial+final; rank window is doc-partitioned and group-limited") {

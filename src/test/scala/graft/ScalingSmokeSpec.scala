@@ -18,7 +18,8 @@ class ScalingSmokeSpec extends AnyFunSuite {
   private val watched = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "sim_lsh_topk", "sim_pq_topk",
-    "decontam_overlap", "text_tfidf", "text_pii")
+    "decontam_overlap", "text_tfidf", "text_pii",
+    "dedup_span_fraction", "text_unigram_score", "layout_zorder")
 
   private def time(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
