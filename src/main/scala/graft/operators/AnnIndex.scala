@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.NearestCentroids
@@ -66,9 +66,27 @@ object AnnIndex {
     * the lists here store only (cid, c0..c{m-1}) PQ codes, shrinking on-disk
     * bytes by ~dim·8 / m (≈ 64× at dim=64, m=8): the layout that makes a
     * 100 TB corpus' index fit on local disks. Codebook + coarse centroids
-    * ride as model-sized sidecars. One corpus pass: coarse-assign and
-    * PQ-encode in the SAME narrow projection, then `partitionBy(list_id)`.
-    * Content-digest keyed and atomically renamed like [[ivfIndexDir]]. */
+    * ride as model-sized sidecars. One corpus pass: coarse-assign,
+    * residual-compute ([[residualCol]]) and PQ-encode in the SAME narrow
+    * projection, then `partitionBy(list_id)`; the codebook is trained on
+    * the residuals it encodes (IVFADC), so the codes spend their bits on
+    * local displacement, not on position the coarse cells already capture.
+    * Content-digest keyed (format token `res1`) and atomically renamed
+    * like [[ivfIndexDir]]. */
+  /** residual = vec − coarse_centroid(list_id): what the PQ codes encode
+    * (Jégou et al. 2011's IVFADC). Residuals cluster around the origin
+    * regardless of which cell a vector sits in, so one codebook spends its
+    * ksub^m codewords on the local displacement instead of on the global
+    * position the coarse quantizer already captured — materially better
+    * codes at identical bytes. The centroid table rides as a plan-constant
+    * array literal (model-sized); the subtraction is one codegen'd
+    * zip_with. */
+  private def residualCol(vec: Column, cents: Array[Array[Double]],
+                          listId: Column): Column =
+    zip_with(vec,
+      element_at(typedLit(cents.map(_.toSeq).toSeq), listId.cast("int")),
+      (a, c) => a - c)
+
   def ivfPqIndexDir(corpus: DataFrame, corpusPath: String, idCol: String,
                     vecCol: String, nlist: Int = 16, m: Int = 8,
                     ksub: Int = 16, iters: Int = 3, seed: Long = 42L,
@@ -77,23 +95,27 @@ object AnnIndex {
     val digest = AdaptCache.digestOf(Seq(corpusPath,
       AdaptCache.corpusToken(spark, corpusPath), idCol, vecCol,
       nlist.toString, m.toString, ksub.toString, iters.toString,
-      seed.toString, variant))
+      seed.toString, "res1", variant)) // res1: residual-coded lists format
     val dir = new Path(AdaptCache.cacheRoot(spark), s"ivfpq_index_$digest")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) AdaptCache.synchronized {
       if (!fs.exists(dir)) {
         val cents = graft.ml.KMeansQuantizer.fit(corpus, idCol, vecCol,
           nlist, iters, seed)
-        val cb = graft.ml.KMeansQuantizer.fitProduct(corpus, idCol, vecCol,
-          m, ksub, iters, seed)
         val tmp = new Path(dir.getParent, s".ivfpq_index_$digest.tmp")
         fs.delete(tmp, true)
-        val codeCols = Similarity.pqCodeCols(col(vecCol), cb)
-          .map(_.cast("int"))
-        corpus.select(Seq(
+        val assigned = corpus.select(
             element_at(NearestCentroids.column(col(vecCol), cents, 1), 1)
               .as("list_id"),
-            col(idCol).as("cid")) ++ codeCols: _*)
+            col(idCol).as("cid"),
+            col(vecCol).cast("array<double>").as("cvec"))
+          .withColumn("res", residualCol(col("cvec"), cents, col("list_id")))
+        // codebook trained on the residuals it will encode
+        val cb = graft.ml.KMeansQuantizer.fitProduct(assigned, "cid", "res",
+          m, ksub, iters, seed)
+        val codeCols = Similarity.pqCodeCols(col("res"), cb)
+          .map(_.cast("int"))
+        assigned.select(Seq(col("list_id"), col("cid")) ++ codeCols: _*)
           .write.partitionBy("list_id").parquet(s"$tmp/lists")
         val spark2 = spark
         import spark2.implicits._
@@ -157,13 +179,17 @@ object AnnIndex {
     }.distinct
     val lists = spark.read.parquet(s"$indexDir/lists")
       .filter(col("list_id").isin(probed.map(Int.box): _*))
-    val qTables = Similarity.adcQueryTables(spark, qRows, cb)
-    val qProbe = qTables.sparkSession.createDataFrame(
+    // Codes encode residuals, so the ADC table is per (query, probed list):
+    // dtable over (q − centroid_l) against the residual codebook. Still
+    // |Q|·nprobe·m·ksub doubles — model-sized, broadcastable.
+    val qProbe = spark.createDataFrame(
         qRows.flatMap { case (qid, qv) =>
           NearestCentroids.nearest(qv, cents, math.min(nprobe, cents.length))
-            .map(l => (qid, l))
-        }.toSeq).toDF("qid", "list_id")
-      .join(qTables, Seq("qid"))
+            .map { l =>
+              val qres = Array.tabulate(qv.length)(i => qv(i) - cents(l - 1)(i))
+              (qid, l, Similarity.adcTableFor(qres, cb))
+            }
+        }.toSeq).toDF("qid", "list_id", "dtable")
     // ADC over probed codes only: the join key is the partition column, the
     // broadcast side is model-sized, and each row costs m array lookups.
     val scored = lists.join(broadcast(qProbe), Seq("list_id"))
@@ -242,11 +268,13 @@ object AnnIndex {
         batch.sparkSession.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker) && !batch.isEmpty) {
         val vec = col(vecCol).cast("array<double>")
-        val codeCols = Similarity.pqCodeCols(vec, cb).map(_.cast("int"))
-        batch.select(Seq(
+        val assigned = batch.select(
             element_at(NearestCentroids.column(vec, cents, 1), 1)
               .as("list_id"),
-            col(idCol).cast("long").as("cid")) ++ codeCols: _*)
+            col(idCol).cast("long").as("cid"), vec.as("cvec"))
+          .withColumn("res", residualCol(col("cvec"), cents, col("list_id")))
+        val codeCols = Similarity.pqCodeCols(col("res"), cb).map(_.cast("int"))
+        assigned.select(Seq(col("list_id"), col("cid")) ++ codeCols: _*)
           .write.mode("append").partitionBy("list_id")
           .parquet(s"$indexDir/lists")
         fs.create(marker, true).close()

@@ -290,30 +290,36 @@ object Similarity {
   private[operators] def adcQueryTables(spark: SparkSession,
                                         qRows: Array[(Long, Array[Double])],
                                         cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    qRows.map { case (qid, qv) => (qid, adcTableFor(qv, cb)) }
+      .toSeq.toDF("qid", "dtable")
+  }
+
+  /** One query's flattened ADC table: dtable(b·ksub + j) = Σ_i
+    * (q_slice_i − cb(b)(j)(i))², accumulated in i order. */
+  private[operators] def adcTableFor(qv: Array[Double],
+                                     cb: Array[Array[Array[Double]]]): Array[Double] = {
     val m = cb.length
     val ksub = cb(0).length
     val subDim = cb(0)(0).length
-    import spark.implicits._
-    qRows.map { case (qid, qv) =>
-      val flat = new Array[Double](m * ksub)
-      var b = 0
-      while (b < m) {
-        var j = 0
-        while (j < ksub) {
-          var s = 0.0
-          var i = 0
-          while (i < subDim) {
-            val d = qv(b * subDim + i) - cb(b)(j)(i)
-            s += d * d
-            i += 1
-          }
-          flat(b * ksub + j) = s
-          j += 1
+    val flat = new Array[Double](m * ksub)
+    var b = 0
+    while (b < m) {
+      var j = 0
+      while (j < ksub) {
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = qv(b * subDim + i) - cb(b)(j)(i)
+          s += d * d
+          i += 1
         }
-        b += 1
+        flat(b * ksub + j) = s
+        j += 1
       }
-      (qid, flat)
-    }.toSeq.toDF("qid", "dtable")
+      b += 1
+    }
+    flat
   }
 
   /** ADC distance: Σ_b dtable[b·ksub + c_b], summed in subspace order. The
