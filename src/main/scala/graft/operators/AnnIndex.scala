@@ -110,6 +110,10 @@ object AnnIndex {
             col(idCol).as("cid"),
             col(vecCol).cast("array<double>").as("cvec"))
           .withColumn("res", residualCol(col("cvec"), cents, col("list_id")))
+          // one corpus pass: fitProduct makes iters+1 passes over its input
+          // and the lists write one more — without the checkpoint each pass
+          // would re-run the coarse assignment + residual subtraction
+          .localCheckpoint()
         // codebook trained on the residuals it will encode
         val cb = graft.ml.KMeansQuantizer.fitProduct(assigned, "cid", "res",
           m, ksub, iters, seed)

@@ -17,9 +17,10 @@ import org.apache.spark.util.sketch.BloomFilter
   * sidecar file per ingest epoch.
   *
   * Scale design — the point is what each micro-batch does NOT do:
-  *  - No full-store join. The union of epoch Bloom filters (loaded once per
-  *    sink, kept on the driver, ~1.2 GB per 10⁹ keys at 1% FPP) screens the
-  *    batch first; only possible-hits go to disk verification.
+  *  - No full-store join. The per-seed/per-epoch Bloom filters (each sized
+  *    to its own insert count, ~1.2 GB per 10⁹ keys at 1% FPP in total,
+  *    loaded once per sink and broadcast to executors) screen the batch
+  *    first; only possible-hits go to disk verification.
   *  - Verification reads ONLY the store shards that contain a candidate —
   *    `shard IN (...)` is a static partition filter over the candidates'
   *    low bytes (a handful of dirs for a small candidate set), pinned by the
@@ -41,16 +42,24 @@ object FingerprintStore {
   private def fpCol(textCol: String) = xxhash64(col(textCol))
 
   /** Seed (or extend) a store from a static corpus — the "yesterday's
-    * corpus" bulk load. One narrow projection + sharded write. */
+    * corpus" bulk load. One narrow projection + sharded write; the corpus
+    * is scanned once (checkpointed before its two consumers). Each seed
+    * call writes its own uniquely-named Bloom sidecar sized to its own
+    * fingerprint count, so repeated seeds extend the screen instead of
+    * overwriting it. */
   def seed(docs: DataFrame, textCol: String, dir: String): Unit = {
     val spark = docs.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fps = docs.select(fpCol(textCol).as("fp"))
       .withColumn("shard", pmod(col("fp"), lit(NumShards)))
-      .distinct()
+      .distinct().localCheckpoint()
     fps.write.mode("append").partitionBy("shard").parquet(s"$dir/fps")
-    writeBloom(fs, dir, "seed",
-      fps.stat.bloomFilter("fp", expectedNumItems = 1 << 20, fpp = 0.01))
+    val n = fps.count()
+    if (n > 0) {
+      val tag = s"seed_${java.util.UUID.randomUUID().toString.take(8)}"
+      writeBloom(fs, dir, tag,
+        fps.stat.bloomFilter("fp", math.max(1024L, 2 * n), 0.01))
+    }
   }
 
   private def writeBloom(fs: org.apache.hadoop.fs.FileSystem, dir: String,
@@ -59,17 +68,22 @@ object FingerprintStore {
     try bf.writeTo(out) finally out.close()
   }
 
-  private def loadBlooms(spark: SparkSession, dir: String): Option[BloomFilter] = {
+  /** All persisted Bloom sidecars, one filter per seed/epoch. Kept as a
+    * LIST (a lookup checks each): Spark Bloom filters only merge at equal
+    * bit size, and each sidecar is sized to its own insert count — merging
+    * would force one global capacity and re-create the saturation problem
+    * sizing solves. Long-lived stores with many epochs compact by
+    * re-seeding into a fresh dir. */
+  private def loadBlooms(spark: SparkSession, dir: String): Seq[BloomFilter] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val files = fs.listStatus(root).map(_.getPath)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("bloom_"))
-    if (files.isEmpty) None
-    else Some(files.map { p =>
-      val in = fs.open(p)
-      try BloomFilter.readFrom(in) finally in.close()
-    }.reduce { (a, b) => a.mergeInPlace(b); a })
+      .map { p =>
+        val in = fs.open(p)
+        try BloomFilter.readFrom(in) finally in.close()
+      }.toSeq
   }
 
   /** foreachBatch sink: pass each micro-batch's never-seen-before documents
@@ -85,27 +99,33 @@ object FingerprintStore {
   def dedupSink(spark: SparkSession, dir: String, idCol: String,
                 textCol: String, streamTag: String = "stream")
                (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
-    // Bloom union is loaded once per sink start and extended in memory as
-    // epochs commit — a restarted sink reloads the persisted sidecars.
-    var bloom: Option[BloomFilter] = loadBlooms(spark, dir)
+    // The Bloom list is loaded once per sink start, BROADCAST to executors
+    // (a closure-captured filter would re-serialize with every task), and
+    // re-broadcast only when an epoch extends it.
+    val sc = spark.sparkContext
+    var blooms: Seq[BloomFilter] = loadBlooms(spark, dir)
+    var bloomBc = sc.broadcast(blooms.toArray)
     (batch: DataFrame, epoch: Long) => {
       val fs = new Path(dir).getFileSystem(
         batch.sparkSession.sparkContext.hadoopConfiguration)
       val marker = new Path(s"$dir/_ingested_${streamTag}_epoch_$epoch")
       if (!fs.exists(marker) && !batch.isEmpty) {
-        // one survivor per distinct text within the batch (min id)
+        // one survivor per distinct text within the batch (min id; the
+        // dropDuplicates guards against byte-identical re-delivered rows,
+        // which the min-id join alone would emit twice)
         val keyed = batch.withColumn("__fp", fpCol(textCol))
         val firsts = keyed.groupBy("__fp").agg(min(col(idCol)).as(idCol))
           .join(keyed, Seq("__fp", idCol)) // tiny: batch-sized
+          .dropDuplicates("__fp")
           .localCheckpoint()
-        // Bloom screen on the driver-held union: definite-new rows skip disk
-        val bf = bloom
-        val candidates = bf match {
-          case Some(b) =>
-            val possib = udf((fp: Long) => b.mightContainLong(fp))
+        // Bloom screen: definite-new rows skip disk entirely
+        val bc = bloomBc
+        val candidates =
+          if (bc.value.isEmpty) firsts.limit(0)
+          else {
+            val possib = udf((fp: Long) => bc.value.exists(_.mightContainLong(fp)))
             firsts.filter(possib(col("__fp")))
-          case None => firsts.limit(0)
-        }
+          }
         val candFps = candidates.select("__fp").collect().map(_.getLong(0))
         // verify candidates against ONLY their shards (static partition filter)
         val confirmed: Set[Long] =
@@ -125,11 +145,16 @@ object FingerprintStore {
           .select(col("__fp").as("fp"),
             pmod(col("__fp"), lit(NumShards)).as("shard"))
         newFps.write.mode("append").partitionBy("shard").parquet(s"$dir/fps")
-        val epochBloom = newFps.stat.bloomFilter("fp",
-          expectedNumItems = 1 << 20, fpp = 0.01)
-        writeBloom(fs, dir, s"epoch_$epoch", epochBloom)
-        bloom = Some(bloom.fold(epochBloom) { b =>
-          b.mergeInPlace(epochBloom); b })
+        val n = survivors.count()
+        if (n > 0) {
+          val epochBloom = newFps.stat.bloomFilter("fp",
+            math.max(1024L, 2 * n), 0.01)
+          writeBloom(fs, dir, s"${streamTag}_epoch_$epoch", epochBloom)
+          blooms = blooms :+ epochBloom
+          val old = bloomBc
+          bloomBc = sc.broadcast(blooms.toArray)
+          old.unpersist()
+        }
         fs.create(marker, true).close()
       }
     }

@@ -39,6 +39,14 @@ object Bucketed {
         val dir = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/"), tbl)
         val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a crashed writer leaves a dir without the commit marker — unlike
+        // the rename-committed index builds, saveAsTable has no atomic
+        // publish, so an unmarked dir must be treated as garbage, never
+        // re-registered (it would silently serve partial data)
+        if (fs.exists(dir) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+          fs.delete(dir, true)
+        }
         if (fs.exists(dir)) {
           // files survive the session but the in-memory catalog doesn't:
           // re-register an external table over them, bucket spec included

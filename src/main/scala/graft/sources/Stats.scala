@@ -17,24 +17,16 @@ import org.apache.spark.sql.functions._
   * session flags are restored. */
 object Stats {
 
-  /** (n_rows, min_<c>, max_<c> for each of `cols`) of `sfDir/name.parquet`,
-    * computed from footers. Falls back transparently to a normal scan only
-    * if the format can't serve a column from stats (e.g. nested types) —
-    * same answer, different cost. */
-  def tableStats(spark: SparkSession, sfDir: String, name: String,
-                 cols: Seq[String]): DataFrame = {
+  /** Run `body` with the V2 source + aggregate-pushdown flags on, restoring
+    * both afterwards. Everything the body builds must also EXECUTE inside
+    * it — a plan resolved later would miss the flags. */
+  private def withPushdownFlags[T](spark: SparkSession)(body: => T): T = {
     val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
     val prevAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
     spark.conf.set("spark.sql.sources.useV1SourceList", "")
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    try {
-      val aggs = count(lit(1)).cast("long").as("n_rows") +:
-        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      val df = Tables(spark, sfDir, name).agg(aggs.head, aggs.tail: _*)
-      val rows: Array[Row] = df.collect() // materialize under the V2 flags
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1), df.schema)
-    } finally {
+    try body
+    finally {
       spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
       prevAgg match {
         case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
@@ -43,25 +35,32 @@ object Stats {
     }
   }
 
+  private def statsAgg(spark: SparkSession, sfDir: String, name: String,
+                       cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).cast("long").as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    Tables(spark, sfDir, name).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (n_rows, min_<c>, max_<c> for each of `cols`) of `sfDir/name.parquet`,
+    * computed from footers. Falls back transparently to a normal scan only
+    * if the format can't serve a column from stats (e.g. nested types) —
+    * same answer, different cost. */
+  def tableStats(spark: SparkSession, sfDir: String, name: String,
+                 cols: Seq[String]): DataFrame =
+    withPushdownFlags(spark) {
+      val df = statsAgg(spark, sfDir, name, cols)
+      val rows: Array[Row] = df.collect() // materialize under the V2 flags
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+    }
+
   /** The plan the stats run under (for contract tests): built with the same
     * V2 + pushdown flags, returned WITHOUT executing. */
   private[graft] def statsPlan(spark: SparkSession, sfDir: String,
-                               name: String, cols: Seq[String]): String = {
-    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
-    val prevAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
-    spark.conf.set("spark.sql.sources.useV1SourceList", "")
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    try {
-      val aggs = count(lit(1)).cast("long").as("n_rows") +:
-        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      Tables(spark, sfDir, name).agg(aggs.head, aggs.tail: _*)
+                               name: String, cols: Seq[String]): String =
+    withPushdownFlags(spark) {
+      statsAgg(spark, sfDir, name, cols)
         .queryExecution.executedPlan.toString
-    } finally {
-      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
-      prevAgg match {
-        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
-        case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
-      }
     }
-  }
 }

@@ -325,8 +325,9 @@ class StreamingSpec extends AnyFunSuite {
       // 2 dups of history, an in-batch dup pair (min id 1 survives)
       mem.addData((1L, "fresh one"), (2L, "seen before"), (3L, "fresh one"))
       query.processAllAvailable()
-      // cross-batch dup of id 1's text + one genuinely new doc
-      mem.addData((4L, "fresh one"), (5L, "another new"))
+      // cross-batch dup of id 1's text + one genuinely new doc, delivered
+      // twice byte-identically (the foreachBatch replay shape)
+      mem.addData((4L, "fresh one"), (5L, "another new"), (5L, "another new"))
       query.processAllAvailable()
     } finally query.stop()
     assert(got.sorted.toSeq == Seq(1L, 5L), got.mkString(","))
