@@ -286,6 +286,57 @@ object AnnIndex {
     }
   }
 
+  /** Compact the inverted file: every appended micro-batch leaves one
+    * parquet file per touched list partition, so a long-running ingest
+    * turns each list into thousands of tiny files — and the per-query cost
+    * becomes file opens, not bytes scanned (the small-file problem; FAISS
+    * solves it by merging on-disk segments, log-structured stores by
+    * leveled compaction). Rewrites `lists/` with ONE file per list: a
+    * hash-repartition on `list_id` puts each list in exactly one task, so
+    * the write emits one file per (task, list). Schema-agnostic — raw
+    * (cid, cvec) and PQ-coded (cid, c0..cm) layouts compact identically.
+    *
+    * Swap protocol: the full rewrite lands in a temp dir first, then two
+    * renames publish it; a crash between them is healed by the recovery
+    * check on the next call. Run from the maintenance path that owns the
+    * index while no appender is active — same single-writer contract as
+    * rebuilding under a new variant; epoch markers are untouched, so an
+    * appender restarted afterwards still skips ingested epochs. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val lists = new Path(s"$indexDir/lists")
+    val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = new Path(s"$indexDir/.lists_precompact")
+    // crash recovery: a previous compact moved lists/ aside but died before
+    // publishing the rewrite — the original data is intact under prev
+    if (!fs.exists(lists) && fs.exists(prev)) require(fs.rename(prev, lists))
+    val tmp = new Path(s"$indexDir/.lists_compact.tmp")
+    fs.delete(tmp, true)
+    fs.delete(prev, true)
+    spark.read.parquet(lists.toString)
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").parquet(tmp.toString)
+    require(fs.rename(lists, prev), s"compact: cannot move $lists aside")
+    if (!fs.rename(tmp, lists)) {
+      fs.rename(prev, lists) // roll back; the old multi-file layout still works
+      throw new IllegalStateException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(prev, true)
+  }
+
+  /** Data-file count of the index's inverted file (compaction telemetry —
+    * the appender's files-per-epoch growth is what [[compact]] resets). */
+  def listFileCount(spark: SparkSession, indexDir: String): Int = {
+    val lists = new Path(s"$indexDir/lists")
+    val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(lists, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** Top-k cosine over the persisted index, probing `nprobe` lists per query.
     * Returns (qid, rk, cid, cos) like the other similarity operators. */
   def queryIvf(spark: SparkSession, indexDir: String, queries: DataFrame,

@@ -86,6 +86,57 @@ object FingerprintStore {
       }.toSeq
   }
 
+  /** Compact a long-lived store in place: fold the per-epoch Bloom sidecars
+    * into ONE filter sized to the store's true distinct count, and rewrite
+    * the fps table one file per shard (each epoch appends a file per touched
+    * shard — after 10⁴ epochs the screen is 10⁴ filter probes per lookup
+    * and the verify scan is file-opens, not bytes; same disease
+    * [[AnnIndex.compact]] cures for inverted lists).
+    *
+    * Crash ordering: the merged Bloom publishes BEFORE the old sidecars are
+    * deleted — at every instant the union of on-disk filters covers every
+    * stored fingerprint (extra filters only cost false positives, which the
+    * disk verify absorbs; a coverage GAP would let true dups through
+    * unverified). The fps rewrite then swaps via the
+    * aside-publish-heal protocol. Single-writer: run while no sink is
+    * active, like the index compactor; epoch markers are untouched. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpsDir = new Path(s"$dir/fps")
+    val prev = new Path(s"$dir/.fps_precompact")
+    if (!fs.exists(fpsDir) && fs.exists(prev)) require(fs.rename(prev, fpsDir))
+    if (!fs.exists(fpsDir)) return
+    val fps = spark.read.parquet(fpsDir.toString)
+      .select("fp", "shard").distinct()
+      .repartition(col("shard")).localCheckpoint()
+    val n = fps.count()
+    val oldBlooms = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("bloom_")).toSeq
+    writeBloom(fs, dir, s"compact_${java.util.UUID.randomUUID().toString.take(8)}",
+      fps.stat.bloomFilter("fp", math.max(1024L, 2 * n), 0.01))
+    oldBlooms.foreach(fs.delete(_, false))
+    val tmp = new Path(s"$dir/.fps_compact.tmp")
+    fs.delete(tmp, true)
+    fs.delete(prev, true)
+    fps.write.partitionBy("shard").parquet(tmp.toString)
+    require(fs.rename(fpsDir, prev), s"compact: cannot move $fpsDir aside")
+    if (!fs.rename(tmp, fpsDir)) {
+      fs.rename(prev, fpsDir)
+      throw new IllegalStateException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(prev, true)
+  }
+
+  /** Bloom-sidecar count (compaction telemetry: the screen costs one probe
+    * per sidecar per lookup). */
+  def bloomCount(spark: SparkSession, dir: String): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).count(_.getPath.getName.startsWith("bloom_"))
+  }
+
   /** foreachBatch sink: pass each micro-batch's never-seen-before documents
     * to `out` (at most one survivor per distinct text, min id wins) and
     * record their fingerprints. `out` receives the batch's surviving rows

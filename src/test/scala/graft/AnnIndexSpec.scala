@@ -83,4 +83,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ivfpq index recall@10 $recall < 0.9")
     corpus.unpersist()
   }
+
+  test("compact merges per-epoch append files into one per list; " +
+    "results are byte-identical before and after") {
+    val corpus = clustered.cache()
+    val initial = corpus.filter($"vec_id" % 40 < 20)
+    // fresh variant per run: the dir (and its epoch markers) is content-keyed
+    // and outlives the JVM — a reused dir would no-op the appends below
+    val dir = AnnIndex.ivfIndexDir(initial, "mem://ann_compact_spec",
+      "vec_id", "embedding", nlist = 8, iters = 3, seed = 42L,
+      variant = s"compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    // five appended epochs — each leaves a file per touched list
+    val append = AnnIndex.ivfAppender(spark, dir, "vec_id", "embedding")
+    for (e <- 0 until 5)
+      append(corpus.filter($"vec_id" % 40 === 20 + e), e.toLong)
+    val before = AnnIndex.listFileCount(spark, dir)
+    assert(before > 8, s"appends should fragment the lists, saw $before files")
+
+    val queries = corpus.filter($"vec_id" % 40 === 0)
+    def results() = AnnIndex.queryIvf(spark, dir, queries, "vec_id",
+        "embedding", k = 10, nprobe = 2)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+    val pre = results()
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.listFileCount(spark, dir) <= 8,
+      s"compact must leave at most one file per list")
+    assert(results() == pre, "compaction changed query results")
+    // idempotent: compacting a compacted index is a no-op rewrite
+    AnnIndex.compact(spark, dir)
+    assert(results() == pre)
+    corpus.unpersist()
+  }
 }

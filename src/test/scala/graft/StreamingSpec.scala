@@ -345,6 +345,31 @@ class StreamingSpec extends AnyFunSuite {
       q2.processAllAvailable()
     } finally q2.stop()
     assert(got2.sorted.toSeq == Seq(7L), got2.mkString(","))
+
+    // compact: sidecars fold to one, the fps table rewrites one file per
+    // shard — and a fresh sink over the compacted store must still reject
+    // every text it has ever admitted and admit genuinely new ones
+    assert(FingerprintStore.bloomCount(spark, dir) >= 3,
+      "seed + two committed epochs should have left >= 3 sidecars")
+    FingerprintStore.compact(spark, dir)
+    assert(FingerprintStore.bloomCount(spark, dir) == 1)
+    val got3 = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink3 = FingerprintStore.dedupSink(spark, dir, "doc_id", "text",
+      streamTag = "run3") { df =>
+      got3 ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = mem3.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink3).start()
+    try {
+      mem3.addData((8L, "seen before"), (9L, "fresh one"),
+        (10L, "brand new"), (11L, "post compact"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(got3.sorted.toSeq == Seq(11L), got3.mkString(","))
+    // idempotent: a second compact preserves behavior
+    FingerprintStore.compact(spark, dir)
+    assert(FingerprintStore.bloomCount(spark, dir) == 1)
   }
 
   test("streaming prep front door: quality gate + watermark dedup compose on a stream") {
