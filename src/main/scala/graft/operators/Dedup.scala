@@ -325,4 +325,53 @@ object Dedup {
     require(done, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("v").as("id"), col("l").as("cluster_id"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with a coarse
+    * quantizer, then prune cosine near-duplicates WITHIN each cluster.
+    * This finds the pairs sign-LSH bucketing ([[embeddingNearDup]]) misses
+    * when near-identical vectors straddle a plane, and inherits the paper's
+    * own trade: cross-cluster near-dups are invisible by design (the
+    * quantizer's resolution is the recall knob).
+    *
+    * Survivor rule: `id` is kept iff no same-cluster id < it has cosine ≥
+    * `threshold` — the same deterministic keep-smallest-id convention as the
+    * exact-dedup family. (The paper keeps the lowest-centroid-similarity
+    * example per group; that is a scoring preference, not a structural one,
+    * and min-id is exactly replayable by any engine.)
+    *
+    * Output: (id, cluster_id, kept).
+    *
+    * Scale design: assignment is ONE narrow plan-constant projection — the
+    * [[NearestCentroids]] codegen kernel, no centroid table join — and the
+    * pair search self-joins on `cluster_id` only, so pair work is
+    * Σ|cluster|², never corpus². Sizing nlist ∝ corpus size keeps clusters
+    * bounded (the paper runs 50k clusters at web scale); a cluster hot
+    * enough to skew the join is a quantizer-resolution problem first and a
+    * [[Skew]]-salting candidate second. The assignment is checkpointed so
+    * the quantizer runs once for its three consumers (both join sides and
+    * the output frame). */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]],
+                    threshold: Double): DataFrame = {
+    val assigned = embs
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("cluster_id",
+        element_at(graft.expressions.NearestCentroids.column(
+          col("vec"), centroids, 1), 1).cast("long"))
+      .localCheckpoint()
+    val a = assigned.select(col("cluster_id"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = assigned.select(col("cluster_id"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    val dups = a.join(b, Seq("cluster_id"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(graft.functions.VecFns.cosine(col("vec_a"), col("vec_b"))
+        >= threshold)
+      .select(col("id_a").as("id")).distinct()
+    assigned.select("id", "cluster_id")
+      .join(dups.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster_id"), col("dup").isNull.as("kept"))
+  }
 }

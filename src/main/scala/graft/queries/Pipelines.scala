@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -288,6 +289,54 @@ object Pipelines {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
   }
+
+  /** SemDeDup over the same planted corpus as [[dedupEmbedding]]:
+    * deterministic first-16 coarse centroids (the [[simIvfTopK]] pick),
+    * within-cluster cosine ≥ 0.9 prune, keep-smallest-id. Every planted
+    * noisy copy should lose to its original unless the noise pushed it
+    * across a cluster boundary — which the oracle replays identically. */
+  val dedupSemantic: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      graft.functions.VecFns.addPseudoNoise(
+        col("embedding"), col("vec_id"), lit(0.05)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val cents: Array[Array[Double]] = corpus.orderBy("vec_id").limit(16)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    Dedup.semanticDedup(corpus, "vec_id", "embedding", cents, threshold = 0.9)
+      .select(col("id").as("vec_id"), col("cluster_id"), col("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[dedupSemantic]]: same planted corpus, centroids =
+    * first 16 by id, assignment ranked by (squared-L2 asc, list_id asc)
+    * like the NearestCentroids kernel, same unrounded ≥ 0.9 cosine gate
+    * (the [[dedupEmbedding]] float-parity precedent). */
+  val dedupSemanticSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000 AS vec_id,
+       |         ${Duck.pseudoNoise("embedding", "vec_id", "0.05")} AS embedding
+       |  FROM embeddings WHERE vec_id < 20),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+       |    embedding AS cvec
+       |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)),
+       |ad AS (SELECT e.vec_id, e.embedding, c.list_id,
+       |    ${Duck.l2Sq("e.embedding", "c.cvec")} AS d2
+       |  FROM corpus e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, embedding, list_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk FROM ad)
+       |  WHERE rk = 1),
+       |dup AS (SELECT DISTINCT a.vec_id FROM assign a JOIN assign b
+       |  ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+       |  WHERE ${Duck.cosine("a.embedding", "b.embedding")} >= 0.9)
+       |SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS cluster_id,
+       |  (d.vec_id IS NULL) AS kept
+       |FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   // ---- Similarity search ----------------------------------------------------
 
@@ -590,6 +639,77 @@ object Pipelines {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Dynamic threshold selection: per-source EXACT token-count quantiles
+    * (p10/p50/p90) by rank selection, plus how many docs the p10 cutoff
+    * would drop — the calibration step quality pipelines run before fixing
+    * filter thresholds (per-source, because a cutoff tuned on web text
+    * guts a code or reference corpus).
+    *
+    * Scale design: rank selection, NOT Spark's exact `percentile` aggregate
+    * — that buffers every value of a group on one executor (a 100 TB
+    * group OOMs it); t-digest `approx_percentile` is the other scale path
+    * when 1e-3 error is acceptable, but its sketch isn't engine-portable.
+    * Here: one source-partitioned sort-window numbers the rows (partitioned
+    * window, never global), the per-source counts broadcast back, and the
+    * three quantiles fall out of one conditional aggregation over the rows
+    * that sit exactly at rank ceil(q·n) — integer-exact, so the oracle
+    * compares BIGINTs, not interpolated doubles. [SQL] */
+  val qualityQuantiles: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("source"),
+      col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+    val w = Window.partitionBy("source").orderBy("n_toks", "doc_id")
+    val ranked = docs.withColumn("rn", row_number().over(w))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val withN = ranked.join(broadcast(counts), Seq("source"))
+    def atQ(q: Double) = ceil(lit(q) * col("n")).cast("long")
+    val cuts = withN
+      .filter(col("rn") === atQ(0.1) || col("rn") === atQ(0.5) ||
+        col("rn") === atQ(0.9))
+      .groupBy("source").agg(
+        max(when(col("rn") === atQ(0.1), col("n_toks"))).as("p10_tokens"),
+        max(when(col("rn") === atQ(0.5), col("n_toks"))).as("p50_tokens"),
+        max(when(col("rn") === atQ(0.9), col("n_toks"))).as("p90_tokens"))
+    docs.join(broadcast(cuts), Seq("source"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        first("p10_tokens").as("p10_tokens"),
+        first("p50_tokens").as("p50_tokens"),
+        first("p90_tokens").as("p90_tokens"),
+        sum(when(col("n_toks") < col("p10_tokens"), 1L).otherwise(0L))
+          .as("n_below_p10"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[qualityQuantiles]] — the same rank-selection formula
+    * (row_number over (source, n_toks, doc_id), cutoff at ceil(q·n)), all
+    * BIGINT arithmetic. */
+  val qualityQuantilesSql: String = {
+    val ws = """'\s+'"""
+    s"""WITH t AS (SELECT source, doc_id,
+       |    CAST(len(regexp_split_to_array(text, $ws)) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, n_toks,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM t),
+       |cuts AS (SELECT source,
+       |    max(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN n_toks END) AS p10_tokens,
+       |    max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_toks END) AS p50_tokens,
+       |    max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_toks END) AS p90_tokens
+       |  FROM r WHERE rn = CAST(ceil(0.1 * n) AS BIGINT)
+       |     OR rn = CAST(ceil(0.5 * n) AS BIGINT)
+       |     OR rn = CAST(ceil(0.9 * n) AS BIGINT)
+       |  GROUP BY source)
+       |SELECT t.source, count(*) AS n_docs,
+       |  any_value(p10_tokens) AS p10_tokens,
+       |  any_value(p50_tokens) AS p50_tokens,
+       |  any_value(p90_tokens) AS p90_tokens,
+       |  CAST(sum(CASE WHEN t.n_toks < p10_tokens THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_below_p10
+       |FROM t JOIN cuts USING (source)
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+  }
+
   /** Gopher/C4-style quality filters (repetition + shape): per doc, token
     * count, mean word length, top-unigram mass, duplicate 2-/3-gram
     * fractions, and the composite `quality_ok` verdict a training-data
@@ -736,6 +856,79 @@ object Pipelines {
        |  FROM d)
        |SELECT lang, source, doc_id, CAST(smp_rank AS BIGINT) AS smp_rank
        |FROM r WHERE smp_rank <= 5 ORDER BY lang, source, smp_rank""".stripMargin
+  }
+
+  /** Temperature-weighted mixture SAMPLING — [[mixWeights]] decides the
+    * target shares, this draws the actual mix: per-source token shares are
+    * flattened with α = 0.7 (the mT5/XLM-R temperature convention — tail
+    * sources upsampled relative to their share, head sources capped), a
+    * half-corpus token budget turns shares into per-source keep-rates, and
+    * each doc keeps iff its seeded 52-bit hash draw ([[graft.operators.Sample.drawCol]])
+    * falls under rate·2^52 — deterministic, cluster-size-independent, and
+    * resample-stable, unlike `rand()`-based sampling.
+    *
+    * Float discipline: the keep-rate is round(·, 6) in BOTH engines before
+    * the integer threshold compare (rate6·2^52 is exact in a double), so
+    * pow/Σ-order ulp drift cannot flip a keep decision. Output is
+    * per-source integer counts plus the rounded rate.
+    *
+    * Scale design: rates come from a sources-sized dim (two tiny aggs +
+    * broadcast back); the corpus-side work is one projection + one
+    * map-side-combinable aggregation — no shuffle of documents, no rand(),
+    * no window. [SQL — staged xxhash64 replay]. */
+  val mixSample: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+    val per = docs.groupBy("source").agg(sum("n_toks").as("src_toks"))
+    val tot = per.agg(sum("src_toks").as("tot_toks"))
+    val w = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_toks"), col("tot_toks"),
+        pow(col("src_toks").cast("double") / col("tot_toks").cast("double"),
+          lit(0.7)).as("w"))
+    val sw = w.agg(sum("w").as("sum_w"))
+    val rates = w.crossJoin(broadcast(sw))
+      .select(col("source"),
+        round(least(lit(1.0),
+          lit(0.5) * col("tot_toks").cast("double") * col("w") /
+            (col("sum_w") * col("src_toks").cast("double"))), 6).as("rate"))
+    val thresh = (col("rate") * lit(4503599627370496.0)).cast("long")
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("keep",
+        graft.operators.Sample.drawCol(col("doc_id"), 11L) < thresh)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        first("rate").as("rate"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[mixSample]]: same α = 0.7 flattening, same rounded
+    * rate, same staged-xxhash64 draw and integer threshold. */
+  val mixSampleSql: String = {
+    val ws = """'\s+'"""
+    val drawn = drawSelect("documents", "doc_id", Seq("source", "text"), 11L)
+    s"""WITH d AS ($drawn),
+       |t AS (SELECT source, doc_id, draw,
+       |    CAST(len(regexp_split_to_array(text, $ws)) AS BIGINT) AS n_toks
+       |  FROM d),
+       |per AS (SELECT source, sum(n_toks) AS src_toks FROM t GROUP BY source),
+       |tot AS (SELECT sum(src_toks) AS tot_toks FROM per),
+       |w AS (SELECT source, src_toks, tot_toks,
+       |    pow(CAST(src_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE), 0.7) AS w
+       |  FROM per CROSS JOIN tot),
+       |sw AS (SELECT sum(w) AS sum_w FROM w),
+       |rates AS (SELECT source,
+       |    round(least(1.0, 0.5 * CAST(tot_toks AS DOUBLE) * w /
+       |      (sum_w * CAST(src_toks AS DOUBLE))), 6) AS rate
+       |  FROM w CROSS JOIN sw)
+       |SELECT t.source, count(*) AS n_docs, any_value(rate) AS rate,
+       |  CAST(sum(CASE WHEN draw < CAST(rate * 4503599627370496.0 AS BIGINT)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       |  CAST(sum(CASE WHEN draw < CAST(rate * 4503599627370496.0 AS BIGINT)
+       |    THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
+       |FROM t JOIN rates ON t.source = rates.source
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
   }
 
   /** Language-ID heuristic: argmax marker-word score, 'und' when all zero. [SQL] */
@@ -1226,6 +1419,7 @@ object Pipelines {
     "text_unigram_score" -> textUnigramScore,
     "dedup_span_fraction" -> dedupSpanFraction,
     "mix_weights" -> mixWeights,
+    "mix_sample" -> mixSample,
     "dedup_exact" -> dedupExact,
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1233,6 +1427,7 @@ object Pipelines {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters" -> dedupClusters,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic,
     "sim_brute_topk" -> simBruteTopK,
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
@@ -1245,6 +1440,7 @@ object Pipelines {
     "text_stats" -> textStats,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
+    "quality_quantiles" -> qualityQuantiles,
     "pack_sequences" -> packSequences,
     "sample_stratified" -> sampleStratified,
     "drift_ddm" -> driftDdm)
@@ -1263,6 +1459,7 @@ object Pipelines {
     "text_unigram_score" -> textUnigramScoreSql,
     "dedup_span_fraction" -> dedupSpanFractionSql,
     "mix_weights" -> mixWeightsSql,
+    "mix_sample" -> mixSampleSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
@@ -1270,6 +1467,7 @@ object Pipelines {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "sim_brute_topk" -> simBruteSql,
     "sim_lsh_topk" -> simLshSql,
     "sim_ivf_topk" -> simIvfSql,
@@ -1282,6 +1480,7 @@ object Pipelines {
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_quality" -> textQualitySql,
+    "quality_quantiles" -> qualityQuantilesSql,
     "pack_sequences" -> packSequencesSql,
     "sample_stratified" -> sampleStratifiedSql,
     "drift_ddm" -> Duck.ddmRecursive(

@@ -73,6 +73,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("semanticDedup prunes within-cluster near-dups, keeps min id, " +
+    "and is blind across clusters by design") {
+    // two tight clusters on orthogonal axes + a near-dup pair inside each
+    val base = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.999, 0.01, 0.0, 0.0)),   // near-dup of 0, same cluster
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.01, 0.999, 0.0, 0.0)),   // near-dup of 2, same cluster
+      (4L, Seq(0.0, 0.0, 1.0, 0.0)))      // alone in its cluster
+      .toDF("vec_id", "embedding")
+    val cents = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val out = Dedup.semanticDedup(base, "vec_id", "embedding", cents, 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L)._2 && !out(1L)._2, "min id survives in cluster 1")
+    assert(out(2L)._2 && !out(3L)._2, "min id survives in cluster 2")
+    assert(out(4L)._2, "singleton cluster keeps its only member")
+    assert(out(0L)._1 == out(1L)._1 && out(2L)._1 == out(3L)._1)
+    assert(out(0L)._1 != out(2L)._1, "the pairs live in different clusters")
+    // cross-cluster blindness: 0 and 3 have cosine ~0.01 anyway, but even a
+    // high-cosine cross-cluster pair would be invisible — assert the
+    // survivor set is exactly cluster-local
+    assert(out.values.count(_._2) == 3)
+  }
+
   val embs = Seq(
     (0L, Seq(1f, 0f, 0f, 0f)),
     (1L, Seq(0.9f, 0.1f, 0f, 0f)),

@@ -85,6 +85,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("nearest_centroids"), p)
   }
 
+  test("semantic dedup: cluster-keyed pair join, no cross product, no window") {
+    // the NearestCentroids assignment sits behind the operator's
+    // localCheckpoint (its plan-constant shape is pinned by the ivf
+    // contracts above); what THIS query must never do is pair across
+    // clusters — the join must key on cluster_id
+    val p = plan(Pipelines.queries("dedup_semantic")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    val joins = p.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).toSeq
+    assert(joins.exists(l => l.contains("Inner") && l.contains("cluster_id")), p)
+  }
+
+  test("quality_quantiles: rank window is source-partitioned; cutoff dims broadcast") {
+    val p = plan(Pipelines.queries("quality_quantiles")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("source")),
+      s"rank window must partition by source:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mix_sample: rate dims broadcast; corpus side is one agg pass, no window, no rand") {
+    val df = Pipelines.queries("mix_sample")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // deterministic draw: the keep decision is xxhash64 arithmetic, not rand()
+    assert(!p.toLowerCase.contains("rand("), p)
+    assert(p.contains("xxhash64"), p)
+  }
+
   test("minhash LSH: bucket join shuffles narrow rows — the signature array never crosses it") {
     val df = Pipelines.queries("dedup_minhash_lsh")(spark, sf)
     val p = plan(df)
