@@ -31,18 +31,28 @@ object KMeansQuantizer {
     * plan, params) — repeated queries over the same logical corpus (the
     * benchmark's repeated recall gates, an interactive session's repeated
     * probes) reuse the centroids instead of re-running Lloyd's. Keyed on the
-    * canonicalized plan STRING (paths/RDD ids included), so distinct
-    * checkpoints or paths never alias; training is deterministic per key, so
-    * a recompute would return the same value anyway. Cross-session / corpus-
-    * content staleness is the persisted index's job ([[graft.operators
-    * .AnnIndex.ivfIndexDir]] keys on a content digest). */
+    * canonicalized plan STRING plus the ids of any RDD-backed leaves: a
+    * canonicalized `LogicalRDD` (what `localCheckpoint` leaves behind) prints
+    * only normalized attributes, so two checkpointed frames with the same
+    * SCHEMA but different content would alias on the plan string alone — the
+    * RDD id restores identity. Scan leaves still memo-hit across repeated
+    * queries (their canonical form carries the path). Training is
+    * deterministic per key, so a recompute would return the same value
+    * anyway. Cross-session / corpus-content staleness is the persisted
+    * index's job ([[graft.operators.AnnIndex.ivfIndexDir]] keys on a content
+    * digest). */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  private def memoized[T <: AnyRef](df: DataFrame, tag: String)(train: => T): T =
+  private def memoized[T <: AnyRef](df: DataFrame, tag: String)(train: => T): T = {
+    val plan = df.queryExecution.logical
+    val rddIds = plan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.mkString(",")
     memo.computeIfAbsent(
-      System.identityHashCode(df.sparkSession) + "|" + tag + "|" +
-        df.queryExecution.logical.canonicalized.toString,
+      System.identityHashCode(df.sparkSession) + "|" + tag + "|rdd:" + rddIds +
+        "|" + plan.canonicalized.toString,
       _ => train).asInstanceOf[T]
+  }
 
   /** Train `k` centroids over `df`'s vector column; returns exactly k×dim
     * doubles — when the candidate sample has fewer than k distinct points the

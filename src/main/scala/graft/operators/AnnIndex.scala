@@ -117,6 +117,9 @@ object AnnIndex {
         // codebook trained on the residuals it will encode
         val cb = graft.ml.KMeansQuantizer.fitProduct(assigned, "cid", "res",
           m, ksub, iters, seed)
+        require(cb.length * cb(0)(0).length == cents(0).length,
+          s"trained codebook ${cb.length}x${cb(0)(0).length} does not cover " +
+            s"dim ${cents(0).length} — a build must never persist bad codes")
         val codeCols = Similarity.pqCodeCols(col("res"), cb)
           .map(_.cast("int"))
         assigned.select(Seq(col("list_id"), col("cid")) ++ codeCols: _*)

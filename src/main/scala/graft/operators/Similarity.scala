@@ -302,6 +302,8 @@ object Similarity {
     val m = cb.length
     val ksub = cb(0).length
     val subDim = cb(0)(0).length
+    require(qv.length == m * subDim,
+      s"codebook shape ${m}x${ksub}x$subDim does not cover a ${qv.length}-dim query")
     val flat = new Array[Double](m * ksub)
     var b = 0
     while (b < m) {
