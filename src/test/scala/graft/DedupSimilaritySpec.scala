@@ -215,8 +215,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r >= 0.9, s"trained-PQ refine recall@10 $r < 0.9")
   }
 
+  /** Forced through the distributed loop (cutover off) — the structural
+    * contracts below are about the label-propagation rounds themselves. */
   private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b"), localEdgeCutoff = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("connected components: transitive chains collapse to the min id") {
@@ -231,6 +233,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val path = (0L until 63L).map(i => (i, i + 1))
     val cc = ccOf(path)
     assert(cc.size == 64 && cc.values.forall(_ == 0L))
+  }
+
+  test("connected components: the small-graph cutover is invisible in results") {
+    // same edge set through the driver union-find (default cutoff) and the
+    // distributed loop (cutoff 0) — labels must be identical, including a
+    // diameter-heavy path and disjoint singleton pairs
+    val edges = (0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 200L), (300L, 301L), (301L, 302L))
+    val local = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == ccOf(edges))
   }
 
   test("connected components: union-find parity on a random-ish pair set") {
