@@ -931,6 +931,87 @@ object Pipelines {
        |GROUP BY t.source ORDER BY t.source""".stripMargin
   }
 
+  /** Exact token-budget mixture fill — the deterministic-budget complement
+    * to [[mixSample]]: the same α = 0.7 temperature shares set a PER-SOURCE
+    * TOKEN BUDGET (half the corpus's tokens, split by flattened share), and
+    * each source keeps docs greedily in seeded-hash order until the budget
+    * is crossed (the boundary-crossing doc is kept — its first token still
+    * fits). Rate sampling hits a budget only in expectation; training-data
+    * mixes that must land an exact token count per source (a fixed compute
+    * budget split across domains) run this fill instead.
+    *
+    * Float discipline: budgets are round(·, 6)-then-floor longs in BOTH
+    * engines, and the keep decision compares integer cumulative sums against
+    * that integer budget — pow/Σ-order ulp drift cannot flip a keep.
+    *
+    * Scale design: budgets come from the same sources-sized dims as
+    * [[mixSample]] (two tiny aggs, broadcast back); the fill itself is ONE
+    * per-source cumulative-sum window over (draw desc, id) — a single
+    * shuffle by source with in-partition sort, the unavoidable cost of an
+    * EXACT greedy fill (order within a source decides the boundary doc). A
+    * source hot enough to skew that shuffle is exactly the case where the
+    * rate-based [[mixSample]] is the right tool — the pair is the
+    * exact-vs-approximate trade, stated. [SQL — staged xxhash64 replay +
+    * the same window]. */
+  val mixTokenFill: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+    val per = docs.groupBy("source").agg(sum("n_toks").as("src_toks"))
+    val tot = per.agg(sum("src_toks").as("tot_toks"))
+    val w = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_toks"), col("tot_toks"),
+        pow(col("src_toks").cast("double") / col("tot_toks").cast("double"),
+          lit(0.7)).as("w"))
+    val sw = w.agg(sum("w").as("sum_w"))
+    val budgets = w.crossJoin(broadcast(sw))
+      .select(col("source"),
+        floor(round(lit(0.5) * col("tot_toks").cast("double") * col("w") /
+          col("sum_w"), 6)).cast("long").as("budget_toks"))
+    val win = Window.partitionBy("source").orderBy(col("draw").desc, col("doc_id"))
+    val cum = docs
+      .withColumn("draw", graft.operators.Sample.drawCol(col("doc_id"), 13L))
+      .withColumn("cum_toks", sum("n_toks").over(win))
+    val kept = col("cum_toks") - col("n_toks") < col("budget_toks")
+    cum.join(broadcast(budgets), Seq("source"))
+      .groupBy("source").agg(
+        first("budget_toks").as("budget_toks"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(kept, col("n_toks")).otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[mixTokenFill]]: same flattened budget (round-6 then
+    * floor), same staged-xxhash64 draw, same per-source cumsum window. */
+  val mixTokenFillSql: String = {
+    val ws = """'\s+'"""
+    val drawn = drawSelect("documents", "doc_id", Seq("source", "text"), 13L)
+    s"""WITH d AS ($drawn),
+       |t AS (SELECT source, doc_id, draw,
+       |    CAST(len(regexp_split_to_array(text, $ws)) AS BIGINT) AS n_toks
+       |  FROM d),
+       |per AS (SELECT source, sum(n_toks) AS src_toks FROM t GROUP BY source),
+       |tot AS (SELECT sum(src_toks) AS tot_toks FROM per),
+       |w AS (SELECT source, src_toks, tot_toks,
+       |    pow(CAST(src_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE), 0.7) AS w
+       |  FROM per CROSS JOIN tot),
+       |sw AS (SELECT sum(w) AS sum_w FROM w),
+       |budgets AS (SELECT source,
+       |    CAST(floor(round(0.5 * CAST(tot_toks AS DOUBLE) * w / sum_w, 6))
+       |      AS BIGINT) AS budget_toks
+       |  FROM w CROSS JOIN sw),
+       |c AS (SELECT source, doc_id, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY source
+       |      ORDER BY draw DESC, doc_id) AS cum_toks
+       |  FROM t)
+       |SELECT c.source, any_value(budget_toks) AS budget_toks,
+       |  CAST(sum(CASE WHEN cum_toks - n_toks < budget_toks
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       |  CAST(sum(CASE WHEN cum_toks - n_toks < budget_toks
+       |    THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
+       |FROM c JOIN budgets ON c.source = budgets.source
+       |GROUP BY c.source ORDER BY c.source""".stripMargin
+  }
+
   /** Language-ID heuristic: argmax marker-word score, 'und' when all zero. [SQL] */
   val textLangId: Q = (s, dir) => {
     val langs = TextFns.langMarkers.keys.toSeq.sorted
@@ -1420,6 +1501,7 @@ object Pipelines {
     "dedup_span_fraction" -> dedupSpanFraction,
     "mix_weights" -> mixWeights,
     "mix_sample" -> mixSample,
+    "mix_token_fill" -> mixTokenFill,
     "dedup_exact" -> dedupExact,
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1460,6 +1542,7 @@ object Pipelines {
     "dedup_span_fraction" -> dedupSpanFractionSql,
     "mix_weights" -> mixWeightsSql,
     "mix_sample" -> mixSampleSql,
+    "mix_token_fill" -> mixTokenFillSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -119,6 +119,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("mix_token_fill: cumsum window is source-partitioned; budget dims broadcast; no rand") {
+    val df = Pipelines.queries("mix_token_fill")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the exact greedy fill is ONE per-source window — never a global sort
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("source")),
+      s"fill window must partition by source:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("rand("), p)
+    assert(p.contains("xxhash64"), p)
+  }
+
   test("minhash LSH: bucket join shuffles narrow rows — the signature array never crosses it") {
     val df = Pipelines.queries("dedup_minhash_lsh")(spark, sf)
     val p = plan(df)
