@@ -24,12 +24,35 @@ object MLQueries {
   private def test(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) === 0)
 
-  private def predictions(s: SparkSession, dir: String): DataFrame = {
-    val model = GaussianNB.fit(train(s, dir), "label", "embedding")
-    test(s, dir).select(col("vec_id"), col("label").cast("int").as("label"))
-      .join(GaussianNB.predict(test(s, dir), model, "vec_id", "embedding"),
-        Seq("vec_id"))
-  }
+  /** Shared-artifact memo (the Pipelines pairsMemo contract): the base GNB
+    * model is consumed by six declared queries and each detector feed by its
+    * signals/report consumers — compute each once per (session, corpus) and
+    * pin the (tiny: model-sized stats, detector-batch-count rows) result.
+    * Deterministic per key up to double-sum combine order, which every
+    * consumer already absorbs via the round-6 discipline — and a single
+    * shared fit is strictly MORE stable than per-query refits. */
+  private val artifactMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memoArtifact[T <: AnyRef](s: SparkSession, dir: String,
+                                        key: String)(build: => T): T =
+    artifactMemo.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir + "|" + key,
+      _ => build).asInstanceOf[T]
+
+  /** The experiment family's one shared classifier: GNB fit on the
+    * deterministic 80% split. */
+  private def baseModel(s: SparkSession, dir: String): GaussianNB.GnbModel =
+    memoArtifact(s, dir, "gnb_base")(
+      GaussianNB.fit(train(s, dir), "label", "embedding"))
+
+  private def predictions(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "gnb_predictions") {
+      val model = baseModel(s, dir)
+      test(s, dir).select(col("vec_id"), col("label").cast("int").as("label"))
+        .join(GaussianNB.predict(test(s, dir), model, "vec_id", "embedding"),
+          Seq("vec_id"))
+        .localCheckpoint()
+    }
 
   val mlGnbPredict: Q = (s, dir) =>
     predictions(s, dir).select("vec_id", "label", "pred").orderBy("vec_id")
@@ -114,7 +137,7 @@ object MLQueries {
   private def abruptScored(s: SparkSession, dir: String): DataFrame = {
     // Fit ONCE: the collected model is reused by both phase scorings — a
     // second collect would re-execute the whole fit aggregation (VERDICT r1 #4).
-    val model = GaussianNB.fit(train(s, dir), "label", "embedding")
+    val model = baseModel(s, dir)
     val te = test(s, dir)
     val shifted = te.select(col("vec_id"), col("label"),
       VecFns.addPseudoNoise(col("embedding"), col("vec_id"), lit(AbruptSigma))
@@ -127,15 +150,18 @@ object MLQueries {
   }
 
   /** Per-(phase, batch) accuracy — the detector feed for the abrupt-drift
-    * experiment. [SQL] */
-  val driftAbruptFeed: Q = (s, dir) => {
-    val scored = abruptScored(s, dir)
-      .withColumn("batch_id", floor(col("vec_id") / Corpus.DetectorBatch))
-    scored.groupBy("phase", "batch_id")
-      .agg(round(avg(when(col("label") === col("pred"), 1.0).otherwise(0.0)), 6)
-        .as("accuracy"))
-      .orderBy("phase", "batch_id")
-  }
+    * experiment. Memoized: the feed query, the signals query, and the
+    * q-report all consume the identical (batch-count-sized) table. [SQL] */
+  val driftAbruptFeed: Q = (s, dir) =>
+    memoArtifact(s, dir, "abrupt_feed") {
+      val scored = abruptScored(s, dir)
+        .withColumn("batch_id", floor(col("vec_id") / Corpus.DetectorBatch))
+      scored.groupBy("phase", "batch_id")
+        .agg(round(avg(when(col("label") === col("pred"), 1.0).otherwise(0.0)), 6)
+          .as("accuracy"))
+        .orderBy("phase", "batch_id")
+        .localCheckpoint()
+    }
 
   val driftAbruptFeedSql: String =
     s"""WITH ${gnbPredictSql("vec_id % 5 = 0", None)},
@@ -241,8 +267,8 @@ object MLQueries {
   /** Detector feed for the unsupervised experiment: phase 1 = simulated
     * near-perfect accuracy; phase 2 = per-batch agreement between the model's
     * predictions on the shifted stream and its own pseudo-labels. [SQL] */
-  val driftUnsupFeed: Q = (s, dir) => {
-    val model = GaussianNB.fit(train(s, dir), "label", "embedding")
+  val driftUnsupFeed: Q = (s, dir) => memoArtifact(s, dir, "unsup_feed") {
+    val model = baseModel(s, dir)
     val te = test(s, dir)
     val pseudo = GaussianNB.predict(te, model, "vec_id", "embedding")
       .withColumnRenamed("pred", "pseudo_label")
@@ -261,7 +287,7 @@ object MLQueries {
       .distinct()
       .select(lit(1).as("phase"), col("batch_id"),
         round(simAccuracy(col("batch_id")), 6).as("accuracy"))
-    phase1.unionByName(phase2).orderBy("phase", "batch_id")
+    phase1.unionByName(phase2).orderBy("phase", "batch_id").localCheckpoint()
   }
 
   val driftUnsupFeedSql: String =
@@ -413,8 +439,8 @@ object MLQueries {
   private val gradualSigmaSql =
     s"greatest(floor(vec_id / ${Corpus.DetectorBatch}) - 30, 0) * 2.0 / 33"
 
-  val driftGradualFeed: Q = (s, dir) => {
-    val model = GaussianNB.fit(train(s, dir), "label", "embedding")
+  val driftGradualFeed: Q = (s, dir) => memoArtifact(s, dir, "gradual_feed") {
+    val model = baseModel(s, dir)
     val all = Tables.embeddings(s, dir)
     val pseudo = GaussianNB.predict(all, model, "vec_id", "embedding")
       .withColumnRenamed("pred", "pseudo_label")
@@ -434,6 +460,7 @@ object MLQueries {
         round(when(col("batch_id") < 30, simAccuracy(col("batch_id")))
           .otherwise(col("agreement")), 6).as("accuracy"))
       .orderBy("batch_id")
+      .localCheckpoint()
   }
 
   val driftGradualFeedSql: String =
@@ -479,7 +506,7 @@ object MLQueries {
     * [SQL: three chained GNB fits + recursive reset-DDM replay]; the
     * recovery invariant is additionally asserted in ScalaTest. */
   val driftFinetuneSignals: Q = (s, dir) => {
-    val model = GaussianNB.fit(train(s, dir), "label", "embedding")
+    val model = baseModel(s, dir)
     val te = test(s, dir)
     val pseudo = GaussianNB.predict(te, model, "vec_id", "embedding")
       .withColumnRenamed("pred", "pseudo_label")
