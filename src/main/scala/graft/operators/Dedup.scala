@@ -364,7 +364,12 @@ object Dedup {
     val spark = sym.sparkSession
     import spark.implicits._
     val verts = parent.keySet().toArray(Array.empty[java.lang.Long])
-    verts.map(v => (v.longValue(), find(v))).toSeq.sorted
+    val labeled = verts.map(v => (v.longValue(), find(v))).toSeq
+    // parallelize, not a local relation: at the cutoff bound the label set
+    // is millions of rows — embedding it in the plan would ship it with
+    // every query fragment instead of once as RDD partitions
+    spark.createDataset(spark.sparkContext.parallelize(
+        labeled, math.max(1, labeled.length / 500000)))
       .toDF("id", "cluster_id")
   }
 
