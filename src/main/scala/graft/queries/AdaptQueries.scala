@@ -102,9 +102,23 @@ object AdaptQueries {
       .orderBy("seq")
   }
 
-  /** The three-phase (source | drifted | mapped) per-batch agreement feed behind
-    * [[adaptStreamSignals]] and the adaptation report. */
+  /** The three-phase (source | drifted | mapped) per-batch agreement feed
+    * behind [[adaptStreamSignals]] and the adaptation report. Memoized per
+    * (session, corpus) with the MLQueries get/putIfAbsent discipline (the
+    * builder reads the parquet-memoized caches — never this map). */
+  private val feedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def adaptFeed(s: SparkSession, dir: String): DataFrame = {
+    val k = System.identityHashCode(s) + "|" + dir
+    val hit = feedMemo.get(k)
+    if (hit != null) return hit
+    val v = adaptFeedBuild(s, dir).localCheckpoint()
+    val prev = feedMemo.putIfAbsent(k, v)
+    if (prev != null) prev else v
+  }
+
+  private def adaptFeedBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     // Token pooling = mean (A3 "average"): mean-pooling commutes with the
     // linear space shift, so the mapped stream can recover exactly — max-pool
