@@ -822,6 +822,52 @@ object Pipelines {
        |SELECT doc_id, n_tokens, prev // 512 AS bin_id, prev % 512 AS bin_offset
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Context-window chunking: 32-token windows advanced by 24 (8 tokens of
+    * overlap) over every document ([[graft.operators.Chunk.chunkWindows]] —
+    * one narrow shuffle-free projection). [SQL — range + list_slice twin]. */
+  val chunkWindows: Q = (s, dir) =>
+    graft.operators.Chunk.chunkWindows(Tables.documents(s, dir),
+        "doc_id", "text", win = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Shared FROM-body for the chunk oracles: one row per (doc, window) with
+    * the same tokenize → range(0, n, stride) → list_slice chain the Spark
+    * operator runs ('\s+' split with empties dropped, exactly the engine's
+    * tokenization). */
+  private def chunksSub(win: Int, stride: Int): String = {
+    val ws = """'\s+'"""
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, $ws), x -> length(x) > 0) AS w
+       |  FROM documents),
+       |st AS (SELECT doc_id, w, unnest(range(0, len(w), $stride)) AS s
+       |  FROM toks WHERE len(w) > 0)
+       |SELECT doc_id, CAST(s // $stride AS BIGINT) AS chunk_id,
+       |  CAST(s AS BIGINT) AS start_tok,
+       |  CAST(least($win, len(w) - s) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(list_slice(w, s + 1, s + $win), ' ') AS chunk_text
+       |FROM st""".stripMargin
+  }
+
+  val chunkWindowsSql: String =
+    s"""${chunksSub(32, 24)} ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Duplicated-window report: identical 32-token chunk texts appearing more
+    * than once across the corpus ([[graft.operators.Chunk.duplicatedChunks]]
+    * — the chunk-granularity exact dedup of a RAG/packed-corpus build). [SQL]. */
+  val chunkDedup: Q = (s, dir) =>
+    graft.operators.Chunk.duplicatedChunks(
+        graft.operators.Chunk.chunkWindows(Tables.documents(s, dir),
+          "doc_id", "text", win = 32, stride = 24),
+        "doc_id")
+      .orderBy("doc_id", "chunk_text")
+
+  val chunkDedupSql: String =
+    s"""SELECT min(doc_id) AS doc_id, count(*) AS dups,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, chunk_text
+       |FROM (${chunksSub(32, 24)}) c
+       |GROUP BY chunk_text HAVING count(*) > 1
+       |ORDER BY doc_id, chunk_text""".stripMargin
+
   /** Stratified rebalancing sample: 5 docs per (lang, source) stratum by the
     * seeded deterministic draw ([[graft.operators.Sample.stratifiedTopN]] —
     * bounded TopK aggregation, not a corpus-wide window). [SQL]. */
@@ -1524,6 +1570,8 @@ object Pipelines {
     "text_quality" -> textQuality,
     "quality_quantiles" -> qualityQuantiles,
     "pack_sequences" -> packSequences,
+    "chunk_windows" -> chunkWindows,
+    "chunk_dedup" -> chunkDedup,
     "sample_stratified" -> sampleStratified,
     "drift_ddm" -> driftDdm)
 
@@ -1565,6 +1613,8 @@ object Pipelines {
     "text_quality" -> textQualitySql,
     "quality_quantiles" -> qualityQuantilesSql,
     "pack_sequences" -> packSequencesSql,
+    "chunk_windows" -> chunkWindowsSql,
+    "chunk_dedup" -> chunkDedupSql,
     "sample_stratified" -> sampleStratifiedSql,
     "drift_ddm" -> Duck.ddmRecursive(
       s"SELECT CAST(batch_id AS BIGINT) AS ord, 1.0 - accuracy AS err " +
