@@ -229,6 +229,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("chunk_windows is one shuffle-free generate projection, no UDF, no join") {
+    val df = graft.operators.Chunk.chunkWindows(
+      graft.sources.Tables.documents(spark, sf), "doc_id", "text",
+      win = 32, stride = 24)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)       // chunking inherits the scan's partitioning
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p)        // posexplode of the start sequence
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("bucketed join: per-order agg and orderkey join run shuffle-free on bucket-aligned scans") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -19,7 +19,8 @@ class ScalingSmokeSpec extends AnyFunSuite {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "sim_lsh_topk", "sim_pq_topk",
     "decontam_overlap", "text_tfidf", "text_pii",
-    "dedup_span_fraction", "text_unigram_score", "layout_zorder")
+    "dedup_span_fraction", "text_unigram_score", "layout_zorder",
+    "chunk_windows", "chunk_dedup")
 
   private def time(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
