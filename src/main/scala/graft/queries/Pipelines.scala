@@ -717,7 +717,19 @@ object Pipelines {
     * aggregation branches (unigram counts, 2-gram set size, 3-gram set size)
     * joined back on doc_id — everything shuffles 8-byte keyed partial
     * aggregates, never documents. [SQL] */
-  val textQuality: Q = (s, dir) => {
+  /** Quality gate as a shared artifact, same contract as the pair graph /
+    * cluster labels: `text_quality`, `corpus_health`, and `pipeline_prep`
+    * all consume the identical per-doc gate, so it computes once per
+    * (session, corpus); the checkpointed result is doc-count-sized (one
+    * 7-column row per doc). */
+  private val qualityMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  val textQuality: Q = (s, dir) =>
+    qualityMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ =>
+      textQualityBody(s, dir).localCheckpoint())
+
+  private val textQualityBody: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     // one projection barrier for the regex-clean chain (see TextFns HOF note),
     // reused by all three aggregation branches
@@ -1108,13 +1120,20 @@ object Pipelines {
   /** Benchmark decontamination: training docs (doc_id ≥ 10) sharing word
     * 4-grams with the "benchmark" set (doc_id < 10) — the eval-leak scrub
     * run before training ([[graft.operators.Decontam]]). [SQL] */
-  val decontamOverlap: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    graft.operators.Decontam.overlap(
-        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
-        "doc_id", "text", n = 4)
-      .orderBy("doc_id")
-  }
+  val decontamOverlap: Q = (s, dir) =>
+    contamMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontam.overlap(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+          "doc_id", "text", n = 4)
+        .orderBy("doc_id").localCheckpoint()
+    })
+
+  /** Decontamination scrub as a shared artifact ([[qualityMemo]] contract):
+    * `decontam_overlap` and `pipeline_prep` consume the identical result;
+    * output is contaminated-doc-sized. */
+  private val contamMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** [[decontamOverlap]] twin: 4-gram join on shingle STRINGS — the hash
     * join's collision-free replay, same precedent as dedup_ngram_jaccard. */
