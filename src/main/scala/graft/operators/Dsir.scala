@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** DSIR-style data selection: hashed n-gram importance weights against a
+  * target domain, then a deterministic top-k resample (Xie et al., "Data
+  * Selection for Language Models via Importance Resampling", NeurIPS 2023 —
+  * public method; engine extension, the reference pipeline has no selection
+  * stage).
+  *
+  * Shape: word bigrams are feature-hashed into `buckets` buckets
+  * (`pmod(xxhash64(gram), buckets)` — the paper's hashed n-gram generative
+  * model). One pass builds the per-(doc, bucket) count table; the per-bucket
+  * target/raw corpus totals reduce to a ≤ `buckets`-row table that is
+  * BROADCAST into the scoring join, so raw documents are scored without a
+  * corpus-sized shuffle — at 100 TB the corpus is scanned once for counting
+  * and once for scoring, and only (id, bucket, count) triples ever shuffle.
+  *
+  * Importance is formulated integer-exactly as a ratio of smoothed dot
+  * products, affinity(d) = Σ_b c_d[b]·(cT[b]+1) / Σ_b c_d[b]·(cR[b]+1)
+  * (decimal sums, ONE final double division), rather than the paper's
+  * Σ c·log(pT/pR): a float log-sum's value depends on summation order, which
+  * would hang the oracle hash (see [[graft.queries.Pipelines.textUnigramScore]]
+  * for the precedent), and transcendental log need not agree bitwise across
+  * engines. The ranking it induces favors the same target-like documents;
+  * the divergence is documented here and in README.
+  */
+object Dsir {
+
+  /** Per-raw-document target affinity. Only documents where `isTarget` is
+    * false are scored (the paper scores the raw pool against the target
+    * distribution); documents with no bigram (< 2 tokens) are dropped —
+    * they carry no feature evidence.
+    *
+    * Output: (id, n_grams, affinity) — affinity rounded to 6 so the ranking
+    * the resample uses is replayable.
+    *
+    * Scale notes: the (id, bucket, count) table is materialized once
+    * (`localCheckpoint`; a persisted table at cluster scale) because both the
+    * stats reduction and the scoring join consume it. Decimal(38,0)
+    * accumulators keep the dot products exact far past Long range (ANSI mode
+    * throws on Long overflow; corpus-scale cT·c products pass 2^63 around
+    * ~10^19 gram-count-products per doc). */
+  def affinity(docs: DataFrame, idCol: String, textCol: String,
+               isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (keeps the unsigned-mod oracle replay exact)")
+    // Two-step projection barrier before the HOF shingle lambda (TextFns note).
+    val grams = docs
+      .select(col(idCol).as("id"), isTarget.as("is_target"),
+        TextFns.normTokens(TextFns.cleanText(col(textCol), removePunctuation = true))
+          .as("toks"))
+      .select(col("id"), col("is_target"),
+        explode_outer(TextFns.shinglesFromTokens(col("toks"), 2)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("id"), col("is_target"),
+        pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"))
+    // Per-(doc, bucket) counts: ≤ buckets narrow rows per doc through the
+    // shuffle; shared by the stats reduction and the scoring join.
+    val perDoc = grams.groupBy("id", "is_target", "b")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val stats = perDoc.groupBy("b").agg(
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), col("c")).otherwise(0L)).as("cr"))
+    perDoc.filter(!col("is_target"))
+      .join(broadcast(stats), Seq("b"))
+      .groupBy("id")
+      .agg(
+        sum("c").as("n_grams"),
+        sum(col("c").cast("decimal(38,0)") * (col("ct") + lit(1L)).cast("decimal(38,0)"))
+          .as("num"),
+        sum(col("c").cast("decimal(38,0)") * (col("cr") + lit(1L)).cast("decimal(38,0)"))
+          .as("den"))
+      .select(col("id"), col("n_grams"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("affinity"))
+  }
+
+  /** Deterministic importance resample: the k raw documents ranked first by
+    * (affinity desc, id asc), flagged `selected`. Ranking goes through the
+    * bounded [[TopK]] aggregator — one k-entry buffer per partition merged
+    * combiner-style, never a global window — so the shuffle carries at most
+    * k rows per partition; the k-sized selected set joins back as a flag
+    * (broadcast when it fits). k is output-sized by contract (the paper
+    * selects a fixed training budget from an arbitrarily large raw pool). */
+  def resample(aff: DataFrame, k: Int): DataFrame = {
+    val picked = TopK.topKPerQuery(
+        aff.select(lit(0L).as("qid"), col("id").as("cid"),
+          col("affinity").as("cos")), k)
+      .select(col("cid").as("id"), lit(true).as("sel0"))
+    aff.join(picked, Seq("id"), "left")
+      .select(col("id"), col("n_grams"), col("affinity"),
+        coalesce(col("sel0"), lit(false)).as("selected"))
+  }
+}

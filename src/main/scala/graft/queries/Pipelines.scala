@@ -1286,6 +1286,53 @@ object Pipelines {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** DSIR data selection ([[graft.operators.Dsir]]): hashed-bigram importance
+    * affinity of every raw doc (sources ≠ src0/src1) against the src0+src1
+    * target domain, top-50 resample flagged. Integer-exact affinity (ratio of
+    * smoothed decimal dot products — see the operator doc for why not the
+    * paper's log-sum), bucket stats broadcast, bounded-TopK selection — no
+    * global window, no corpus-sized shuffle. [SQL — xxhash64 replayed via
+    * Duck.xxh64StrCtes; buckets=256 divides 2^64, so the unsigned `h % 256`
+    * equals Spark's pmod(signed h, 256) exactly]. */
+  val dsirSelect: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val aff = graft.operators.Dsir.affinity(docs, "doc_id", "text",
+      col("source").isin("src0", "src1"), buckets = 256)
+    graft.operators.Dsir.resample(aff, k = 50)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH RECURSIVE
+       |$toksCte,
+       |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+       |        FROM toksraw WHERE len(w) >= 2) q),
+       |strs AS (SELECT g AS sid, g AS s, CAST(42 AS HUGEINT) AS seed
+       |  FROM (SELECT DISTINCT g FROM grams)),
+       |${Duck.xxh64StrCtes("strs")},
+       |gb AS (SELECT gr.doc_id, x.h % 256 AS b
+       |  FROM grams gr JOIN xstr x ON x.sid = gr.g),
+       |flag AS (SELECT doc_id, source IN ('src0', 'src1') AS is_target
+       |  FROM documents),
+       |pd AS (SELECT gb.doc_id, f.is_target, b, count(*) AS c
+       |  FROM gb JOIN flag f USING (doc_id) GROUP BY 1, 2, 3),
+       |stats AS (SELECT b,
+       |    CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS HUGEINT) AS ct,
+       |    CAST(sum(CASE WHEN NOT is_target THEN c ELSE 0 END) AS HUGEINT) AS cr
+       |  FROM pd GROUP BY b),
+       |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |    sum(CAST(c AS HUGEINT) * (ct + 1)) AS num,
+       |    sum(CAST(c AS HUGEINT) * (cr + 1)) AS den
+       |  FROM pd JOIN stats USING (b) WHERE NOT is_target GROUP BY doc_id),
+       |r AS (SELECT doc_id, n_grams,
+       |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS affinity
+       |  FROM sc)
+       |SELECT doc_id, n_grams, affinity,
+       |  (row_number() OVER (ORDER BY affinity DESC, doc_id) <= 50) AS selected
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Per-source mixture weights: the up/down-sampling factor per domain that
     * hits a uniform token share across sources — the domain-mixing step a
     * pipeline runs before interleaving corpora. One combinable agg over the
@@ -1563,6 +1610,7 @@ object Pipelines {
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
     "text_unigram_score" -> textUnigramScore,
+    "dsir_select" -> dsirSelect,
     "dedup_span_fraction" -> dedupSpanFraction,
     "mix_weights" -> mixWeights,
     "mix_sample" -> mixSample,
@@ -1606,6 +1654,7 @@ object Pipelines {
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,
     "text_unigram_score" -> textUnigramScoreSql,
+    "dsir_select" -> dsirSelectSql,
     "dedup_span_fraction" -> dedupSpanFractionSql,
     "mix_weights" -> mixWeightsSql,
     "mix_sample" -> mixSampleSql,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dsir
+
+/** DSIR importance-selection contracts: target-vocabulary raw docs must
+  * outrank disjoint-vocabulary ones, the resample picks exactly k with the
+  * (affinity desc, id asc) tie order, and the bucket-stats side of the
+  * scoring join is broadcast. */
+class DsirSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 4 target docs on an "alpha…" vocabulary; raw docs 10-19 share it,
+    * raw docs 20-29 use a disjoint "zulu…" vocabulary. */
+  private def corpus = {
+    val tgt = (0 until 4).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon alpha beta gamma", true))
+    val likeTgt = (10 until 20).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota w$i", false))
+    val unlike = (20 until 30).map(i =>
+      (i.toLong, s"zulu yankee xray whiskey victor uniform tango sierra q$i", false))
+    (tgt ++ likeTgt ++ unlike).toDF("doc_id", "text", "is_tgt")
+  }
+
+  test("target-vocab raw docs outrank disjoint-vocab raw docs") {
+    val aff = Dsir.affinity(corpus, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(aff.size == 20, "all raw docs scored, target docs excluded")
+    val worstLike = (10L until 20L).map(aff).min
+    val bestUnlike = (20L until 30L).map(aff).max
+    assert(worstLike > bestUnlike,
+      s"every target-like doc should outrank every disjoint doc " +
+        s"(worst like $worstLike vs best unlike $bestUnlike)")
+  }
+
+  test("resample selects exactly k by (affinity desc, id asc)") {
+    val aff = Dsir.affinity(corpus, "doc_id", "text", col("is_tgt"))
+    val got = Dsir.resample(aff, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(got.count(_._3) == 10)
+    val expected = got.sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    assert(got.filter(_._3).map(_._1).toSet == expected)
+    // the planted structure makes the selected set the target-like docs
+    assert(got.filter(_._3).map(_._1).toSet == (10L until 20L).toSet)
+  }
+
+  test("bucket stats are broadcast into the scoring join") {
+    val plan = Dsir.affinity(corpus, "doc_id", "text", col("is_tgt"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"stats join should be broadcast:\n$plan")
+  }
+}
