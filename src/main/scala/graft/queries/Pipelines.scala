@@ -1286,6 +1286,67 @@ object Pipelines {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Count-min-sketch frequency survey ([[graft.operators.Sketch]]): the
+    * depth×width counter matrix built from the vocab table, point estimates
+    * for the top-20 exact heavy hitters, and the CMS guarantees carried as
+    * output booleans (over_ok: est ≥ exact, always; within_eps:
+    * est − exact ≤ (e/width)·N, integer-exact cross-multiplication with
+    * decimal headroom). Top-20 via orderBy+limit (TakeOrdered, the a2
+    * precedent); counter matrix is 4×256 cells broadcast into the probe
+    * join. [SQL — hashInt(i,42)-seeded string hashes replayed via
+    * Duck.xxh64StrCtes; width 256 divides 2^64 so unsigned mod replays
+    * pmod]. */
+  val sketchHeavyHitters: Q = (s, dir) => {
+    val counts = Tables.documents(s, dir)
+      .select(explode(TextFns.words(TextFns.cleanText(col("text"),
+        removePunctuation = true))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumers: counters, probes, total, top-20
+    val counters = graft.operators.Sketch.cmsCounters(counts)
+    val est = graft.operators.Sketch.cmsEstimates(counts.select("token"), counters)
+    val tot = counts.agg(sum("cnt").as("ntot"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(20)
+      .join(est, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("cnt").as("exact_cnt"), col("est").as("est_cnt"),
+        (col("est") >= col("cnt")).as("over_ok"),
+        ((col("est") - col("cnt")).cast("decimal(38,0)") * lit(256000000L) <=
+          lit(2718282L).cast("decimal(38,0)") * col("ntot")).as("within_eps"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  val sketchHeavyHittersSql: String = {
+    val clean = Duck.clean("text", punct = true)
+    val seeds = Duck.stagedSql(
+      "SELECT CAST(unnest(range(0, 4)) AS HUGEINT) AS i",
+      Duck.xxhashIntStages("i", "42", "seedi", "s"))
+    s"""WITH RECURSIVE
+       |w AS (SELECT unnest(string_split($clean, ' ')) AS token FROM documents),
+       |c AS (SELECT token, count(*) AS cnt FROM w WHERE length(token) > 0
+       |  GROUP BY 1),
+       |seeds AS ($seeds),
+       |cellmap AS (SELECT c.token, sd.i,
+       |    CAST(sd.i AS VARCHAR) || '|' || c.token AS sid, sd.seedi
+       |  FROM c CROSS JOIN seeds sd),
+       |strs AS (SELECT sid, token AS s, seedi AS seed FROM cellmap),
+       |${Duck.xxh64StrCtes("strs")},
+       |bkt AS (SELECT m.token, m.i, x.h % 256 AS bucket
+       |  FROM cellmap m JOIN xstr x ON x.sid = m.sid),
+       |counters AS (SELECT i, bucket, CAST(sum(c2.cnt) AS HUGEINT) AS cval
+       |  FROM bkt JOIN c c2 USING (token) GROUP BY 1, 2),
+       |est AS (SELECT token, CAST(min(cval) AS BIGINT) AS est
+       |  FROM bkt JOIN counters USING (i, bucket) GROUP BY token),
+       |tot AS (SELECT CAST(sum(cnt) AS HUGEINT) AS ntot FROM c),
+       |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20)
+       |SELECT t.token, t.cnt AS exact_cnt, e.est AS est_cnt,
+       |  (e.est >= t.cnt) AS over_ok,
+       |  (CAST(e.est - t.cnt AS HUGEINT) * 256000000 <= 2718282 * ntot)
+       |    AS within_eps
+       |FROM top t JOIN est e USING (token) CROSS JOIN tot
+       |ORDER BY exact_cnt DESC, token""".stripMargin
+  }
+
   /** DSIR data selection ([[graft.operators.Dsir]]): hashed-bigram importance
     * affinity of every raw doc (sources ≠ src0/src1) against the src0+src1
     * target domain, top-50 resample flagged. Integer-exact affinity (ratio of
@@ -1611,6 +1672,7 @@ object Pipelines {
     "text_tfidf" -> textTfidf,
     "text_unigram_score" -> textUnigramScore,
     "dsir_select" -> dsirSelect,
+    "sketch_heavy_hitters" -> sketchHeavyHitters,
     "dedup_span_fraction" -> dedupSpanFraction,
     "mix_weights" -> mixWeights,
     "mix_sample" -> mixSample,
@@ -1655,6 +1717,7 @@ object Pipelines {
     "text_tfidf" -> textTfidfSql,
     "text_unigram_score" -> textUnigramScoreSql,
     "dsir_select" -> dsirSelectSql,
+    "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "dedup_span_fraction" -> dedupSpanFractionSql,
     "mix_weights" -> mixWeightsSql,
     "mix_sample" -> mixSampleSql,

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketch
+
+/** Count-min-sketch contracts: never underestimates, exact for tokens with a
+  * collision-free row, cell-wise combinable across corpus splits (the
+  * streaming/per-epoch merge contract), and counter state bounded by
+  * depth·width regardless of vocabulary size. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vocab(n: Int) =
+    (0 until n).map(i => (s"tok$i", 1L + (i % 7))).toDF("token", "cnt")
+
+  test("estimates never underestimate and bound the overcount") {
+    val counts = vocab(500)
+    val counters = Sketch.cmsCounters(counts, depth = 4, width = 256)
+    val est = Sketch.cmsEstimates(counts.select("token"), counters, 4, 256)
+      .join(counts, Seq("token"))
+      .select(col("token"), col("est"), col("cnt")).collect()
+    assert(est.length == 500)
+    val n = counts.agg(sum("cnt")).first().getLong(0)
+    est.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"underestimate for ${r.getString(0)}")
+      assert(r.getLong(1) - r.getLong(2) <= math.ceil(math.E / 256 * n).toLong * 4,
+        s"overcount far past the eps band for ${r.getString(0)}")
+    }
+  }
+
+  test("counter matrix is bounded by depth*width however large the vocab") {
+    val counters = Sketch.cmsCounters(vocab(5000), depth = 4, width = 64)
+    assert(counters.count() <= 4 * 64)
+  }
+
+  test("sketches of corpus splits merge cell-wise to the whole-corpus sketch") {
+    val counts = vocab(300)
+    val a = counts.filter(col("cnt") % 2 === 0)
+    val b = counts.filter(col("cnt") % 2 =!= 0)
+    val merged = Sketch.cmsCounters(a, 4, 128)
+      .unionByName(Sketch.cmsCounters(b, 4, 128))
+      .groupBy("row", "bucket").agg(sum("c").as("c"))
+    val whole = Sketch.cmsCounters(counts, 4, 128)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+}

@@ -399,4 +399,31 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
     assert(rows.toSeq == Seq((1L, true), (2L, false), (3L, true)), rows.mkString(","))
   }
+
+  test("streaming count-min sketch folds micro-batches to the whole-corpus sketch") {
+    import graft.operators.Sketch
+    implicit val sqlCtx = spark.sqlContext
+    val cms = new Sketch.StreamingCms(depth = 4, width = 128)
+    val mem = MemoryStream[String]
+    val query = mem.toDF().toDF("token")
+      .writeStream.foreachBatch(cms.sink("token")).start()
+    val wave1 = (0 until 200).map(i => s"tok${i % 40}")
+    val wave2 = (0 until 300).map(i => s"tok${i % 60}")
+    try {
+      mem.addData(wave1: _*); query.processAllAvailable()
+      mem.addData(wave2: _*); query.processAllAvailable()
+    } finally query.stop()
+    // accumulated cells == the batch sketch of the concatenated corpus
+    val batch = Sketch.cmsCounters(
+        (wave1 ++ wave2).toDF("token").groupBy("token").agg(count(lit(1)).as("cnt")),
+        depth = 4, width = 128)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cms.counters == batch)
+    // point estimates never undercount the true frequency
+    val truth = (wave1 ++ wave2).groupBy(identity).view.mapValues(_.size.toLong)
+    truth.foreach { case (tok, n) =>
+      assert(cms.estimate(tok) >= n, s"undercount for $tok")
+    }
+    assert(cms.estimate("never-seen-prefix-miss") >= 0L)
+  }
 }
