@@ -81,15 +81,21 @@ object Sketch {
   /** Point estimates for every token in `tokens` (token): est = min over
     * rows of the token's cell. The depth·width counter table is broadcast;
     * the query side explodes into depth narrow (row, bucket) probes and
-    * min-aggregates back — no corpus-sized shuffle, vocab-sized output. */
+    * min-aggregates back — no corpus-sized shuffle, vocab-sized output.
+    *
+    * The join is LEFT with `coalesce(c, 0)`: `counters` only materializes
+    * non-empty cells, and an out-of-vocabulary token that hashes into an
+    * empty cell must floor the min at 0 (the CMS guarantee est ≥ exact with
+    * est = 0 when any probed cell is untouched). An inner join would drop
+    * that cell and report the min of the remaining — inflated — cells. */
   def cmsEstimates(tokens: DataFrame, counters: DataFrame,
                    depth: Int = 4, width: Int = 256): DataFrame = {
     val probes = (0 until depth).map { i =>
       tokens.select(col("token"), lit(i).as("row"),
         pmod(xxhash64(lit(i), col("token")), lit(width.toLong)).as("bucket"))
     }.reduce(_ unionByName _)
-    probes.join(broadcast(counters), Seq("row", "bucket"))
+    probes.join(broadcast(counters), Seq("row", "bucket"), "left")
       .groupBy("token")
-      .agg(min("c").as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 }

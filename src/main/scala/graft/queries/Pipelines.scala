@@ -1293,9 +1293,14 @@ object Pipelines {
     * est − exact ≤ (e/width)·N, integer-exact cross-multiplication with
     * decimal headroom). Top-20 via orderBy+limit (TakeOrdered, the a2
     * precedent); counter matrix is 4×256 cells broadcast into the probe
-    * join. [SQL — hashInt(i,42)-seeded string hashes replayed via
+    * join. The probe set is the top-20 plus one OUT-OF-VOCABULARY token
+    * (exact count 0) — pinning the left-join estimate path: an OOV probe
+    * hitting an empty cell must report 0, never the min of the non-empty
+    * cells only. [SQL — hashInt(i,42)-seeded string hashes replayed via
     * Duck.xxh64StrCtes; width 256 divides 2^64 so unsigned mod replays
     * pmod]. */
+  private val oovProbeToken = "zzzgraftoovprobezzz"
+
   val sketchHeavyHitters: Q = (s, dir) => {
     val counts = Tables.documents(s, dir)
       .select(explode(TextFns.words(TextFns.cleanText(col("text"),
@@ -1304,9 +1309,13 @@ object Pipelines {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // consumers: counters, probes, total, top-20
     val counters = graft.operators.Sketch.cmsCounters(counts)
-    val est = graft.operators.Sketch.cmsEstimates(counts.select("token"), counters)
+    val probeExact = counts.orderBy(col("cnt").desc, col("token")).limit(20)
+      .unionByName(s.range(1)
+        .select(lit(oovProbeToken).as("token"), lit(0L).as("cnt")))
+    val est = graft.operators.Sketch.cmsEstimates(
+      probeExact.select("token"), counters)
     val tot = counts.agg(sum("cnt").as("ntot"))
-    counts.orderBy(col("cnt").desc, col("token")).limit(20)
+    probeExact
       .join(est, Seq("token"))
       .crossJoin(broadcast(tot))
       .select(col("token"), col("cnt").as("exact_cnt"), col("est").as("est_cnt"),
@@ -1326,24 +1335,28 @@ object Pipelines {
        |c AS (SELECT token, count(*) AS cnt FROM w WHERE length(token) > 0
        |  GROUP BY 1),
        |seeds AS ($seeds),
-       |cellmap AS (SELECT c.token, sd.i,
-       |    CAST(sd.i AS VARCHAR) || '|' || c.token AS sid, sd.seedi
-       |  FROM c CROSS JOIN seeds sd),
+       |toks AS (SELECT token FROM c
+       |  UNION ALL SELECT 'zzzgraftoovprobezzz'),
+       |cellmap AS (SELECT t.token, sd.i,
+       |    CAST(sd.i AS VARCHAR) || '|' || t.token AS sid, sd.seedi
+       |  FROM toks t CROSS JOIN seeds sd),
        |strs AS (SELECT sid, token AS s, seedi AS seed FROM cellmap),
        |${Duck.xxh64StrCtes("strs")},
        |bkt AS (SELECT m.token, m.i, x.h % 256 AS bucket
        |  FROM cellmap m JOIN xstr x ON x.sid = m.sid),
        |counters AS (SELECT i, bucket, CAST(sum(c2.cnt) AS HUGEINT) AS cval
        |  FROM bkt JOIN c c2 USING (token) GROUP BY 1, 2),
-       |est AS (SELECT token, CAST(min(cval) AS BIGINT) AS est
-       |  FROM bkt JOIN counters USING (i, bucket) GROUP BY token),
+       |est AS (SELECT token, CAST(min(coalesce(cval, 0)) AS BIGINT) AS est
+       |  FROM bkt LEFT JOIN counters USING (i, bucket) GROUP BY token),
        |tot AS (SELECT CAST(sum(cnt) AS HUGEINT) AS ntot FROM c),
-       |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20)
+       |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20),
+       |pe AS (SELECT token, cnt FROM top
+       |  UNION ALL SELECT 'zzzgraftoovprobezzz', CAST(0 AS BIGINT))
        |SELECT t.token, t.cnt AS exact_cnt, e.est AS est_cnt,
        |  (e.est >= t.cnt) AS over_ok,
        |  (CAST(e.est - t.cnt AS HUGEINT) * 256000000 <= 2718282 * ntot)
        |    AS within_eps
-       |FROM top t JOIN est e USING (token) CROSS JOIN tot
+       |FROM pe t JOIN est e USING (token) CROSS JOIN tot
        |ORDER BY exact_cnt DESC, token""".stripMargin
   }
 

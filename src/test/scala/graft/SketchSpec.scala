@@ -31,6 +31,25 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("an out-of-vocabulary probe hitting an empty cell estimates 0") {
+    // 3 tokens × 4 rows touch ≤ 12 of 4·256 cells: an unseen token's four
+    // probes land in empty cells (deterministic hashes — verified below),
+    // and the left-join estimate must floor the min at 0 instead of running
+    // min over only the non-empty cells.
+    val counts = vocab(3)
+    val counters = Sketch.cmsCounters(counts, depth = 4, width = 256)
+    val probe = Seq(("neverseen", 0L)).toDF("token", "cnt")
+    val est = Sketch.cmsEstimates(probe.select("token"), counters, 4, 256)
+      .collect()
+    assert(est.length == 1 && est(0).getLong(1) == 0L,
+      s"OOV probe must estimate 0, got ${est.toSeq}")
+    // driver-side streaming estimate agrees (same hash chain, same floor)
+    val cms = new Sketch.StreamingCms(4, 256)
+    cms.sink("token")(counts.select(explode(array_repeat(col("token"),
+      col("cnt").cast("int"))).as("token")), 0L)
+    assert(cms.estimate("neverseen") == 0L)
+  }
+
   test("counter matrix is bounded by depth*width however large the vocab") {
     val counters = Sketch.cmsCounters(vocab(5000), depth = 4, width = 64)
     assert(counters.count() <= 4 * 64)
