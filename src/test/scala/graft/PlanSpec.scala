@@ -298,6 +298,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedAggregation"), p)
   }
 
+  test("dsir_select: bucket stats broadcast into the scoring join; no window, no cross product") {
+    val p = plan(Pipelines.queries("dsir_select")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // the ≤ buckets-row stats table reaches the per-doc scoring side as a
+    // broadcast — the corpus-sized (id, bucket, count) table never shuffles
+    // for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the top-k resample is the bounded TopK aggregator, partial+final
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p)
+  }
+
+  test("sketch_heavy_hitters: counter cells broadcast into the probe join; top-20 is TakeOrdered") {
+    val p = plan(Pipelines.queries("sketch_heavy_hitters")(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ≤ depth·width cell table is broadcast; probes never shuffle for it
+    assert(p.contains("BroadcastHashJoin"), p)
+    // global top-20 of the vocab is TakeOrderedAndProject, never a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global=true")), p)
+  }
+
   test("tf-idf: tf aggregation is partial+final; rank window is doc-partitioned and group-limited") {
     val p = plan(Pipelines.textTfidf(spark, sf))
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
