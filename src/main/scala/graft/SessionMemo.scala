@@ -1,0 +1,102 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo for shared query artifacts — checkpointed frames,
+  * trained models — keyed by (session, key). The shared-artifact contract
+  * behind the quality gate, the pair graph, the adaptation feed, and the
+  * trained quantizers: compute once per (session, corpus), reuse everywhere.
+  *
+  * Unlike a bare static map (the r5 shape), entries are EVICTED when the
+  * owning session's SparkContext stops: every `getOrBuild` arms an
+  * application-end listener (once per context), and on that event all
+  * registered memos drop their entries and release what the values pinned —
+  * localCheckpoint RDD blocks reachable through `LogicalRDD` leaves are
+  * unpersisted best-effort (after a stop the block manager is gone and the
+  * drop alone un-pins the session object graph for GC). A long-lived service
+  * cycling sessions no longer accumulates dead (session, corpus) state.
+  *
+  * Builds run OUTSIDE the map's compute hook: builders may recursively
+  * consult this or another memo (`ConcurrentHashMap` forbids re-entrant
+  * mapping functions — recursive computeIfAbsent can throw or stall when
+  * keys share a bin). A racing duplicate build is harmless; values are
+  * deterministic per key.
+  */
+final class SessionMemo[V <: AnyRef] {
+  private val map = new ConcurrentHashMap[String, V]()
+  SessionMemo.register(this)
+
+  def getOrBuild(s: SparkSession, key: String)(build: => V): V = {
+    SessionMemo.armEviction(s)
+    val k = System.identityHashCode(s) + "|" + key
+    val hit = map.get(k)
+    if (hit != null) hit
+    else {
+      val v = build
+      val prev = map.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
+
+  private[graft] def evictAll(): Unit = {
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val v = it.next().getValue
+      it.remove()
+      SessionMemo.release(v)
+    }
+  }
+
+  private[graft] def entryCount: Int = map.size
+}
+
+object SessionMemo {
+  private val memos =
+    new java.util.concurrent.CopyOnWriteArrayList[SessionMemo[_ <: AnyRef]]()
+  private val hookedContexts = ConcurrentHashMap.newKeySet[String]()
+
+  private def register(m: SessionMemo[_ <: AnyRef]): Unit = memos.add(m)
+
+  /** Total live entries across every memo — observability for the eviction
+    * contract (MemoEvictionSpec) and for service health checks. */
+  def totalEntries: Int = {
+    var n = 0
+    memos.forEach(m => n += m.entryCount)
+    n
+  }
+
+  /** Arm the application-end hook once per SparkContext. When the context
+    * stops, every session on it is dead — all entries across all memos are
+    * keyed by such sessions, so a full drop is exactly session-scoped. */
+  private def armEviction(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    val key = sc.applicationId + "#" + System.identityHashCode(sc)
+    if (hookedContexts.add(key)) {
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          hookedContexts.remove(key)
+          memos.forEach(_.evictAll())
+        }
+      })
+    }
+  }
+
+  /** Best-effort release of what an evicted value pins: a checkpointed
+    * DataFrame holds its blocks through `LogicalRDD` leaves. On a live
+    * context (future per-session eviction paths) this frees the blocks; on
+    * a stopped one the block manager already released them and dropping the
+    * reference is the whole job. */
+  private def release(v: AnyRef): Unit = v match {
+    case df: DataFrame =>
+      try {
+        if (!df.sparkSession.sparkContext.isStopped)
+          df.queryExecution.logical.collect {
+            case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+          }.foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
+    case _ => ()
+  }
+}

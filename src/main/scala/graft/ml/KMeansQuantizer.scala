@@ -41,17 +41,16 @@ object KMeansQuantizer {
     * anyway. Cross-session / corpus-content staleness is the persisted
     * index's job ([[graft.operators.AnnIndex.ivfIndexDir]] keys on a content
     * digest). */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val memo = new graft.SessionMemo[AnyRef]
 
   private def memoized[T <: AnyRef](df: DataFrame, tag: String)(train: => T): T = {
     val plan = df.queryExecution.logical
     val rddIds = plan.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
     }.mkString(",")
-    memo.computeIfAbsent(
-      System.identityHashCode(df.sparkSession) + "|" + tag + "|rdd:" + rddIds +
-        "|" + plan.canonicalized.toString,
-      _ => train).asInstanceOf[T]
+    memo.getOrBuild(df.sparkSession,
+      tag + "|rdd:" + rddIds + "|" + plan.canonicalized.toString)(train)
+      .asInstanceOf[T]
   }
 
   /** Train `k` centroids over `df`'s vector column; returns exactly k×dim

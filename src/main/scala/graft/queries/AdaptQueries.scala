@@ -106,17 +106,10 @@ object AdaptQueries {
     * behind [[adaptStreamSignals]] and the adaptation report. Memoized per
     * (session, corpus) with the MLQueries get/putIfAbsent discipline (the
     * builder reads the parquet-memoized caches — never this map). */
-  private val feedMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val feedMemo = new graft.SessionMemo[DataFrame]
 
-  private def adaptFeed(s: SparkSession, dir: String): DataFrame = {
-    val k = System.identityHashCode(s) + "|" + dir
-    val hit = feedMemo.get(k)
-    if (hit != null) return hit
-    val v = adaptFeedBuild(s, dir).localCheckpoint()
-    val prev = feedMemo.putIfAbsent(k, v)
-    if (prev != null) prev else v
-  }
+  private def adaptFeed(s: SparkSession, dir: String): DataFrame =
+    feedMemo.getOrBuild(s, dir)(adaptFeedBuild(s, dir).localCheckpoint())
 
   private def adaptFeedBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")

@@ -31,24 +31,12 @@ object MLQueries {
     * Deterministic per key up to double-sum combine order, which every
     * consumer already absorbs via the round-6 discipline — and a single
     * shared fit is strictly MORE stable than per-query refits. */
-  private val artifactMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  // get → build-outside → putIfAbsent, NOT computeIfAbsent: feed builders
-  // recursively memo the model under another key of this same map, and
-  // ConcurrentHashMap forbids a mapping function touching the map (recursive
-  // computeIfAbsent can throw or stall when keys share a bin). A racing
-  // duplicate build is harmless — values are deterministic per key.
+  private val artifactMemo = new graft.SessionMemo[AnyRef]
+  // SessionMemo builds outside the map's compute hook, so feed builders may
+  // recursively memo the model under another key of this same memo.
   private def memoArtifact[T <: AnyRef](s: SparkSession, dir: String,
-                                        key: String)(build: => T): T = {
-    val k = System.identityHashCode(s) + "|" + dir + "|" + key
-    val hit = artifactMemo.get(k)
-    if (hit != null) hit.asInstanceOf[T]
-    else {
-      val v = build
-      val prev = artifactMemo.putIfAbsent(k, v)
-      (if (prev != null) prev else v).asInstanceOf[T]
-    }
-  }
+                                        key: String)(build: => T): T =
+    artifactMemo.getOrBuild(s, dir + "|" + key)(build).asInstanceOf[T]
 
   /** The experiment family's one shared classifier: GNB fit on the
     * deterministic 80% split. */

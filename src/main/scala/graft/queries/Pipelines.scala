@@ -72,12 +72,12 @@ object Pipelines {
     * pair generation is the expensive stage shared by the pair query and the
     * cluster query — run it once per session and pin the (output-sized,
     * near-dups-only) result. Deterministic per key, so a recompute would
-    * return the same rows. */
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * return the same rows. Session-evicted ([[graft.SessionMemo]]), like
+    * every memo below. */
+  private val pairsMemo = new graft.SessionMemo[DataFrame]
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ =>
+    pairsMemo.getOrBuild(s, dir)(
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, threshold = 0.5).localCheckpoint())
 
@@ -87,11 +87,10 @@ object Pipelines {
     * `pipeline_prep` consume the identical assignment — computing it once
     * per (session, corpus) is the same shared-artifact contract as
     * [[graft.operators.AdaptCache]]. */
-  private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val ccMemo = new graft.SessionMemo[DataFrame]
 
   private def clusterAssignments(s: SparkSession, dir: String): DataFrame =
-    ccMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ =>
+    ccMemo.getOrBuild(s, dir)(
       Dedup.connectedComponents(jaccardPairs(s, dir).select("id_a", "id_b"))
         .localCheckpoint())
 
@@ -467,16 +466,14 @@ object Pipelines {
     * (σ=0.15, ids offset into the 10^7 range) — so each center's exact top-10
     * is dominated by its own cluster, and a quantizer that separates clusters
     * must recover it. Same planting device as [[dedupEmbedding]]. */
-  private val plantedMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val plantedMemo = new graft.SessionMemo[DataFrame]
 
   private def plantedClusters(s: SparkSession, dir: String): DataFrame =
     // Memoized per (session, dir): the checkpointed corpus is re-read by
     // every trained-recall gate and by each benchmark repetition — reusing
     // the same LogicalRDD also lets KMeansQuantizer's plan-identity memo hit
     // instead of retraining per invocation.
-    plantedMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir,
-      _ => plantedClustersBuild(s, dir))
+    plantedMemo.getOrBuild(s, dir)(plantedClustersBuild(s, dir))
 
   private def plantedClustersBuild(s: SparkSession, dir: String): DataFrame = {
     val centers = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
@@ -722,60 +719,18 @@ object Pipelines {
     * all consume the identical per-doc gate, so it computes once per
     * (session, corpus); the checkpointed result is doc-count-sized (one
     * 7-column row per doc). */
-  private val qualityMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val qualityMemo = new graft.SessionMemo[DataFrame]
 
   val textQuality: Q = (s, dir) =>
-    qualityMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ =>
-      textQualityBody(s, dir).localCheckpoint())
+    qualityMemo.getOrBuild(s, dir)(textQualityBody(s, dir).localCheckpoint())
 
-  private val textQualityBody: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    // one projection barrier for the regex-clean chain (see TextFns HOF note),
-    // reused by all three aggregation branches
-    val toks = docs.select(col("doc_id"),
-        TextFns.normTokens(TextFns.cleanText(col("text"), removePunctuation = true))
-          .as("toks0"))
-      .select(col("doc_id"),
-        filter(col("toks0"), t => length(t) > 0).as("toks"))
-      .localCheckpoint()
-    val tokf = toks.select(col("doc_id"), explode_outer(col("toks")).as("tok"))
-      .filter(col("tok").isNotNull)
-    val us = tokf.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        max("c").as("topc"), sum("c").as("n"),
-        sum(col("c") * length(col("tok"))).as("sumlen"))
-    def grams(n: Int) = toks
-      .select(col("doc_id"),
-        explode_outer(TextFns.shinglesFromTokens(col("toks"), n)).as("g"))
-      .filter(col("g").isNotNull)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as(s"tot$n"), countDistinct(col("g")).as(s"dst$n"))
-    docs.select("doc_id")
-      .join(us, Seq("doc_id"), "left")
-      .join(grams(2), Seq("doc_id"), "left")
-      .join(grams(3), Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("n"), lit(0L)).as("n_tokens"),
-        round(when(col("n").isNull, 0.0)
-          .otherwise(col("sumlen").cast("double") / col("n")), 6)
-          .as("mean_word_len"),
-        round(when(col("n").isNull, 0.0)
-          .otherwise(col("topc").cast("double") / col("n")), 6)
-          .as("top_unigram_ratio"),
-        round(when(col("tot2").isNull, 0.0)
-          .otherwise(lit(1.0) - col("dst2").cast("double") / col("tot2")), 6)
-          .as("dup_2gram_ratio"),
-        round(when(col("tot3").isNull, 0.0)
-          .otherwise(lit(1.0) - col("dst3").cast("double") / col("tot3")), 6)
-          .as("dup_3gram_ratio"))
-      .withColumn("quality_ok",
-        col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("top_unigram_ratio") <= 0.15 && col("dup_2gram_ratio") <= 0.05)
+  private val textQualityBody: Q = (s, dir) =>
+    // signal computation + gate predicate live in operators.Quality, shared
+    // verbatim with the streaming admission gate (IngestGate) — the stream
+    // admits exactly what this batch gate would keep
+    graft.operators.Quality.signals(Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("quality_ok", graft.operators.Quality.okCol())
       .orderBy("doc_id")
-  }
 
   /** DuckDB twin of [[textQuality]] — same clean/split chain as the dedup
     * oracles, same integer counts, same rounded-double thresholds. */
@@ -1121,19 +1076,18 @@ object Pipelines {
     * 4-grams with the "benchmark" set (doc_id < 10) — the eval-leak scrub
     * run before training ([[graft.operators.Decontam]]). [SQL] */
   val decontamOverlap: Q = (s, dir) =>
-    contamMemo.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ => {
+    contamMemo.getOrBuild(s, dir) {
       val docs = Tables.documents(s, dir)
       graft.operators.Decontam.overlap(
           docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
           "doc_id", "text", n = 4)
         .orderBy("doc_id").localCheckpoint()
-    })
+    }
 
   /** Decontamination scrub as a shared artifact ([[qualityMemo]] contract):
     * `decontam_overlap` and `pipeline_prep` consume the identical result;
     * output is contaminated-doc-sized. */
-  private val contamMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val contamMemo = new graft.SessionMemo[DataFrame]
 
   /** [[decontamOverlap]] twin: 4-gram join on shingle STRINGS — the hash
     * join's collision-free replay, same precedent as dedup_ngram_jaccard. */

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Pipelines
+
+/** Session-lifecycle contract for the shared-artifact memos (VERDICT r5 #5):
+  * a stopped session must not leave its (session, corpus) entries — and the
+  * checkpoint blocks they pin — behind in the static memo registry. Runs two
+  * REAL session lifecycles back to back; SparkTestSession rebuilds the shared
+  * session for any suite running after this one. */
+class MemoEvictionSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def awaitEmpty(): Int = {
+    // the application-end event is delivered through the listener bus, which
+    // SparkContext.stop drains before returning — the deadline is pure slack
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (SessionMemo.totalEntries != 0 && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    SessionMemo.totalEntries
+  }
+
+  test("stopping a session evicts every memo entry it owned; a fresh session repopulates") {
+    val s1 = SparkTestSession.spark
+    // one memoized DataFrame (quality gate checkpoint) + one memoized model
+    Pipelines.queries("text_quality")(s1, sf).count()
+    Pipelines.queries("sim_ivf_trained_recall")(s1, sf).count()
+    assert(SessionMemo.totalEntries > 0, "memos should hold session-1 entries")
+    s1.stop()
+    assert(awaitEmpty() == 0,
+      s"stopped session left ${SessionMemo.totalEntries} memo entries pinned")
+
+    // second lifecycle: a fresh context re-arms eviction and repopulates
+    val s2 = SparkTestSession.spark
+    assert(s2 ne s1)
+    Pipelines.queries("text_quality")(s2, sf).count()
+    assert(SessionMemo.totalEntries > 0, "memos should hold session-2 entries")
+    s2.stop()
+    assert(awaitEmpty() == 0,
+      s"second stopped session left ${SessionMemo.totalEntries} entries pinned")
+  }
+}
