@@ -46,27 +46,60 @@ object Dsir {
     * ~10^19 gram-count-products per doc). */
   def affinity(docs: DataFrame, idCol: String, textCol: String,
                isTarget: Column, buckets: Int = 256): DataFrame = {
-    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
-      "buckets must be a power of two (keeps the unsigned-mod oracle replay exact)")
-    // Two-step projection barrier before the HOF shingle lambda (TextFns note).
-    val grams = docs
-      .select(col(idCol).as("id"), isTarget.as("is_target"),
-        TextFns.normTokens(TextFns.cleanText(col(textCol), removePunctuation = true))
-          .as("toks"))
-      .select(col("id"), col("is_target"),
-        explode_outer(TextFns.shinglesFromTokens(col("toks"), 2)).as("g"))
-      .filter(col("g").isNotNull)
-      .select(col("id"), col("is_target"),
-        pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"))
     // Per-(doc, bucket) counts: ≤ buckets narrow rows per doc through the
     // shuffle; shared by the stats reduction and the scoring join.
-    val perDoc = grams.groupBy("id", "is_target", "b")
-      .agg(count(lit(1)).as("c"))
+    val perDoc = perDocBuckets(docs, idCol, textCol, Some(isTarget), buckets)
       .localCheckpoint()
     val stats = perDoc.groupBy("b").agg(
       sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct"),
       sum(when(!col("is_target"), col("c")).otherwise(0L)).as("cr"))
-    perDoc.filter(!col("is_target"))
+    scoreBuckets(perDoc.filter(!col("is_target")).select("id", "b", "c"), stats)
+  }
+
+  /** The ≤ `buckets`-row (b, ct, cr) stats table of a reference corpus —
+    * built once from history, then broadcast into every scoring join; the
+    * artifact the streaming admission gate ([[graft.streaming.IngestGate]])
+    * scores incoming micro-batches against. */
+  def bucketStats(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 256): DataFrame =
+    perDocBuckets(docs, idCol, textCol, Some(isTarget), buckets)
+      .groupBy("b").agg(
+        sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), col("c")).otherwise(0L)).as("cr"))
+
+  /** Affinity of `docs` against PRECOMPUTED [[bucketStats]] — the
+    * streaming/ingest scoring path: the batch is scanned once for counting
+    * and once for scoring, the stats ride as a broadcast, nothing
+    * corpus-sized shuffles. Same integer-exact arithmetic as [[affinity]]. */
+  def affinityAgainst(docs: DataFrame, idCol: String, textCol: String,
+                      stats: DataFrame, buckets: Int = 256): DataFrame =
+    scoreBuckets(perDocBuckets(docs, idCol, textCol, None, buckets), stats)
+
+  /** (id[, is_target], b, c) hashed-bigram bucket counts per document.
+    * Two-step projection barrier before the HOF shingle lambda (TextFns
+    * note); documents with no bigram (< 2 tokens) drop out — no evidence. */
+  private def perDocBuckets(docs: DataFrame, idCol: String, textCol: String,
+                            isTarget: Option[Column], buckets: Int): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (keeps the unsigned-mod oracle replay exact)")
+    val keyCols = col("id") +: isTarget.map(_ => col("is_target")).toSeq
+    docs
+      .select(col(idCol).as("id") +: isTarget.map(_.as("is_target")).toSeq :+
+        TextFns.normTokens(TextFns.cleanText(col(textCol), removePunctuation = true))
+          .as("toks"): _*)
+      .select(keyCols :+
+        explode_outer(TextFns.shinglesFromTokens(col("toks"), 2)).as("g"): _*)
+      .filter(col("g").isNotNull)
+      .select(keyCols :+
+        pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"): _*)
+      .groupBy(keyCols :+ col("b"): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Smoothed-dot-product scoring of (id, b, c) rows against broadcast
+    * (b, ct, cr) stats — decimal sums, ONE final double division. */
+  private def scoreBuckets(perDoc: DataFrame, stats: DataFrame): DataFrame =
+    perDoc
       .join(broadcast(stats), Seq("b"))
       .groupBy("id")
       .agg(
@@ -78,7 +111,6 @@ object Dsir {
       .select(col("id"), col("n_grams"),
         round(col("num").cast("double") / col("den").cast("double"), 6)
           .as("affinity"))
-  }
 
   /** Deterministic importance resample: the k raw documents ranked first by
     * (affinity desc, id asc), flagged `selected`. Ranking goes through the

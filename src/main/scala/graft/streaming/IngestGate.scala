@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dsir, Quality}
+
+/** Streaming admission gate: score each micro-batch's documents against
+  * (1) broadcast DSIR bucket stats from a reference corpus and (2) the
+  * engine's quality gate, BEFORE anything reaches the persisted stores
+  * ([[graft.operators.FingerprintStore]], [[graft.operators.AnnIndex]]'s PQ
+  * appender). The batch pipeline selects (dsir_select) and gates
+  * (text_quality) before training; a continuous-crawl ingest must apply the
+  * same judgment at the door or the stores fill with documents the batch
+  * pipeline would immediately discard.
+  *
+  * Construction: `Dsir.bucketStats` over the historical corpus → a
+  * ≤ buckets-row stats table, localCheckpointed here so every micro-batch
+  * re-broadcasts the model-sized artifact instead of re-scanning history;
+  * quality thresholds come from the deployment's `quality_quantiles`
+  * calibration (defaults = the batch gate's constants).
+  *
+  * Per batch: one scan for bigram-bucket counting, one for the quality
+  * signals — both batch-sized, both joined back by id; the split into
+  * admitted/quarantined reads one gated checkpoint twice. Nothing
+  * corpus-sized shuffles, nothing beyond the stats table broadcasts, so the
+  * gate adds O(|batch|) work per trigger regardless of store size.
+  */
+final class IngestGate(stats: DataFrame, minAffinity: Double,
+                       thresholds: Quality.Thresholds = Quality.Thresholds(),
+                       buckets: Int = 256) extends Serializable {
+
+  private val statsPinned = stats.localCheckpoint()
+
+  /** The input rows plus (affinity, quality_ok, admitted). A document with
+    * no scorable bigram gets affinity null and is NOT admitted — no
+    * evidence of target affinity is a reject at the door (it is also a
+    * quality reject at any sane min-token threshold). */
+  def gate(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val aff = Dsir.affinityAgainst(batch, idCol, textCol, statsPinned, buckets)
+      .select(col("id").as(idCol), col("affinity"))
+    val sig = Quality.signals(batch, idCol, textCol)
+      .select(col(idCol), Quality.okCol(thresholds).as("quality_ok"))
+    batch
+      .join(aff, Seq(idCol), "left")
+      .join(sig, Seq(idCol), "left")
+      .withColumn("admitted",
+        coalesce(col("affinity") >= minAffinity, lit(false)) &&
+          coalesce(col("quality_ok"), lit(false)))
+  }
+
+  /** `writeStream.foreachBatch` adapter: admitted rows (original columns)
+    * flow to `accept` — typically a [[graft.operators.FingerprintStore]]
+    * dedup sink — and rejected rows, still carrying their gate columns for
+    * audit, to `quarantine`. The gated batch is checkpointed once and read
+    * twice, so scoring never runs per consumer. */
+  def sink(idCol: String, textCol: String)
+          (accept: DataFrame => Unit)
+          (quarantine: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      if (!batch.isEmpty) {
+        val gated = gate(batch, idCol, textCol).localCheckpoint()
+        accept(gated.filter(col("admitted"))
+          .drop("affinity", "quality_ok", "admitted"))
+        quarantine(gated.filter(!col("admitted")))
+      }
+    }
+}

@@ -47,6 +47,19 @@ class DsirSpec extends AnyFunSuite {
     assert(got.filter(_._3).map(_._1).toSet == (10L until 20L).toSet)
   }
 
+  test("scoring against precomputed bucket stats equals the one-shot affinity") {
+    // the streaming/ingest path (stats built once from history, batches
+    // scored against them) must reproduce the batch computation exactly
+    val oneShot = Dsir.affinity(corpus, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stats = Dsir.bucketStats(corpus, "doc_id", "text", col("is_tgt"))
+    val against = Dsir.affinityAgainst(
+        corpus.filter(!col("is_tgt")).select("doc_id", "text"),
+        "doc_id", "text", stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(against == oneShot)
+  }
+
   test("bucket stats are broadcast into the scoring join") {
     val plan = Dsir.affinity(corpus, "doc_id", "text", col("is_tgt"))
       .queryExecution.executedPlan.toString

@@ -372,6 +372,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(FingerprintStore.bloomCount(spark, dir) == 1)
   }
 
+  test("fingerprint store: compaction interleaved with a live appender stream loses nothing") {
+    import graft.operators.FingerprintStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("fpstore_race").toString
+    FingerprintStore.seed(
+      Seq((0L, "from history")).toDF("doc_id", "text"), "text", dir)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink = FingerprintStore.dedupSink(spark, dir, "doc_id", "text",
+      streamTag = "race") { df =>
+      got ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val query = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      mem.addData((1L, "first epoch doc"), (2L, "from history"))
+      query.processAllAvailable()
+      // compact BETWEEN epochs of the still-active stream (the single-writer
+      // contract forbids racing an in-flight epoch, not a live query): the
+      // sink's in-memory Bloom list and the on-disk state must both stay
+      // sound across the swap
+      FingerprintStore.compact(spark, dir)
+      assert(FingerprintStore.bloomCount(spark, dir) == 1)
+      mem.addData((3L, "first epoch doc"), (4L, "post compact doc"))
+      query.processAllAvailable()
+      // second compact with one more epoch after it
+      FingerprintStore.compact(spark, dir)
+      mem.addData((5L, "post compact doc"), (6L, "late doc"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(got.sorted.toSeq == Seq(1L, 4L, 6L), got.mkString(","))
+    // no fingerprint lost or duplicated across the swaps: the store holds
+    // exactly the distinct admitted texts (history + the three survivors)
+    val fps = spark.read.parquet(s"$dir/fps").select("fp").collect()
+      .map(_.getLong(0))
+    assert(fps.length == 4 && fps.distinct.length == 4, fps.mkString(","))
+    // a restarted sink over the compacted store sees the same history
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink2 = FingerprintStore.dedupSink(spark, dir, "doc_id", "text",
+      streamTag = "race2") { df =>
+      got2 ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = mem2.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink2).start()
+    try {
+      mem2.addData((7L, "late doc"), (8L, "from history"), (9L, "never seen"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got2.sorted.toSeq == Seq(9L), got2.mkString(","))
+  }
+
+  test("ivf index: compaction interleaved with a live appender keeps every appended row") {
+    import graft.operators.AnnIndex
+    implicit val sqlCtx = spark.sqlContext
+    def mix(a: Long, b: Long): Double =
+      (Math.floorMod(a * 2654435761L + b * 40503L + 12345L, 100000L)
+        .toDouble / 100000.0 - 0.5) * 2.0
+    def pt(c: Int, p: Int): (Long, Seq[Double]) = {
+      val id = (c * 60 + p).toLong
+      (id, (0 until 8).map(i => mix(c * 31L + 7, i) + 0.1 * mix(id * 131L + 3, i)))
+    }
+    val initial = (for (c <- 0 until 4; p <- 0 until 10) yield pt(c, p))
+      .toDF("vec_id", "embedding")
+    val dir = AnnIndex.ivfIndexDir(initial, "mem://compact_race_spec",
+      "vec_id", "embedding", nlist = 4, iters = 2, seed = 42L,
+      variant = "race_v1")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val query = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(AnnIndex.ivfAppender(spark, dir, "vec_id", "embedding"))
+      .start()
+    try {
+      mem.addData((for (c <- 0 until 4; p <- 10 until 20) yield pt(c, p)): _*)
+      query.processAllAvailable()
+      val filesBefore = AnnIndex.listFileCount(spark, dir)
+      AnnIndex.compact(spark, dir) // between epochs of the live stream
+      assert(AnnIndex.listFileCount(spark, dir) <= filesBefore)
+      mem.addData((for (c <- 0 until 4; p <- 20 until 30) yield pt(c, p)): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // every row from the build + both epochs (one pre-, one post-compact)
+    // is present exactly once
+    val ids = spark.read.parquet(s"$dir/lists").select("cid").collect()
+      .map(_.getLong(0))
+    val expected = (for (c <- 0 until 4; p <- 0 until 30) yield (c * 60 + p).toLong)
+    assert(ids.length == expected.length && ids.toSet == expected.toSet,
+      s"${ids.length} rows, ${ids.distinct.length} distinct, want ${expected.length}")
+    // and the compacted + appended index still answers queries over both epochs
+    val queries = (for (c <- 0 until 4) yield pt(c, 29)).toDF("vec_id", "embedding")
+    val got = AnnIndex.queryIvf(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.groupBy(_._1).size == 4 &&
+      queries.collect().forall(r => got.contains((r.getLong(0), r.getLong(0)))),
+      s"each query vector must retrieve itself: ${got.mkString(",")}")
+  }
+
   test("streaming prep front door: quality gate + watermark dedup compose on a stream") {
     import graft.functions.TextFns
     implicit val sqlCtx = spark.sqlContext
@@ -398,6 +496,50 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "quality_ok").collect()
       .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
     assert(rows.toSeq == Seq((1L, true), (2L, false), (3L, true)), rows.mkString(","))
+  }
+
+  test("ingest gate quarantines low-affinity and low-quality docs across micro-batches") {
+    import graft.operators.Dsir
+    import graft.streaming.IngestGate
+    implicit val sqlCtx = spark.sqlContext
+    def w(v: String, i: Int) = f"$v${i % 40}%02d"
+    // 24 distinct ~7-char words per doc: clears every quality threshold
+    def doc(v: String, salt: Int) = (0 until 24).map(i => w(v, salt + i)).mkString(" ")
+    // reference corpus: alpha-vocab docs are the target domain, beta-vocab the raw pool
+    val ref = ((0 until 20).map(i => (i.toLong, doc("alpha", i), true)) ++
+        (0 until 20).map(i => (100L + i, doc("beta", i), false)))
+      .toDF("doc_id", "text", "is_target")
+    val stats = Dsir.bucketStats(ref, "doc_id", "text", col("is_target"))
+    val gate = new IngestGate(stats, minAffinity = 2.0)
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val rejected = scala.collection.mutable.Map[Long, (Boolean, Boolean)]()
+    val mem = MemoryStream[(Long, String)]
+    val query = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(gate.sink("doc_id", "text") { df =>
+        accepted ++= df.select("doc_id").collect().map(_.getLong(0))
+      } { df =>
+        // quarantined rows keep their audit columns: which arm rejected them
+        df.select(col("doc_id"), coalesce(col("affinity") >= 2.0, lit(false)),
+            coalesce(col("quality_ok"), lit(false))).collect()
+          .foreach(r => rejected(r.getLong(0)) = (r.getBoolean(1), r.getBoolean(2)))
+      })
+      .start()
+    // doc 3: on-domain words but one dominant unigram — quality-only reject
+    val spammy = ((w("alpha", 0) + " " + w("alpha", 1) + " ") * 15).trim
+    try {
+      mem.addData((1L, doc("alpha", 3)), (2L, doc("beta", 5)), (3L, spammy))
+      query.processAllAvailable()
+      mem.addData((4L, doc("alpha", 9)), (5L, "tiny doc"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(accepted.sorted.toSeq == Seq(1L, 4L), accepted.mkString(","))
+    assert(rejected.keySet == Set(2L, 3L, 5L), rejected.toString)
+    val (aff2, q2) = rejected(2L)
+    assert(!aff2 && q2, s"doc 2 must fail affinity only: $rejected") // off-domain, clean text
+    val (aff3, q3) = rejected(3L)
+    assert(aff3 && !q3, s"doc 3 must fail quality only: $rejected")  // on-domain, spammy
+    assert(rejected(5L)._2 == false, s"doc 5 must fail quality: $rejected")
   }
 
   test("streaming count-min sketch folds micro-batches to the whole-corpus sketch") {
