@@ -100,6 +100,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.values.count(_._2) == 3)
   }
 
+  test("semanticDedup under a hot cluster: results stay exact, and the documented " +
+    "quantizer-resolution mitigation restores balance") {
+    // One coarse cell holds ~50% of all vectors (the skew a 100x scale-up
+    // could surprise with): 16 tight sub-blobs, 8 per half-space; a 2-centroid
+    // quantizer lumps each half into one 208-vector cell. The within-cluster
+    // pair join is Sum |cluster|^2 work — the operator doc's stated fix is
+    // RESOLUTION (more centroids), not salting: a 16-centroid quantizer must
+    // recover the sub-blobs, collapse the bound by >= 4x, and leave the
+    // dedup verdicts untouched (near-dup pairs live inside sub-blobs, which
+    // any finer quantizer keeps together).
+    // Structural separation (no noise, no thresholds-on-a-margin): each point
+    // carries a 0.5-amplitude axis of its own, so same-blob non-copy cosine is
+    // exactly 5/5.25 ~ 0.952, cross-blob <= 0.81, and only exact copies reach 1.
+    def pt(side: Int, blob: Int, p: Int): (Long, Seq[Double]) = {
+      val id = (side * 1000 + blob * 25 + p).toLong
+      (id, (0 until 34).map { i =>
+        if (i == 0) (if (side == 0) 2.0 else -2.0)
+        else if (i == blob + 1) 1.0
+        else if (i == 9 + p) 0.5 else 0.0
+      })
+    }
+    val base = for (s <- 0 until 2; b <- 0 until 8; p <- 0 until 25)
+      yield pt(s, b, p)
+    // one exact copy per sub-blob (id + 100000): the only pairs >= threshold
+    val copies = base.filter(_._1 % 25 == 0).map { case (id, v) => (id + 100000L, v) }
+    val all = (base ++ copies).toDF("vec_id", "embedding")
+    val coarse = Array(
+      Array(2.0) ++ Array.fill(33)(0.0),
+      Array(-2.0) ++ Array.fill(33)(0.0))
+
+    val out = Dedup.semanticDedup(all, "vec_id", "embedding", coarse, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).values.toSeq
+    assert(sizes.max.toDouble / out.length >= 0.45,
+      s"hot cluster not planted: sizes $sizes")
+    val dropped = out.filterNot(_._3).map(_._1).toSet
+    assert(dropped == copies.map(_._1).toSet,
+      s"exactly the planted copies must drop under the hot cluster: $dropped")
+
+    // mitigation: train a finer quantizer on the data itself
+    val fine = graft.ml.KMeansQuantizer.fit(all, "vec_id", "embedding",
+      k = 16, iters = 5, seed = 42L)
+    val out2 = Dedup.semanticDedup(all, "vec_id", "embedding", fine, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val sizes2 = out2.groupBy(_._2).view.mapValues(_.size.toLong).values.toSeq
+    def pairWork(ss: Seq[Long]) = ss.map(n => n * n).sum
+    assert(pairWork(sizes2) * 4 <= pairWork(sizes.map(_.toLong)),
+      s"finer quantizer should collapse pair work >= 4x: " +
+        s"${pairWork(sizes.map(_.toLong))} -> ${pairWork(sizes2)}")
+    assert(out2.filterNot(_._3).map(_._1).toSet == dropped,
+      "resolution change must not change dedup verdicts")
+  }
+
   val embs = Seq(
     (0L, Seq(1f, 0f, 0f, 0f)),
     (1L, Seq(0.9f, 0.1f, 0f, 0f)),

@@ -12,6 +12,47 @@ import org.scalatest.funsuite.AnyFunSuite
   * sub-second timings are floored before the ratio. */
 object PerfSmoke extends Tag("graft.PerfSmoke")
 
+/** A 10× sf0.1 corpus (documents + embeddings) generated once under target/:
+  * the sf1 decade of the linearity envelope (VERDICT r5 #7). Each copy k
+  * retags every word with a `c$k` prefix and hash-jitters every vector
+  * coordinate, so replication adds DATA — 10× more distinct documents with
+  * the same shape statistics — not 10 near-copies of every document (which
+  * would quadratically inflate every pair-generation output and measure the
+  * corpus construction, not the operator). doc/vec ids offset by 10M per
+  * copy; copy 0 keeps the original ids, so `vec_id < 5`-style query sets
+  * stay valid. */
+object Sf1Corpus {
+  def dir(spark: org.apache.spark.sql.SparkSession): String = synchronized {
+    import org.apache.spark.sql.functions._
+    val root = new java.io.File("target/scaling-sf1").getAbsolutePath
+    val done = new java.io.File(root, "_SUCCESS")
+    if (!done.exists()) {
+      val src = "/root/testdata/sf0.1"
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until 10).map { k =>
+        docs.select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(lit(s"c$k"), w)), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$root/documents.parquet")
+      val embs = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until 10).map { k =>
+        embs.select(
+          (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(xxhash64(col("vec_id"), lit(k), i), lit(1000L))
+              .cast("double") / 10000.0 - 0.05)).cast("float")).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+      done.createNewFile()
+    }
+    root
+  }
+}
+
 class ScalingSmokeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -44,6 +85,35 @@ class ScalingSmokeSpec extends AnyFunSuite {
       val bound = 20.0 * math.max(t01, 0.5)
       assert(t1 <= bound,
         s"$q: sf0.1 took ${t1}s > ${bound}s — superlinear vs sf0.01 (${t01}s)")
+    }
+  }
+
+  // The sf1 decade: the core dedup/ANN/chunk/selection suite one more 10×
+  // step, against the generated Sf1Corpus (text-stat queries stop at sf0.1 —
+  // their linearity is already pinned above and the generated corpus retags
+  // vocabulary, which shifts their outputs, not their shape).
+  private val watchedSf1 = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_span_fraction", "sim_lsh_topk",
+    "sim_pq_topk", "chunk_windows", "chunk_dedup", "dsir_select",
+    "sketch_heavy_hitters")
+
+  test("dedup/ANN/chunk suite stays ~linear one decade further (sf0.1 -> sf1)",
+      PerfSmoke) {
+    val sf1 = Sf1Corpus.dir(spark)
+    watchedSf1.foreach(time(_, "/root/testdata/sf0.01")) // warm codegen
+    val curve = watchedSf1.map { q =>
+      val t1 = time(q, "/root/testdata/sf0.1")
+      val t10 = time(q, sf1)
+      info(f"$q%-22s sf0.1 $t1%6.2fs  sf1 $t10%6.2fs")
+      (q, t1, t10)
+    }
+    curve.foreach { case (q, t1, t10) =>
+      // floor 1.0 s: sub-second sf0.1 timings are mostly fixed overhead, and
+      // a quadratic operator would blow a 20 s bound by 5-50× anyway
+      val bound = 20.0 * math.max(t1, 1.0)
+      assert(t10 <= bound,
+        s"$q: sf1 took ${t10}s > ${bound}s — superlinear vs sf0.1 (${t1}s)")
     }
   }
 }
