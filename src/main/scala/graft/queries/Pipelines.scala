@@ -1361,6 +1361,82 @@ object Pipelines {
        |  (row_number() OVER (ORDER BY affinity DESC, doc_id) <= 50) AS selected
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Batch twin of the streaming admission gate
+    * ([[graft.streaming.IngestGate]]): every raw document (source outside
+    * src0/src1) scored against the target-domain DSIR bucket stats AND the
+    * Gopher/C4 quality gate; admitted iff affinity ≥ 1.0 (the neutral
+    * smoothed ratio — more target-like than raw-like) and quality passes.
+    * EXACTLY the operator the foreachBatch sink runs per micro-batch
+    * (same Dsir.bucketStats / affinityAgainst / Quality.signals code),
+    * which puts the streaming gate's arithmetic under the DuckDB oracle.
+    * [SQL — the dsir_select and text_quality CTE chains stitched]. */
+  val gateAdmission: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val isTgt = col("source").isin("src0", "src1")
+    val stats = graft.operators.Dsir.bucketStats(docs, "doc_id", "text", isTgt)
+    new graft.streaming.IngestGate(stats, minAffinity = 1.0)
+      .gate(docs.filter(!isTgt), "doc_id", "text")
+      .select("doc_id", "affinity", "quality_ok", "admitted")
+      .orderBy("doc_id")
+  }
+
+  val gateAdmissionSql: String =
+    s"""WITH RECURSIVE
+       |$toksCte,
+       |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+       |        FROM toksraw WHERE len(w) >= 2) q),
+       |strs AS (SELECT g AS sid, g AS s, CAST(42 AS HUGEINT) AS seed
+       |  FROM (SELECT DISTINCT g FROM grams)),
+       |${Duck.xxh64StrCtes("strs")},
+       |gb AS (SELECT gr.doc_id, x.h % 256 AS b
+       |  FROM grams gr JOIN xstr x ON x.sid = gr.g),
+       |flag AS (SELECT doc_id, source IN ('src0', 'src1') AS is_target
+       |  FROM documents),
+       |pd AS (SELECT gb.doc_id, f.is_target, b, count(*) AS c
+       |  FROM gb JOIN flag f USING (doc_id) GROUP BY 1, 2, 3),
+       |stats AS (SELECT b,
+       |    CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS HUGEINT) AS ct,
+       |    CAST(sum(CASE WHEN NOT is_target THEN c ELSE 0 END) AS HUGEINT) AS cr
+       |  FROM pd GROUP BY b),
+       |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |    sum(CAST(c AS HUGEINT) * (ct + 1)) AS num,
+       |    sum(CAST(c AS HUGEINT) * (cr + 1)) AS den
+       |  FROM pd JOIN stats USING (b) WHERE NOT is_target GROUP BY doc_id),
+       |r AS (SELECT doc_id,
+       |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS affinity
+       |  FROM sc),
+       |toks AS (SELECT doc_id, list_filter(w, x -> length(x) > 0) AS w FROM toksraw),
+       |tokf AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+       |us AS (SELECT doc_id, max(c) AS topc, sum(c) AS n, sum(c * ln_) AS sumlen FROM
+       |  (SELECT doc_id, tok, count(*) AS c, length(tok) AS ln_ FROM tokf
+       |   GROUP BY doc_id, tok) u GROUP BY doc_id),
+       |g2 AS (SELECT doc_id, count(*) AS tot2, count(DISTINCT g) AS dst2 FROM
+       |  (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+       |   FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+       |         FROM toks WHERE len(w) >= 2) q) GROUP BY doc_id),
+       |m AS (SELECT d.doc_id,
+       |  coalesce(CAST(us.n AS BIGINT), 0) AS n_tokens,
+       |  round(CASE WHEN us.n IS NULL THEN 0.0
+       |    ELSE CAST(us.sumlen AS DOUBLE) / us.n END, 6) AS mean_word_len,
+       |  round(CASE WHEN us.n IS NULL THEN 0.0
+       |    ELSE CAST(us.topc AS DOUBLE) / us.n END, 6) AS top_unigram_ratio,
+       |  round(CASE WHEN g2.tot2 IS NULL THEN 0.0
+       |    ELSE 1.0 - CAST(g2.dst2 AS DOUBLE) / g2.tot2 END, 6) AS dup_2gram_ratio
+       |  FROM documents d LEFT JOIN us USING (doc_id)
+       |  LEFT JOIN g2 USING (doc_id)),
+       |q AS (SELECT m.doc_id,
+       |  (m.n_tokens >= 20 AND m.n_tokens <= 100000
+       |   AND m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0
+       |   AND m.top_unigram_ratio <= 0.15 AND m.dup_2gram_ratio <= 0.05)
+       |    AS quality_ok
+       |  FROM m)
+       |SELECT q.doc_id, r.affinity, q.quality_ok,
+       |  (coalesce(r.affinity >= 1.0, false) AND q.quality_ok) AS admitted
+       |FROM q JOIN flag USING (doc_id) LEFT JOIN r USING (doc_id)
+       |WHERE NOT is_target
+       |ORDER BY q.doc_id""".stripMargin
+
   /** Per-source mixture weights: the up/down-sampling factor per domain that
     * hits a uniform token share across sources — the domain-mixing step a
     * pipeline runs before interleaving corpora. One combinable agg over the
@@ -1639,6 +1715,7 @@ object Pipelines {
     "text_tfidf" -> textTfidf,
     "text_unigram_score" -> textUnigramScore,
     "dsir_select" -> dsirSelect,
+    "gate_admission" -> gateAdmission,
     "sketch_heavy_hitters" -> sketchHeavyHitters,
     "dedup_span_fraction" -> dedupSpanFraction,
     "mix_weights" -> mixWeights,
@@ -1684,6 +1761,7 @@ object Pipelines {
     "text_tfidf" -> textTfidfSql,
     "text_unigram_score" -> textUnigramScoreSql,
     "dsir_select" -> dsirSelectSql,
+    "gate_admission" -> gateAdmissionSql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "dedup_span_fraction" -> dedupSpanFractionSql,
     "mix_weights" -> mixWeightsSql,

@@ -22,6 +22,28 @@ class MemoEvictionSpec extends AnyFunSuite {
     SessionMemo.totalEntries
   }
 
+  test("evicting on a live context unpersists the checkpoint blocks the entry pinned") {
+    val s = SparkTestSession.spark
+    val memo = new SessionMemo[org.apache.spark.sql.DataFrame]
+    import s.implicits._
+    val df = memo.getOrBuild(s, "live-evict-probe")(
+      (1 to 100).toDF("x").localCheckpoint())
+    df.count()
+    val rddIds = df.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+    assert(rddIds.nonEmpty, "localCheckpoint should leave an RDD-backed leaf")
+    assert(rddIds.forall(s.sparkContext.getPersistentRDDs.contains),
+      "checkpoint blocks should be persisted while the entry lives")
+    memo.evictAll()
+    assert(memo.entryCount == 0)
+    // unpersist(blocking = false) — poll briefly for the async release
+    val deadline = System.nanoTime() + 10e9.toLong
+    def released = rddIds.forall(id => !s.sparkContext.getPersistentRDDs.contains(id))
+    while (!released && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(released, "evicting a live-context entry must release its blocks")
+  }
+
   test("stopping a session evicts every memo entry it owned; a fresh session repopulates") {
     val s1 = SparkTestSession.spark
     // one memoized DataFrame (quality gate checkpoint) + one memoized model

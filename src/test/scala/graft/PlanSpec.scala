@@ -310,6 +310,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p)
   }
 
+  test("gate_admission: stats and signal joins broadcast or id-keyed; no window, no cross product") {
+    val p = plan(Pipelines.queries("gate_admission")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the ≤ buckets-row DSIR stats table broadcasts into the scoring join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sketch_heavy_hitters: counter cells broadcast into the probe join; top-20 is TakeOrdered") {
     val p = plan(Pipelines.queries("sketch_heavy_hitters")(spark, sf))
     assert(!p.contains("Window"), p)
