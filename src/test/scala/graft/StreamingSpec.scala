@@ -542,6 +542,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rejected(5L)._2 == false, s"doc 5 must fail quality: $rejected")
   }
 
+  test("streaming quantiles track exact batch quantiles within the GK rank bound") {
+    import graft.streaming.StreamingQuantiles
+    implicit val sqlCtx = spark.sqlContext
+    val eps = 0.01
+    val sq = new StreamingQuantiles(relativeError = eps)
+    // deterministic pseudo-uniform values, three uneven micro-batches
+    val values = (0 until 3000)
+      .map(i => Math.floorMod(i * 2654435761L + 12345L, 10000L).toDouble)
+    val mem = MemoryStream[Double]
+    val query = mem.toDF().toDF("value")
+      .writeStream.foreachBatch(sq.sink("value")).start()
+    try {
+      Seq(values.slice(0, 700), values.slice(700, 2100), values.slice(2100, 3000))
+        .foreach { c => mem.addData(c: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(sq.count == values.length)
+    val sorted = values.sorted
+    val n = values.length
+    Seq(0.05, 0.25, 0.5, 0.75, 0.95).foreach { q =>
+      val est = sq.quantile(q).get
+      val lo = sorted.count(_ < est)
+      val hi = sorted.count(_ <= est)
+      val target = q * n
+      val slack = 3 * eps * n // merge keeps the GK invariant; 3x for edges
+      assert(target >= lo - slack && target <= hi + slack,
+        s"q=$q est=$est rank window [$lo,$hi] vs target $target")
+    }
+  }
+
   test("streaming count-min sketch folds micro-batches to the whole-corpus sketch") {
     import graft.operators.Sketch
     implicit val sqlCtx = spark.sqlContext
