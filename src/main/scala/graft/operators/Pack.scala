@@ -81,4 +81,28 @@ object Pack {
       .sortWithinPartitions("shard", "bin_id", "bin_offset")
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
   }
+
+  /** Deterministic training-order shuffle: every example gets a seeded
+    * pseudorandom (shard, shard_pos) — the "shuffle the corpus before
+    * training" step, WITHOUT a global sort. The 52-bit draw
+    * ([[Sample.drawCol]]) assigns shard = draw mod `nShards` and orders
+    * within the shard by (draw desc, id); a trainer reading the shards in
+    * any interleaving sees a seeded permutation of the corpus, and a new
+    * seed is a fresh epoch permutation with zero data rewritten.
+    *
+    * Scale shape: ONE hash-keyed shuffle into `nShards` window partitions —
+    * size nShards so a shard's rows fit an executor (the same knob as any
+    * shard writer; at 100 TB that is 10⁴–10⁵ shards, each a parallel window
+    * partition), never a single global window. Deterministic across runs
+    * and cluster sizes — xxhash64 arithmetic, no rand(). [SQL oracle:
+    * row_number over the replayed draw]. */
+  def shuffleOrder(df: DataFrame, idCol: String, nShards: Int,
+                   seed: Long): DataFrame = {
+    require(nShards > 0)
+    val w = Window.partitionBy("shard").orderBy(col("draw").desc, col(idCol))
+    df.select(col(idCol), Sample.drawCol(col(idCol), seed).as("draw"))
+      .withColumn("shard", pmod(col("draw"), lit(nShards.toLong)))
+      .select(col(idCol), col("shard"),
+        row_number().over(w).cast("long").as("shard_pos"))
+  }
 }

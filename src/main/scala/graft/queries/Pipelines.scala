@@ -860,6 +860,27 @@ object Pipelines {
     s"SELECT $keep, h2 // 4096 AS draw FROM ($staged)"
   }
 
+  /** Deterministic training-order shuffle ([[graft.operators.Pack.shuffleOrder]]):
+    * seeded (shard, shard_pos) for every document — 8 shards, epoch seed 17.
+    * One hash-keyed shuffle, shard-partitioned rank window, no global sort,
+    * no rand(). [SQL — the staged-xxhash64 draw replayed, row_number within
+    * shard]. */
+  val exportShuffle: Q = (s, dir) =>
+    graft.operators.Pack.shuffleOrder(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        nShards = 8, seed = 17L)
+      .orderBy("doc_id")
+
+  val exportShuffleSql: String = {
+    val drawn = drawSelect("documents", "doc_id", Seq.empty, 17L)
+    s"""WITH d AS ($drawn),
+       |sh AS (SELECT doc_id, draw, draw % 8 AS shard FROM d)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY draw DESC, doc_id) AS BIGINT) AS shard_pos
+       |FROM sh ORDER BY doc_id""".stripMargin
+  }
+
   val sampleStratifiedSql: String = {
     val drawn = drawSelect("documents", "doc_id", Seq("lang", "source"), 7L)
     s"""WITH d AS ($drawn),
@@ -1743,6 +1764,7 @@ object Pipelines {
     "text_quality" -> textQuality,
     "quality_quantiles" -> qualityQuantiles,
     "pack_sequences" -> packSequences,
+    "export_shuffle" -> exportShuffle,
     "chunk_windows" -> chunkWindows,
     "chunk_dedup" -> chunkDedup,
     "sample_stratified" -> sampleStratified,
@@ -1789,6 +1811,7 @@ object Pipelines {
     "text_quality" -> textQualitySql,
     "quality_quantiles" -> qualityQuantilesSql,
     "pack_sequences" -> packSequencesSql,
+    "export_shuffle" -> exportShuffleSql,
     "chunk_windows" -> chunkWindowsSql,
     "chunk_dedup" -> chunkDedupSql,
     "sample_stratified" -> sampleStratifiedSql,

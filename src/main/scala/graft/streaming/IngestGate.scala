@@ -57,12 +57,23 @@ final class IngestGate(stats: DataFrame, minAffinity: Double,
   def sink(idCol: String, textCol: String)
           (accept: DataFrame => Unit)
           (quarantine: DataFrame => Unit): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) => {
+    sinkEpoch(idCol, textCol)((df, _) => accept(df))((df, _) => quarantine(df))
+
+  /** Like [[sink]] but threads the trigger's epoch through to both
+    * consumers — the composition shape for epoch-idempotent store sinks
+    * ([[graft.operators.FingerprintStore.dedupSink]],
+    * [[graft.operators.AnnIndex.ivfAppender]]) mounted DOWNSTREAM of the
+    * gate: gate → dedup store → index appender as one foreachBatch, with
+    * the store's replay markers still keyed by the stream's own epochs. */
+  def sinkEpoch(idCol: String, textCol: String)
+               (accept: (DataFrame, Long) => Unit)
+               (quarantine: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epoch: Long) => {
       if (!batch.isEmpty) {
         val gated = gate(batch, idCol, textCol).localCheckpoint()
         accept(gated.filter(col("admitted"))
-          .drop("affinity", "quality_ok", "admitted"))
-        quarantine(gated.filter(!col("admitted")))
+          .drop("affinity", "quality_ok", "admitted"), epoch)
+        quarantine(gated.filter(!col("admitted")), epoch)
       }
     }
 }

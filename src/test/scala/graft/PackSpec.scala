@@ -69,4 +69,28 @@ class PackSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"),
       s"global window funnels the corpus through one partition:\n$plan")
   }
+
+  test("shuffleOrder is a seeded permutation: every id once, dense per-shard positions, " +
+    "seeds permute independently") {
+    val ids = (0L until 500L).map(Tuple1(_)).toDF("doc_id")
+    val a = Pack.shuffleOrder(ids, "doc_id", nShards = 8, seed = 17L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.map(_._1).sorted.toSeq == (0L until 500L), "every id exactly once")
+    assert(a.map(_._2).distinct.sorted.toSeq.forall(s => s >= 0 && s < 8))
+    // positions within each shard are exactly 1..|shard| (dense, no gaps)
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"shard $sh positions not dense")
+    }
+    // a different seed yields a genuinely different permutation and sharding
+    val b = Pack.shuffleOrder(ids, "doc_id", nShards = 8, seed = 18L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val aByIdp = a.map(t => t._1 -> (t._2, t._3)).toMap
+    val moved = b.count(t => aByIdp(t._1) != ((t._2, t._3)))
+    assert(moved > 400, s"seed change should reshuffle nearly everything: $moved/500")
+    // and the same seed is exactly reproducible
+    val a2 = Pack.shuffleOrder(ids, "doc_id", nShards = 8, seed = 17L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a2.toSet == a.toSet)
+  }
 }

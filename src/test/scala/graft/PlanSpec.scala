@@ -310,6 +310,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p)
   }
 
+  test("export_shuffle: rank window is shard-partitioned (never global); draw is hash, not rand") {
+    val p = plan(Pipelines.queries("export_shuffle")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(shard#"), p)
+    assert(!p.toLowerCase.contains("rand("), p)
+    assert(p.contains("xxhash64"), p)
+  }
+
   test("gate_admission: stats and signal joins broadcast or id-keyed; no window, no cross product") {
     val p = plan(Pipelines.queries("gate_admission")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)

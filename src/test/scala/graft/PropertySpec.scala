@@ -104,4 +104,89 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  // ---- CMS / shuffle / gate invariants -------------------------------------
+
+  private val vocabGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(60, Gen.zip(Gen.alphaLowerStr.suchThat(_.nonEmpty),
+      Gen.choose(1L, 50L))).map(_.groupBy(_._1).map {
+        case (t, xs) => (t, xs.map(_._2).sum)
+      }.toList)
+
+  test("count-min never underestimates, and split sketches merge to the whole (any split)") {
+    import graft.operators.Sketch
+    forSamples2(vocabGen, Gen.choose(1, 5), n = 5) { (vocab, mod) =>
+      if (vocab.nonEmpty) {
+        val counts = vocab.toDF("token", "cnt")
+        val est = Sketch.cmsEstimates(counts.select("token"),
+            Sketch.cmsCounters(counts, 4, 64), 4, 64)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        vocab.foreach { case (t, c) => assert(est(t) >= c, s"underestimate $t") }
+        val (a, b) = vocab.zipWithIndex.partition(_._2 % mod == 0)
+        val merged = Sketch.cmsCounters(a.map(_._1).toDF("token", "cnt"), 4, 64)
+          .unionByName(Sketch.cmsCounters(b.map(_._1).toDF("token", "cnt"), 4, 64))
+          .groupBy("row", "bucket").agg(sum("c").as("c"))
+        val whole = Sketch.cmsCounters(counts, 4, 64)
+        assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+      }
+    }
+  }
+
+  test("shuffleOrder is a permutation with dense per-shard positions for any id set") {
+    import graft.operators.Pack
+    forSamples2(Gen.listOfN(80, Gen.choose(0L, 1000000L)).map(_.distinct),
+        Gen.choose(1, 7), n = 5) { (ids, nShards) =>
+      if (ids.nonEmpty) {
+        val got = Pack.shuffleOrder(ids.map(Tuple1(_)).toDF("id"), "id",
+            nShards, seed = 99L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(got.map(_._1).sorted.toSeq == ids.sorted)
+        got.groupBy(_._2).foreach { case (_, rows) =>
+          assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+        }
+      }
+    }
+  }
+
+  test("DSIR scoring against prebuilt stats equals the one-shot affinity on any corpus") {
+    import graft.operators.Dsir
+    val docGen = Gen.listOfN(12, Gen.zip(
+      Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "zulu", "xray"))
+        .map(_.mkString(" ")),
+      Gen.oneOf(true, false)))
+    forSamples(docGen, n = 5) { docs =>
+      val df = docs.zipWithIndex.map { case ((t, tgt), i) => (i.toLong, t, tgt) }
+        .toDF("id", "text", "is_tgt")
+      if (docs.exists(_._2) && docs.exists(!_._2)) {
+        val oneShot = Dsir.affinity(df, "id", "text", col("is_tgt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val against = Dsir.affinityAgainst(
+            df.filter(!col("is_tgt")).select("id", "text"), "id", "text",
+            Dsir.bucketStats(df, "id", "text", col("is_tgt")))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(against == oneShot)
+      }
+    }
+  }
+
+  test("quality signals are bounded: ratios in [0,1], counts non-negative, empty docs zero") {
+    import graft.operators.Quality
+    val textGen = Gen.listOfN(10, Gen.oneOf(
+      Gen.const(""), Gen.const("   "),
+      Gen.listOfN(30, Gen.alphaLowerStr).map(_.mkString(" ")),
+      Gen.const("a a a a a a a a a a a a a a a a a a a a a a")))
+    forSamples(textGen, n = 5) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val sig = Quality.signals(df, "id", "text").collect()
+      assert(sig.length == texts.length)
+      sig.foreach { r =>
+        val (n, mwl, tur, d2, d3) = (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        assert(n >= 0 && mwl >= 0 && tur >= 0 && tur <= 1.0 &&
+          d2 >= 0 && d2 <= 1.0 && d3 >= 0 && d3 <= 1.0, r.toString)
+        if (n == 0) assert(mwl == 0.0 && tur == 0.0 && d2 == 0.0 && d3 == 0.0)
+      }
+    }
+  }
 }

@@ -542,6 +542,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rejected(5L)._2 == false, s"doc 5 must fail quality: $rejected")
   }
 
+  test("full front door: gate -> fingerprint store as one foreachBatch chain") {
+    import graft.operators.{Dsir, FingerprintStore}
+    import graft.streaming.IngestGate
+    implicit val sqlCtx = spark.sqlContext
+    def w(v: String, i: Int) = f"$v${i % 40}%02d"
+    def doc(v: String, salt: Int) = (0 until 24).map(i => w(v, salt + i)).mkString(" ")
+    val ref = ((0 until 20).map(i => (i.toLong, doc("alpha", i), true)) ++
+        (0 until 20).map(i => (100L + i, doc("beta", i), false)))
+      .toDF("doc_id", "text", "is_target")
+    val gate = new IngestGate(
+      Dsir.bucketStats(ref, "doc_id", "text", col("is_target")), minAffinity = 2.0)
+    val dir = java.nio.file.Files.createTempDirectory("frontdoor").toString
+    val stored = scala.collection.mutable.ArrayBuffer[Long]()
+    val quarantined = scala.collection.mutable.ArrayBuffer[Long]()
+    val fpSink = FingerprintStore.dedupSink(spark, dir, "doc_id", "text",
+      streamTag = "door") { df =>
+      stored ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val query = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(gate.sinkEpoch("doc_id", "text")(fpSink) { (df, _) =>
+        quarantined ++= df.select("doc_id").collect().map(_.getLong(0))
+      })
+      .start()
+    try {
+      // batch 1: two byte-identical on-domain docs (store keeps min id),
+      // one off-domain doc (gate quarantines it before the store sees it)
+      mem.addData((1L, doc("alpha", 4)), (2L, doc("alpha", 4)), (3L, doc("beta", 7)))
+      query.processAllAvailable()
+      // batch 2: cross-batch re-delivery of the admitted text (store drops
+      // it) + one genuinely new on-domain doc
+      mem.addData((4L, doc("alpha", 4)), (5L, doc("alpha", 11)))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(stored.sorted.toSeq == Seq(1L, 5L),
+      s"store should hold min-id first-seen admitted docs: ${stored.mkString(",")}")
+    assert(quarantined.sorted.toSeq == Seq(3L),
+      s"gate should quarantine the off-domain doc: ${quarantined.mkString(",")}")
+  }
+
   test("streaming quantiles track exact batch quantiles within the GK rank bound") {
     import graft.streaming.StreamingQuantiles
     implicit val sqlCtx = spark.sqlContext
