@@ -17,7 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * localCheckpoint RDD blocks reachable through `LogicalRDD` leaves are
   * unpersisted best-effort (after a stop the block manager is gone and the
   * drop alone un-pins the session object graph for GC). A long-lived service
-  * cycling sessions no longer accumulates dead (session, corpus) state.
+  * cycling sessions no longer accumulates dead (session, corpus) state, and
+  * a FIFO `maxEntries` cap bounds growth even on one long-lived context
+  * cycling discarded `newSession()`s, which no listener can observe.
   *
   * Builds run OUTSIDE the map's compute hook: builders may recursively
   * consult this or another memo (`ConcurrentHashMap` forbids re-entrant
@@ -25,32 +27,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * keys share a bin). A racing duplicate build is harmless; values are
   * deterministic per key.
   */
-final class SessionMemo[V <: AnyRef] {
-  private val map = new ConcurrentHashMap[String, V]()
+final class SessionMemo[V <: AnyRef](maxEntries: Int = 256) {
+  require(maxEntries > 0)
+  // insertion-ordered for the FIFO cap; all access under the map's own lock
+  // (builds run OUTSIDE it — see getOrBuild)
+  private val map = new java.util.LinkedHashMap[String, V](16, 0.75f, false)
   SessionMemo.register(this)
 
   def getOrBuild(s: SparkSession, key: String)(build: => V): V = {
     SessionMemo.armEviction(s)
     val k = System.identityHashCode(s) + "|" + key
-    val hit = map.get(k)
+    val hit = map.synchronized(map.get(k))
     if (hit != null) hit
     else {
       val v = build
-      val prev = map.putIfAbsent(k, v)
-      if (prev != null) prev else v
+      map.synchronized {
+        val prev = map.get(k)
+        if (prev != null) prev
+        else {
+          map.put(k, v)
+          // Bound growth on a long-lived context cycling sessions (the
+          // application-end listener can't see a discarded newSession()):
+          // drop the OLDEST entries' references only — never unpersist here,
+          // a consumer may still hold the frame; once nothing references it,
+          // GC + ContextCleaner reclaim the checkpoint blocks safely.
+          val it = map.entrySet().iterator()
+          while (map.size > maxEntries && it.hasNext) { it.next(); it.remove() }
+          v
+        }
+      }
     }
   }
 
   private[graft] def evictAll(): Unit = {
-    val it = map.entrySet().iterator()
-    while (it.hasNext) {
-      val v = it.next().getValue
-      it.remove()
-      SessionMemo.release(v)
+    val vals = map.synchronized {
+      val vs = new java.util.ArrayList[V](map.values)
+      map.clear()
+      vs
     }
+    vals.forEach(v => SessionMemo.release(v))
   }
 
-  private[graft] def entryCount: Int = map.size
+  private[graft] def entryCount: Int = map.synchronized(map.size)
 }
 
 object SessionMemo {

@@ -44,6 +44,21 @@ class MemoEvictionSpec extends AnyFunSuite {
     assert(released, "evicting a live-context entry must release its blocks")
   }
 
+  test("the FIFO cap bounds a memo on a long-lived context; hits refresh nothing, rebuilds work") {
+    val s = SparkTestSession.spark
+    val memo = new SessionMemo[java.lang.Integer](maxEntries = 4)
+    var builds = 0
+    def get(k: String): Int = memo.getOrBuild(s, k) { builds += 1; Integer.valueOf(builds) }
+    (1 to 6).foreach(i => get(s"k$i"))
+    assert(builds == 6 && memo.entryCount == 4, s"$builds builds, ${memo.entryCount} kept")
+    // k5, k6 survive (newest); k1 was FIFO-evicted and rebuilds on demand
+    val b0 = builds
+    get("k6")
+    assert(builds == b0, "a surviving entry must hit, not rebuild")
+    get("k1")
+    assert(builds == b0 + 1, "an evicted entry must rebuild")
+  }
+
   test("stopping a session evicts every memo entry it owned; a fresh session repopulates") {
     val s1 = SparkTestSession.spark
     // one memoized DataFrame (quality gate checkpoint) + one memoized model
