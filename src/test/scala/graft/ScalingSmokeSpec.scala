@@ -97,7 +97,7 @@ class ScalingSmokeSpec extends AnyFunSuite {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_span_fraction", "sim_lsh_topk",
     "sim_pq_topk", "chunk_windows", "chunk_dedup", "dsir_select",
-    "sketch_heavy_hitters")
+    "sketch_heavy_hitters", "gate_admission", "export_shuffle")
 
   test("dedup/ANN/chunk suite stays ~linear one decade further (sf0.1 -> sf1)",
       PerfSmoke) {
