@@ -1335,6 +1335,40 @@ object Pipelines {
        |ORDER BY exact_cnt DESC, token""".stripMargin
   }
 
+  /** Per-source distinct-token survey via DataSketches HLL
+    * (`hll_sketch_agg`, lgK=12 ≈ 1.6 % standard error): the
+    * vocabulary-cardinality pass a 100 TB corpus runs WITHOUT the
+    * distinct-count shuffle — each source reduces to a 4 KB sketch,
+    * sketches are union-mergeable across partitions/epochs (pinned in
+    * SketchSpec), and only sketch bytes cross the wire. The oracle follows
+    * the q15 verdict pattern: the exact distinct count is replayed in SQL,
+    * and the estimate rides as an integer-exact boolean claim
+    * (|est − exact|·20 ≤ exact, i.e. within 5 %) the DuckDB twin pins
+    * TRUE. [SQL] */
+  val sketchDistinct: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextFns.words(TextFns.cleanText(col("text"),
+          removePunctuation = true))).as("token"))
+      .filter(length(col("token")) > 0)
+    toks.groupBy("source")
+      .agg(countDistinct(col("token")).as("exact_distinct"),
+        hll_sketch_estimate(hll_sketch_agg(col("token"), 12)).as("est"))
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) * lit(20L) <=
+          col("exact_distinct")).as("est_ok"))
+      .orderBy("source")
+  }
+
+  val sketchDistinctSql: String = {
+    val clean = Duck.clean("text", punct = true)
+    s"""WITH w AS (SELECT source, unnest(string_split($clean, ' ')) AS token
+       |  FROM documents)
+       |SELECT source, count(DISTINCT token) AS exact_distinct, TRUE AS est_ok
+       |FROM w WHERE length(token) > 0
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** DSIR data selection ([[graft.operators.Dsir]]): hashed-bigram importance
     * affinity of every raw doc (sources ≠ src0/src1) against the src0+src1
     * target domain, top-50 resample flagged. Integer-exact affinity (ratio of
@@ -1738,6 +1772,7 @@ object Pipelines {
     "dsir_select" -> dsirSelect,
     "gate_admission" -> gateAdmission,
     "sketch_heavy_hitters" -> sketchHeavyHitters,
+    "sketch_distinct" -> sketchDistinct,
     "dedup_span_fraction" -> dedupSpanFraction,
     "mix_weights" -> mixWeights,
     "mix_sample" -> mixSample,
@@ -1785,6 +1820,7 @@ object Pipelines {
     "dsir_select" -> dsirSelectSql,
     "gate_admission" -> gateAdmissionSql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
+    "sketch_distinct" -> sketchDistinctSql,
     "dedup_span_fraction" -> dedupSpanFractionSql,
     "mix_weights" -> mixWeightsSql,
     "mix_sample" -> mixSampleSql,

@@ -55,6 +55,25 @@ class SketchSpec extends AnyFunSuite {
     assert(counters.count() <= 4 * 64)
   }
 
+  test("HLL sketches of corpus splits union-merge to the whole-corpus estimate") {
+    // the sketch_distinct scale contract: per-split sketches (partitions,
+    // epochs) merge by union to exactly the sketch of the union — so the
+    // distinct survey never needs a distinct-count shuffle
+    val toks = (0 until 4000).map(i => (i % 3, s"tok${i % 700}"))
+      .toDF("part", "token")
+    val whole = toks.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("token"), 12)).as("est"))
+      .first().getLong(0)
+    val merged = toks.groupBy("part")
+      .agg(hll_sketch_agg(col("token"), 12).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .first().getLong(0)
+    assert(merged == whole, s"union-merge $merged != whole $whole")
+    val exact = 700L
+    assert(math.abs(whole - exact) * 20 <= exact,
+      s"estimate $whole outside 5% of $exact")
+  }
+
   test("sketches of corpus splits merge cell-wise to the whole-corpus sketch") {
     val counts = vocab(300)
     val a = counts.filter(col("cnt") % 2 === 0)
