@@ -60,3 +60,35 @@ final class StreamingQuantiles(relativeError: Double = 0.01)
   def sink(valueCol: String): (DataFrame, Long) => Unit =
     (df, _) => observe(df, valueCol)
 }
+
+/** Streaming distinct-cardinality fold — the online half of the
+  * `sketch_distinct` survey (vocabulary growth of a crawl stream): each
+  * micro-batch reduces DISTRIBUTED to one ~4 KB HLL sketch
+  * (`hll_sketch_agg`, the DataSketches HLL Spark ships), whose bytes are
+  * union-merged into the driver-held accumulator — the same model-sized-
+  * state / one-pass-per-trigger contract as
+  * [[graft.operators.Sketch.StreamingCms]] and [[StreamingQuantiles]].
+  * Union preserves the sketch's error guarantees (the merged estimate is
+  * NOT bit-identical to a one-shot sketch — sparse-mode promotion differs —
+  * but stays inside the same relative-error band; both pinned in
+  * StreamingSpec). */
+final class StreamingHll(lgK: Int = 12) extends Serializable {
+  import org.apache.datasketches.hll.{HllSketch, Union}
+
+  private val union = new Union(lgK)
+
+  /** Estimate of distinct values observed so far (Spark's
+    * `hll_sketch_estimate` rounding). */
+  def estimate: Long = synchronized { Math.round(union.getEstimate) }
+
+  def observe(batch: DataFrame, valueCol: String): Unit = {
+    val bytes = batch
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("sk"))
+      .first().getAs[Array[Byte]](0)
+    if (bytes != null) synchronized { union.update(HllSketch.heapify(bytes)) }
+  }
+
+  /** `writeStream.foreachBatch` adapter. */
+  def sink(valueCol: String): (DataFrame, Long) => Unit =
+    (df, _) => observe(df, valueCol)
+}

@@ -612,6 +612,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HLL folds micro-batch sketches to the one-shot stream estimate") {
+    import graft.streaming.StreamingHll
+    implicit val sqlCtx = spark.sqlContext
+    val hll = new StreamingHll(lgK = 12)
+    val mem = MemoryStream[String]
+    val query = mem.toDF().toDF("token")
+      .writeStream.foreachBatch(hll.sink("token")).start()
+    val wave1 = (0 until 900).map(i => s"tok${i % 300}")
+    val wave2 = (0 until 1200).map(i => s"tok${100 + (i % 500)}") // overlaps wave1
+    try {
+      mem.addData(wave1: _*); query.processAllAvailable()
+      mem.addData(wave2: _*); query.processAllAvailable()
+    } finally query.stop()
+    // the fold tracks the one-shot sketch of the concatenated stream inside
+    // the same error band (not bit-identical: union promotes sparse-mode
+    // state differently than direct building)
+    val whole = (wave1 ++ wave2).toDF("token")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("token"), 12)))
+      .first().getLong(0)
+    assert(math.abs(hll.estimate - whole) * 50 <= whole,
+      s"folded ${hll.estimate} drifted from one-shot $whole")
+    // distinct truth: tok0..tok599 → 600; both sit within the 5% band
+    assert(math.abs(hll.estimate - 600L) * 20 <= 600L, s"estimate ${hll.estimate}")
+    assert(math.abs(whole - 600L) * 20 <= 600L, s"one-shot $whole")
+  }
+
   test("streaming count-min sketch folds micro-batches to the whole-corpus sketch") {
     import graft.operators.Sketch
     implicit val sqlCtx = spark.sqlContext
