@@ -75,13 +75,40 @@ object Dsir {
                       stats: DataFrame, buckets: Int = 256): DataFrame =
     scoreBuckets(perDocBuckets(docs, idCol, textCol, None, buckets), stats)
 
+  /** [[affinityAgainst]] over a pre-projected (idCol, toks) token frame —
+    * the shared-tokenize entry for callers that also feed the same tokens to
+    * [[Quality.signalsFromTokens]] (the ingest gate tokenizes each batch
+    * ONCE for both consumers). Bit-identical to [[affinityAgainst]]: the
+    * shared frame drops empty tokens, which can only occur for
+    * whitespace-only docs, and those produce no bigram on either path. */
+  def affinityAgainstTokens(toks: DataFrame, idCol: String,
+                            stats: DataFrame, buckets: Int = 256): DataFrame =
+    scoreBuckets(bucketsFromTokens(toks, idCol, buckets), stats)
+
   /** (id[, is_target], b, c) hashed-bigram bucket counts per document.
     * Two-step projection barrier before the HOF shingle lambda (TextFns
     * note); documents with no bigram (< 2 tokens) drop out — no evidence. */
-  private def perDocBuckets(docs: DataFrame, idCol: String, textCol: String,
-                            isTarget: Option[Column], buckets: Int): DataFrame = {
+  private def requirePow2(buckets: Int): Unit =
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two (keeps the unsigned-mod oracle replay exact)")
+
+  /** (id, b, c) bucket counts from a pre-projected (idCol, toks) frame —
+    * the [[affinityAgainstTokens]] body. */
+  private def bucketsFromTokens(toks: DataFrame, idCol: String,
+                                buckets: Int): DataFrame = {
+    requirePow2(buckets)
+    toks
+      .select(col(idCol).as("id"),
+        explode_outer(TextFns.shinglesFromTokens(col("toks"), 2)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("id"), pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"))
+      .groupBy("id", "b")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  private def perDocBuckets(docs: DataFrame, idCol: String, textCol: String,
+                            isTarget: Option[Column], buckets: Int): DataFrame = {
+    requirePow2(buckets)
     val keyCols = col("id") +: isTarget.map(_ => col("is_target")).toSeq
     docs
       .select(col(idCol).as("id") +: isTarget.map(_.as("is_target")).toSeq :+
@@ -97,16 +124,28 @@ object Dsir {
   }
 
   /** Smoothed-dot-product scoring of (id, b, c) rows against broadcast
-    * (b, ct, cr) stats — decimal sums, ONE final double division. */
+    * (b, ct, cr) stats — decimal sums, ONE final double division.
+    *
+    * LEFT join on the stats: a batch bigram can hash to a bucket the
+    * reference corpus never populated (the streaming-gate path scores
+    * against PRECOMPUTED stats), and the +1 smoothing is defined over all
+    * buckets — an unseen bucket contributes c·1/c·1, not silence. An inner
+    * join would undercount n_grams, skew the affinity toward the observed
+    * buckets, and drop a doc whose buckets are all unseen entirely (null
+    * affinity → rejected at the gate) instead of scoring the neutral
+    * smoothed ratio 1.0. In the one-shot [[affinity]] path stats come from
+    * the same perDoc table, every bucket is present, and left ≡ inner. */
   private def scoreBuckets(perDoc: DataFrame, stats: DataFrame): DataFrame =
     perDoc
-      .join(broadcast(stats), Seq("b"))
+      .join(broadcast(stats), Seq("b"), "left")
       .groupBy("id")
       .agg(
         sum("c").as("n_grams"),
-        sum(col("c").cast("decimal(38,0)") * (col("ct") + lit(1L)).cast("decimal(38,0)"))
+        sum(col("c").cast("decimal(38,0)") *
+            (coalesce(col("ct"), lit(0L)) + lit(1L)).cast("decimal(38,0)"))
           .as("num"),
-        sum(col("c").cast("decimal(38,0)") * (col("cr") + lit(1L)).cast("decimal(38,0)"))
+        sum(col("c").cast("decimal(38,0)") *
+            (coalesce(col("cr"), lit(0L)) + lit(1L)).cast("decimal(38,0)"))
           .as("den"))
       .select(col("id"), col("n_grams"),
         round(col("num").cast("double") / col("den").cast("double"), 6)

@@ -18,15 +18,28 @@ import graft.functions.TextFns
   * one narrow row per document. */
 object Quality {
 
-  /** (idCol, n_tokens, mean_word_len, top_unigram_ratio, dup_2gram_ratio,
-    * dup_3gram_ratio) — one row per input document, empty docs all-zero. */
-  def signals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
+  /** The shared (idCol, toks) tokenization every gate signal derives from:
+    * clean → normalize-whitespace → split, empty tokens dropped (a
+    * whitespace-only doc tokenizes to `[]`, not `[""]`). Projected as its own
+    * column per the TextFns HOF note; callers that feed SEVERAL consumers
+    * (e.g. [[graft.streaming.IngestGate]] sharing one pass between DSIR
+    * affinity and quality signals) should `localCheckpoint` the result so the
+    * scan+regex chain runs once, not once per consumer. */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
         TextFns.normTokens(TextFns.cleanText(col(textCol), removePunctuation = true))
           .as("toks0"))
       .select(col(idCol),
         filter(col("toks0"), t => length(t) > 0).as("toks"))
-      .localCheckpoint()
+
+  /** (idCol, n_tokens, mean_word_len, top_unigram_ratio, dup_2gram_ratio,
+    * dup_3gram_ratio) — one row per input document, empty docs all-zero. */
+  def signals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    signalsFromTokens(tokens(docs, idCol, textCol).localCheckpoint(), idCol)
+
+  /** [[signals]] over a pre-projected [[tokens]] frame — the shared-scan
+    * entry point for callers that tokenize once for multiple consumers. */
+  def signalsFromTokens(toks: DataFrame, idCol: String): DataFrame = {
     val tokf = toks.select(col(idCol), explode_outer(col("toks")).as("tok"))
       .filter(col("tok").isNotNull)
     val us = tokf.groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
@@ -39,7 +52,7 @@ object Quality {
       .filter(col("g").isNotNull)
       .groupBy(idCol)
       .agg(count(lit(1)).as(s"tot$n"), countDistinct(col("g")).as(s"dst$n"))
-    docs.select(idCol)
+    toks.select(idCol)
       .join(us, Seq(idCol), "left")
       .join(grams(2), Seq(idCol), "left")
       .join(grams(3), Seq(idCol), "left")

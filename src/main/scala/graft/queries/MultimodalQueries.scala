@@ -57,7 +57,18 @@ object MultimodalQueries {
     resized.unionByName(frames).orderBy("kind")
   }
 
+  /** REAL decode: each document rendered to an actual PNG and decoded back
+    * through `javax.imageio` ([[graft.multimodal.ImageCodec]]) inside the
+    * same batched decodeStats plumbing as the stub path. PNG is lossless and
+    * the pixels are a closed-form integer function of (doc_id, index), so
+    * the DuckDB oracle recomputes the statistics from the closed form — any
+    * codec bug (channel order, stride, color model) breaks the hash. */
+  val mmDecodeReal: Q = (s, dir) =>
+    graft.multimodal.ImageCodec.decodeRealStats(Tables.documents(s, dir))
+      .orderBy("media_id")
+
   val queries: Map[String, Q] = Map(
+    "mm_decode_real" -> mmDecodeReal,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_feature_ann" -> mmFeatureAnn,
     "mm_resize_frames" -> mmResizeFrames)
@@ -196,7 +207,27 @@ object MultimodalQueries {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** DuckDB twin of [[mmDecodeReal]]: the gray LCG and geometry replayed in
+    * BIGINT (every intermediate bounded — ImageCodec.gray reduces doc_id mod
+    * 1e5 before the multiply for exactly this reason); the mean is an exact
+    * integer sum over ≤1280 pixels divided once. */
+  val mmDecodeRealSql: String =
+    """WITH geom AS (SELECT doc_id,
+      |    CAST(doc_id % 4 AS INT) * 8 + 16 AS w,
+      |    CAST(doc_id % 3 AS INT) * 8 + 16 AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM geom),
+      |g AS (SELECT doc_id, w, h,
+      |    ((((doc_id % 100000) * 1103515245 + i * 12345 + 6789)
+      |      % 2147483648) % 256) AS v
+      |  FROM px)
+      |SELECT doc_id AS media_id, CAST(w * h AS INT) AS n_pixels,
+      |  round(CAST(sum(v) AS DOUBLE) / (w * h), 6) AS gray_mean,
+      |  CAST(max(v) AS INT) AS gray_max
+      |FROM g GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm_decode_real" -> mmDecodeRealSql,
     "mm_decode_stats" -> mmDecodeStatsSql,
     "mm_feature_ann" -> mmFeatureAnnSql,
     "mm_resize_frames" -> mmResizeFramesSql)

@@ -20,11 +20,17 @@ import graft.operators.{Dsir, Quality}
   * quality thresholds come from the deployment's `quality_quantiles`
   * calibration (defaults = the batch gate's constants).
   *
-  * Per batch: one scan for bigram-bucket counting, one for the quality
-  * signals — both batch-sized, both joined back by id; the split into
-  * admitted/quarantined reads one gated checkpoint twice. Nothing
-  * corpus-sized shuffles, nothing beyond the stats table broadcasts, so the
-  * gate adds O(|batch|) work per trigger regardless of store size.
+  * Per batch: ONE tokenize pass ([[Quality.tokens]], checkpointed) feeds
+  * both the bigram-bucket counting ([[Dsir.affinityAgainstTokens]]) and the
+  * quality signals ([[Quality.signalsFromTokens]]) — the clean+split regex
+  * chain, the most expensive per-byte work at the door, runs once per
+  * trigger, not once per consumer. Both derived frames are batch-sized and
+  * join back by id; the split into admitted/quarantined reads one gated
+  * checkpoint twice. Nothing corpus-sized shuffles, nothing beyond the
+  * stats table broadcasts, so the gate adds O(|batch|) work per trigger
+  * regardless of store size. Per-batch checkpoint blocks are explicitly
+  * unpersisted after both consumers finish (a long-running ingest must not
+  * depend on GC + ContextCleaner to bound block-manager growth).
   */
 final class IngestGate(stats: DataFrame, minAffinity: Double,
                        thresholds: Quality.Thresholds = Quality.Thresholds(),
@@ -36,17 +42,28 @@ final class IngestGate(stats: DataFrame, minAffinity: Double,
     * no scorable bigram gets affinity null and is NOT admitted — no
     * evidence of target affinity is a reject at the door (it is also a
     * quality reject at any sane min-token threshold). */
-  def gate(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val aff = Dsir.affinityAgainst(batch, idCol, textCol, statsPinned, buckets)
+  def gate(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    gateImpl(batch, idCol, textCol)._1
+
+  /** [[gate]] plus a release handle that unpersists the batch's tokenize
+    * checkpoint once every consumer is done with the gated frame. The
+    * public [[gate]] leaves release to GC + ContextCleaner (fine for
+    * one-shot batch callers); the streaming sinks MUST release explicitly —
+    * a continuous ingest otherwise accumulates pinned blocks between GCs. */
+  private def gateImpl(batch: DataFrame, idCol: String,
+                       textCol: String): (DataFrame, () => Unit) = {
+    val toks = Quality.tokens(batch, idCol, textCol).localCheckpoint()
+    val aff = Dsir.affinityAgainstTokens(toks, idCol, statsPinned, buckets)
       .select(col("id").as(idCol), col("affinity"))
-    val sig = Quality.signals(batch, idCol, textCol)
+    val sig = Quality.signalsFromTokens(toks, idCol)
       .select(col(idCol), Quality.okCol(thresholds).as("quality_ok"))
-    batch
+    val gated = batch
       .join(aff, Seq(idCol), "left")
       .join(sig, Seq(idCol), "left")
       .withColumn("admitted",
         coalesce(col("affinity") >= minAffinity, lit(false)) &&
           coalesce(col("quality_ok"), lit(false)))
+    (gated, () => IngestGate.unpersistLeaves(toks))
   }
 
   /** `writeStream.foreachBatch` adapter: admitted rows (original columns)
@@ -70,10 +87,32 @@ final class IngestGate(stats: DataFrame, minAffinity: Double,
                (quarantine: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, epoch: Long) => {
       if (!batch.isEmpty) {
-        val gated = gate(batch, idCol, textCol).localCheckpoint()
-        accept(gated.filter(col("admitted"))
-          .drop("affinity", "quality_ok", "admitted"), epoch)
-        quarantine(gated.filter(!col("admitted")), epoch)
+        val (g, releaseToks) = gateImpl(batch, idCol, textCol)
+        val gated = g.localCheckpoint()
+        try {
+          accept(gated.filter(col("admitted"))
+            .drop("affinity", "quality_ok", "admitted"), epoch)
+          quarantine(gated.filter(!col("admitted")), epoch)
+        } finally {
+          // Release THIS trigger's checkpoint blocks now that both consumers
+          // have read the gated frame — block-manager occupancy stays
+          // O(one batch) over an unbounded stream instead of riding GC.
+          releaseToks()
+          IngestGate.unpersistLeaves(gated)
+        }
       }
     }
+}
+
+object IngestGate {
+  /** Best-effort unpersist of the localCheckpoint blocks a DataFrame pins
+    * (reachable as `LogicalRDD` leaves) — same shape as SessionMemo's
+    * eviction release. */
+  private[streaming] def unpersistLeaves(df: DataFrame): Unit =
+    try {
+      if (!df.sparkSession.sparkContext.isStopped)
+        df.queryExecution.logical.collect {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+        }.foreach(_.unpersist(blocking = false))
+    } catch { case _: Throwable => () }
 }

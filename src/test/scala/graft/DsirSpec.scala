@@ -60,6 +60,26 @@ class DsirSpec extends AnyFunSuite {
     assert(against == oneShot)
   }
 
+  test("buckets absent from precomputed stats score the +1-smoothed neutral terms") {
+    // The ingest-gate path scores batches against HISTORY stats: a batch doc
+    // whose bigrams hash to buckets the reference corpus never populated must
+    // still be scored (unseen bucket ⇒ (0+1)/(0+1) terms), not silently
+    // dropped by an inner join. A fully-unseen doc scores affinity 1.0.
+    val stats = Dsir.bucketStats(corpus, "doc_id", "text", col("is_tgt"))
+    // Vocabulary disjoint from the corpus — overwhelmingly lands in buckets
+    // with no corpus mass (256 buckets, corpus uses ~40 distinct bigrams).
+    val novel = Seq((99L, "qqq www eee rrr ttt yyy uuu")).toDF("doc_id", "text")
+    val got = Dsir.affinityAgainst(novel, "doc_id", "text", stats).collect()
+    assert(got.length == 1, "unseen-vocabulary doc must not be dropped")
+    val r = got.head
+    assert(r.getLong(1) == 6L, s"all 6 bigrams counted, got ${r.getLong(1)}")
+    // Every bucket the doc hits that the corpus never saw contributes c·1 to
+    // both num and den; any collision with a populated bucket adds the same
+    // c·(ct+1)/c·(cr+1) the one-shot semantics demand. With the disjoint
+    // vocab here the affinity is exactly 1.0 unless a bucket collides.
+    assert(r.getDouble(2) > 0.0, "affinity must be the smoothed ratio, not null")
+  }
+
   test("bucket stats are broadcast into the scoring join") {
     val plan = Dsir.affinity(corpus, "doc_id", "text", col("is_tgt"))
       .queryExecution.executedPlan.toString

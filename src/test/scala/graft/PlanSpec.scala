@@ -327,6 +327,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("gate: ONE tokenize pass shared by the DSIR and quality consumers") {
+    // The ingest gate tokenizes each batch once (Quality.tokens, checkpointed)
+    // and both the affinity path and the quality-signal path read THAT
+    // checkpoint: in the gated plan, every LogicalRDD leaf carrying a `toks`
+    // column must be the same RDD (one clean+split execution), and it must be
+    // read by both consumers (≥2 leaves). A regression to per-consumer
+    // tokenize shows up as two distinct toks RDD ids.
+    val docs = Tables.documents(spark, sf)
+    val isTgt = col("source").isin("src0", "src1")
+    val stats = graft.operators.Dsir.bucketStats(docs, "doc_id", "text", isTgt)
+    val gated = new graft.streaming.IngestGate(stats, minAffinity = 1.0)
+      .gate(docs.filter(!isTgt), "doc_id", "text")
+    val toksLeaves = gated.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD
+        if r.schema.fieldNames.contains("toks") => r.rdd.id
+    }
+    assert(toksLeaves.size >= 2,
+      s"both gate consumers should read the shared tokens checkpoint: $toksLeaves")
+    assert(toksLeaves.distinct.size == 1,
+      s"tokenize must run once, found distinct toks RDDs: $toksLeaves")
+    // and the gated plan does no tokenizing of its own downstream of it
+    val p = plan(gated)
+    assert(!p.contains("regexp_replace"),
+      "tokenize must live upstream of the shared checkpoint, not in the gated plan")
+  }
+
   test("sketch_heavy_hitters: counter cells broadcast into the probe join; top-20 is TakeOrdered") {
     val p = plan(Pipelines.queries("sketch_heavy_hitters")(spark, sf))
     assert(!p.contains("Window"), p)

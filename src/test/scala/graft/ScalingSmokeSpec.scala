@@ -22,35 +22,11 @@ object PerfSmoke extends Tag("graft.PerfSmoke")
   * copy; copy 0 keeps the original ids, so `vec_id < 5`-style query sets
   * stay valid. */
 object Sf1Corpus {
-  def dir(spark: org.apache.spark.sql.SparkSession): String = synchronized {
-    import org.apache.spark.sql.functions._
-    val root = new java.io.File("target/scaling-sf1").getAbsolutePath
-    val done = new java.io.File(root, "_SUCCESS")
-    if (!done.exists()) {
-      val src = "/root/testdata/sf0.1"
-      val docs = spark.read.parquet(s"$src/documents.parquet")
-      (0 until 10).map { k =>
-        docs.select(
-          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            w => concat(lit(s"c$k"), w)), " ").as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$root/documents.parquet")
-      val embs = spark.read.parquet(s"$src/embeddings.parquet")
-      (0 until 10).map { k =>
-        embs.select(
-          (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x + (pmod(xxhash64(col("vec_id"), lit(k), i), lit(1000L))
-              .cast("double") / 10000.0 - 0.05)).cast("float")).as("embedding"),
-          col("label"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
-      done.createNewFile()
-    }
-    root
-  }
+  // Delegates to the shared [[graft.ScaleCorpus]] generator (ALL ten tables,
+  // same retag/jitter/offset scheme) so the scaling envelope and the full
+  // sf1 bench run measure the exact same corpus.
+  def dir(spark: org.apache.spark.sql.SparkSession): String =
+    ScaleCorpus.generate(spark, "/root/testdata/sf0.1", "target/bench-sf1", 10)
 }
 
 class ScalingSmokeSpec extends AnyFunSuite {
