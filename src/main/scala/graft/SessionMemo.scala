@@ -12,8 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Unlike a bare static map (the r5 shape), entries are EVICTED when the
   * owning session's SparkContext stops: every `getOrBuild` arms an
-  * application-end listener (once per context), and on that event all
-  * registered memos drop their entries and release what the values pinned —
+  * application-end listener (once per context), and on that event every memo
+  * drops THAT context's entries (identity-prefixed keys — a second live
+  * context in the same JVM is untouched) and releases what the values pinned —
   * localCheckpoint RDD blocks reachable through `LogicalRDD` leaves are
   * unpersisted best-effort (after a stop the block manager is gone and the
   * drop alone un-pins the session object graph for GC). A long-lived service
@@ -36,7 +37,11 @@ final class SessionMemo[V <: AnyRef](maxEntries: Int = 256) {
 
   def getOrBuild(s: SparkSession, key: String)(build: => V): V = {
     SessionMemo.armEviction(s)
-    val k = System.identityHashCode(s) + "|" + key
+    // context id leads the key so application-end eviction can drop exactly
+    // the ended context's entries — a second live context in the same JVM
+    // (multi-tenant driver, test harness) keeps its own
+    val k = System.identityHashCode(s.sparkContext) + "|" +
+      System.identityHashCode(s) + "|" + key
     val hit = map.synchronized(map.get(k))
     if (hit != null) hit
     else {
@@ -68,6 +73,20 @@ final class SessionMemo[V <: AnyRef](maxEntries: Int = 256) {
     vals.forEach(v => SessionMemo.release(v))
   }
 
+  /** Drop only entries owned by the given context (key prefix match). */
+  private[graft] def evictContext(ctxPrefix: String): Unit = {
+    val vals = map.synchronized {
+      val vs = new java.util.ArrayList[V]()
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(ctxPrefix)) { vs.add(e.getValue); it.remove() }
+      }
+      vs
+    }
+    vals.forEach(v => SessionMemo.release(v))
+  }
+
   private[graft] def entryCount: Int = map.synchronized(map.size)
 }
 
@@ -87,16 +106,18 @@ object SessionMemo {
   }
 
   /** Arm the application-end hook once per SparkContext. When the context
-    * stops, every session on it is dead — all entries across all memos are
-    * keyed by such sessions, so a full drop is exactly session-scoped. */
+    * stops, every session on it is dead — eviction drops exactly the entries
+    * keyed under THAT context (identity prefix), so a second live context in
+    * the same JVM keeps its (deterministically rebuildable, but warm) state. */
   private def armEviction(s: SparkSession): Unit = {
     val sc = s.sparkContext
     val key = sc.applicationId + "#" + System.identityHashCode(sc)
     if (hookedContexts.add(key)) {
+      val ctxPrefix = System.identityHashCode(sc) + "|"
       sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           hookedContexts.remove(key)
-          memos.forEach(_.evictAll())
+          memos.forEach(_.evictContext(ctxPrefix))
         }
       })
     }

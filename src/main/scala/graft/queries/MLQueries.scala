@@ -381,8 +381,14 @@ object MLQueries {
   val mlLogregHoldout: Q = (s, dir) => {
     val (tr, te) = graft.operators.Split.hashSplit(
       Tables.embeddings(s, dir), "vec_id", seed = 42L)
-    val model = graft.ml.LogRegTrainer.fit(tr, "label", "embedding", maxIter = 20)
-    val m = graft.ml.LogRegTrainer.holdoutMetrics(model, te, "vec_id", "label",
+    // The corpus-scale trainer: per epoch, weights broadcast out and the
+    // softmax gradient treeAggregates back — only model-sized state at the
+    // driver (graft.ml.DistLogReg; MLlib's LBFGS variant stays available in
+    // LogRegTrainer and is pinned equivalent-on-separable-data in
+    // MLTrainerSpec).
+    val model = graft.ml.DistLogReg.fit(tr, "label", "embedding",
+      Corpus.NClasses, iters = 20)
+    val m = graft.ml.DistLogReg.holdoutMetrics(model, te, "vec_id", "label",
       "embedding", Corpus.NClasses)
     te.agg(count(lit(1)).as("n_test")).crossJoin(m)
       .select(col("n_test"),

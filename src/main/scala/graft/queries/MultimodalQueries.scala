@@ -62,9 +62,14 @@ object MultimodalQueries {
     * same batched decodeStats plumbing as the stub path. PNG is lossless and
     * the pixels are a closed-form integer function of (doc_id, index), so
     * the DuckDB oracle recomputes the statistics from the closed form — any
-    * codec bug (channel order, stride, color model) breaks the hash. */
+    * codec bug (channel order, stride, color model) breaks the hash.
+    * Runs on the deterministic 1-in-5 doc subset: the round trip is pinned
+    * per image, so sampling changes coverage density, not the property —
+    * and PNG encode is the engine's single heaviest per-row constant
+    * (~0.5 ms/doc), which would otherwise dominate the bench wall. */
   val mmDecodeReal: Q = (s, dir) =>
-    graft.multimodal.ImageCodec.decodeRealStats(Tables.documents(s, dir))
+    graft.multimodal.ImageCodec.decodeRealStats(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0))
       .orderBy("media_id")
 
   val queries: Map[String, Q] = Map(
@@ -215,7 +220,7 @@ object MultimodalQueries {
     """WITH geom AS (SELECT doc_id,
       |    CAST(doc_id % 4 AS INT) * 8 + 16 AS w,
       |    CAST(doc_id % 3 AS INT) * 8 + 16 AS h
-      |  FROM documents),
+      |  FROM documents WHERE doc_id % 5 = 0),
       |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM geom),
       |g AS (SELECT doc_id, w, h,
       |    ((((doc_id % 100000) * 1103515245 + i * 12345 + 6789)

@@ -90,6 +90,34 @@ class MLTrainerSpec extends AnyFunSuite {
     assert(m.getDouble(3) > 0.95, s"macro f1 ${m.getDouble(3)}")
   }
 
+  test("DistLogReg: treeAggregate gradient loop learns separable clusters") {
+    import graft.ml.DistLogReg
+    val (tr, te) = Split.trainTest(clustered(600, 3), seed = 11L)
+    val model = DistLogReg.fit(tr, "label", "vec", nClasses = 3, iters = 40)
+    val m = DistLogReg.holdoutMetrics(model, te, "id", "label", "vec", 3)
+      .collect()(0)
+    assert(m.getDouble(0) > 0.95, s"holdout accuracy ${m.getDouble(0)}")
+    assert(m.getDouble(3) > 0.95, s"macro f1 ${m.getDouble(3)}")
+    // matches the MLlib LBFGS trainer on the same separable data
+    val mllib = LogRegTrainer.fit(tr, "label", "vec", maxIter = 30)
+    val agree = DistLogReg.predict(model, te, "id", "label", "vec")
+      .withColumnRenamed("pred", "pd")
+      .join(LogRegTrainer.predict(mllib, te, "id", "label", "vec")
+        .withColumnRenamed("pred", "pm"), Seq("id"))
+      .agg(avg((col("pd") === col("pm")).cast("double"))).collect()(0).getDouble(0)
+    assert(agree > 0.95, s"GD vs LBFGS agreement $agree")
+  }
+
+  test("DistLogReg: deterministic minibatch subsampling still learns") {
+    import graft.ml.DistLogReg
+    val (tr, te) = Split.trainTest(clustered(600, 5), seed = 13L)
+    val model = DistLogReg.fit(tr, "label", "vec", nClasses = 3,
+      iters = 60, batchFraction = 0.5)
+    val acc = DistLogReg.holdoutMetrics(model, te, "id", "label", "vec", 3)
+      .collect()(0).getDouble(0)
+    assert(acc > 0.9, s"minibatch holdout accuracy $acc")
+  }
+
   test("S6 model sink/scan: GNB stats round-trip through parquet") {
     val df = clustered(300, 4)
     val stats = GaussianNB.fitStats(df, "label", "vec")

@@ -75,6 +75,39 @@ class ScalingSmokeSpec extends AnyFunSuite {
     "sim_pq_topk", "chunk_windows", "chunk_dedup", "dsir_select",
     "sketch_heavy_hitters", "gate_admission", "export_shuffle")
 
+  test("trained ANN recall holds on the sf1 corpus (persisted IVF, probe-pruned)",
+      PerfSmoke) {
+    // VERDICT r6 #6: recall pinned at the 10× decade, not just on the planted
+    // 520-row cluster corpus. The generated sf1 embeddings carry their own
+    // ground truth: each original vector's 9 hash-jittered copies (±0.05/coord)
+    // are its exact cosine top-10 — retrieving them through the persisted,
+    // list-partitioned, probe-pruned index is the scale path end to end.
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndex, Similarity}
+    val sf1 = Sf1Corpus.dir(spark)
+    val corpus = spark.read.parquet(s"$sf1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint()
+    val q = corpus.filter(col("vec_id") < 8)
+    val t0 = System.nanoTime()
+    val exact = Similarity.bruteForceTopK(q, corpus,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tBrute = (System.nanoTime() - t0) / 1e9
+    val idx = AnnIndex.ivfIndexDir(corpus, s"$sf1/embeddings.parquet",
+      "vec_id", "embedding", nlist = 32, iters = 3, seed = 42L,
+      variant = "sf1_recall_pin")
+    val t1 = System.nanoTime()
+    val got = AnnIndex.queryIvf(spark, idx, q, "vec_id", "embedding",
+        k = 10, nprobe = 8)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tIvf = (System.nanoTime() - t1) / 1e9
+    val recall = exact.count(got.contains).toDouble / exact.length
+    info(f"sf1 recall@10 $recall%.3f  brute ${tBrute}%.2fs  ivf(nprobe=8/32) ${tIvf}%.2fs")
+    assert(recall >= 0.8, s"sf1 probe-pruned recall@10 $recall < 0.8")
+  }
+
   test("dedup/ANN/chunk suite stays ~linear one decade further (sf0.1 -> sf1)",
       PerfSmoke) {
     val sf1 = Sf1Corpus.dir(spark)

@@ -583,6 +583,129 @@ class StreamingSpec extends AnyFunSuite {
       s"gate should quarantine the off-domain doc: ${quarantined.mkString(",")}")
   }
 
+  test("crash replay: gate -> fp store -> ivf appender recovers bit-identical stores") {
+    // The composed front door under failure: a checkpointed file-source query
+    // crashes at three different points (before the store chain ran; after
+    // the IVF append but before the fingerprint write; after every store
+    // committed but before the epoch did) and restarts from the checkpoint
+    // each time. Exactly-once contract: final store CONTENT matches an
+    // uncrashed run of the same input bit for bit — replayed epochs either
+    // recompute identical survivors (nothing was persisted) or are skipped
+    // wholesale by the epoch markers (everything was).
+    import graft.operators.{AnnIndex, Dsir, FingerprintStore}
+    import graft.streaming.IngestGate
+    def w(v: String, i: Int) = f"$v${i % 40}%02d"
+    def doc(v: String, salt: Int) = (0 until 24).map(i => w(v, salt + i)).mkString(" ")
+    val ref = ((0 until 20).map(i => (i.toLong, doc("alpha", i), true)) ++
+        (0 until 20).map(i => (100L + i, doc("beta", i), false)))
+      .toDF("doc_id", "text", "is_target")
+    // deterministic embedding per doc: the appended-vector side of the chain
+    val embCol = transform(sequence(lit(0), lit(7)), i =>
+      (pmod(col("doc_id") * 2654435761L + i.cast("long") * 40503L + 12345L,
+        lit(100000L)).cast("double") / 100000.0 - 0.5) * 2.0)
+    val epochs = Seq(
+      Seq((1L, doc("alpha", 4)), (2L, doc("alpha", 4)), (3L, doc("beta", 7))),
+      Seq((4L, doc("alpha", 11)), (5L, doc("alpha", 4)), (6L, doc("beta", 9))),
+      Seq((7L, doc("alpha", 17)), (8L, doc("beta", 3)), (9L, doc("alpha", 11))))
+    val initialVecs = (1000 until 1016).map { id =>
+      (id.toLong, (0 until 8).map(i =>
+        (Math.floorMod(id * 2654435761L + i * 40503L + 12345L, 100000L)
+          .toDouble / 100000.0 - 0.5) * 2.0))
+    }.toDF("doc_id", "embedding")
+
+    def runScenario(tag: String, crashPlan: Set[String]):
+        (String, String, Set[Long], Set[Long]) = {
+      val inDir = java.nio.file.Files.createTempDirectory(s"cr_in_$tag").toFile
+      epochs.zipWithIndex.foreach { case (rows, i) =>
+        val f = new java.io.File(inDir, f"b$i%02d.json")
+        val js = rows.map { case (id, t) =>
+          s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n")
+        java.nio.file.Files.write(f.toPath, js.getBytes("UTF-8"))
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"cr_ck_$tag").toString
+      val fpDir = java.nio.file.Files.createTempDirectory(s"cr_fp_$tag").toString
+      val ivfDir = AnnIndex.ivfIndexDir(initialVecs, s"mem://crash_spec_$tag",
+        "doc_id", "embedding", nlist = 4, iters = 2, seed = 42L,
+        variant = s"crash_$tag")
+      val crashed = scala.collection.mutable.Set[String]()
+      def crashPoint(p: String): Unit =
+        if (crashPlan.contains(p) && crashed.add(p))
+          throw new RuntimeException(s"injected crash at $p")
+      val accepted = scala.collection.mutable.Set[Long]()
+      val quarantined = scala.collection.mutable.Set[Long]()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 8) {
+        attempts += 1
+        // fresh gate + sinks per restart: blooms and stats reload from disk,
+        // exactly like a recovered driver process
+        val gate = new IngestGate(
+          Dsir.bucketStats(ref, "doc_id", "text", col("is_target")),
+          minAffinity = 2.0)
+        val curEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val ivfApp = AnnIndex.ivfAppender(spark, ivfDir, "doc_id", "embedding")
+        val fpSink = FingerprintStore.dedupSink(spark, fpDir, "doc_id", "text",
+          streamTag = "cr") { df =>
+          accepted ++= df.select("doc_id").collect().map(_.getLong(0))
+          ivfApp(df.withColumn("embedding", embCol), curEpoch.get())
+          crashPoint(s"after-ivf-${curEpoch.get()}")
+        }
+        val sink = gate.sinkEpoch("doc_id", "text")(
+          { (df, e) => crashPoint(s"accept-entry-$e"); curEpoch.set(e); fpSink(df, e) })(
+          { (df, e) =>
+            crashPoint(s"quarantine-$e")
+            quarantined ++= df.select("doc_id").collect().map(_.getLong(0)) })
+        val query = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .json(inDir.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(sink)
+          .start()
+        try { query.processAllAvailable(); done = true }
+        catch { case _: Throwable => () }
+        finally { try query.stop() catch { case _: Throwable => () } }
+      }
+      assert(done, s"$tag: stream never completed after $attempts attempts")
+      (fpDir, ivfDir, accepted.toSet, quarantined.toSet)
+    }
+
+    val (fpC, ivfC, accC, quaC) = runScenario("crash", Set(
+      "quarantine-0",   // every store + marker committed; epoch replays as no-op
+      "accept-entry-1", // nothing persisted; epoch recomputes from scratch
+      "after-ivf-2"))   // ivf rows + marker down, fp rows not yet
+    val (fpN, ivfN, accN, quaN) = runScenario("clean", Set.empty)
+
+    def fpRows(d: String) = spark.read.parquet(s"$d/fps")
+      .select("fp", "shard").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).sorted.toSeq
+    def listRows(d: String) = spark.read.parquet(s"$d/lists")
+      .select("cid", "list_id", "cvec").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getSeq[Double](2).toList)).sortBy(_._1).toSeq
+    assert(fpRows(fpC) == fpRows(fpN),
+      "fingerprint store must match the uncrashed run exactly")
+    assert(fpRows(fpC).map(_._1).distinct.size == fpRows(fpC).size,
+      "no fingerprint may be stored twice across replays")
+    // lists dir = initial build + appended epochs; compare appended rows only
+    val appC = listRows(ivfC).filter(_._1 < 1000L)
+    val appN = listRows(ivfN).filter(_._1 < 1000L)
+    assert(appC == appN, "ivf appends must match the uncrashed run exactly")
+    assert(appC.map(_._1).distinct.size == appC.size,
+      "no vector may be appended twice across replays")
+    assert(accC == accN && quaC == quaN,
+      s"admitted/quarantined sets must match: $accC vs $accN; $quaC vs $quaN")
+    // sanity on the scenario itself: dups deduped, off-domain quarantined
+    assert(accN == Set(1L, 4L, 7L), accN.toString)
+    assert(quaN == Set(3L, 6L, 8L), quaN.toString)
+  }
+
   test("streaming quantiles track exact batch quantiles within the GK rank bound") {
     import graft.streaming.StreamingQuantiles
     implicit val sqlCtx = spark.sqlContext
