@@ -178,7 +178,48 @@ object AdaptQueries {
       .orderBy("doc_id")
   }
 
+  /** The LEARNED provider on the declared surface: MLlib Word2Vec fit on the
+    * corpus (graft.embed.Word2VecProvider — the trained alternative to the
+    * hashing stub, SURVEY §7 / VERDICT "missing #1"), then each source's top
+    * word embedded and ranked by cosine against the global top word. Skip-gram
+    * negative sampling is partition-seeded, so the trained values are NOT
+    * cross-engine replayable — registered rows-only by design (no oracleSql
+    * entry); semantic structure is pinned in AdaptationSpec instead. */
+  private val w2vMemo = new graft.SessionMemo[graft.embed.Word2VecProvider]()
+
+  val w2vTopWordSims: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    // one fit per (session, corpus): the trained model is the reusable
+    // artifact, same contract as the adaptation caches
+    val p = w2vMemo.getOrBuild(s, s"w2v|$dir|$Dim|$SourceSeed") {
+      graft.embed.Word2VecProvider.fit(docs, "text", dim = Dim,
+        minCount = 2, maxIter = 1, seed = SourceSeed)
+    }
+    val top = docs
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("n").desc, col("w"))))
+      .filter(col("rk") === 1)
+      .select("source", "w", "n")
+    val bp = s.sparkContext.broadcast(p)
+    val anchor = top.orderBy(col("n").desc, col("w")).select("w")
+      .head().getString(0)
+    val sim = udf { w: String =>
+      val a = bp.value.embedWord(w).map(_.toDouble)
+      val b = bp.value.embedWord(anchor).map(_.toDouble)
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    top.select(col("source"), col("w"), col("n"),
+        round(sim(col("w")), 4).as("cos_to_top"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "w2v_top_word_sims" -> w2vTopWordSims,
     "adapt_word_pairs" -> adaptWordPairs,
     "adapt_procrustes_eval" -> adaptProcrustesEval,
     "adapt_mlp_eval" -> adaptMlpEval,

@@ -23,6 +23,41 @@ class AdaptationSpec extends AnyFunSuite {
     assert(a.length == dim)
   }
 
+  test("Word2VecProvider learns corpus semantics; OOV falls back deterministically") {
+    import graft.embed.Word2VecProvider
+    // Two disjoint topic vocabularies: words co-occur only within a topic,
+    // so skip-gram must place same-topic words closer than cross-topic ones.
+    val rnd = new scala.util.Random(7)
+    def sent(ws: Seq[String]) =
+      Seq.fill(12)(ws(rnd.nextInt(ws.size))).mkString(" ")
+    val va = Seq("apple", "banana", "cherry", "date", "elder")
+    val vb = Seq("quark", "gluon", "lepton", "boson", "meson")
+    val docs = ((0 until 60).map(i => (i.toLong, sent(va))) ++
+      (0 until 60).map(i => (100L + i, sent(vb)))).toDF("doc_id", "text")
+    val p = Word2VecProvider.fit(docs, "text", dim = 16, minCount = 1,
+      maxIter = 3, seed = 5L)
+    assert(p.vocab.size == 10 && p.dim == 16)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val within = for (x <- va; y <- va if x < y)
+      yield cos(p.embedWord(x), p.embedWord(y))
+    val across = for (x <- va; y <- vb) yield cos(p.embedWord(x), p.embedWord(y))
+    assert(within.sum / within.size > across.sum / across.size + 0.1,
+      f"within-topic mean ${within.sum / within.size}%.3f should exceed " +
+        f"cross-topic ${across.sum / across.size}%.3f")
+    // OOV: total function, deterministic hashing fallback
+    val o1 = p.embedWord("zzz_oov"); val o2 = p.embedWord("zzz_oov")
+    assert(o1.toSeq == o2.toSeq && o1.length == 16)
+    // the SPI plumbing accepts the learned provider unchanged
+    val pooled = EmbeddingProvider.embedMeanPoolPartitions(
+      docs.limit(10), "doc_id", "text", p)
+    assert(pooled.count() == 10)
+    assert(pooled.select("vec").head().getSeq[Double](0).size == 16)
+  }
+
   test("RotatedProvider is an isometry (norm-preserving)") {
     val v = src.embedWord("engine")
     val r = tgt.embedWord("engine")
