@@ -649,6 +649,31 @@ object MLQueries {
     """SELECT count(*) AS n_rows, TRUE AS ev_ordered, TRUE AS ev_in_unit,
       |TRUE AS extent_nondegenerate FROM embeddings""".stripMargin
 
+  /** M7's second half, formerly documented out: exact t-SNE over the
+    * deterministic viz sample (vec_id < 500 — plot-sized by id contract, so
+    * the cost is CONSTANT in corpus scale; the distributed engine's job is
+    * the sampling, the reduction is driver math like every scatter plot).
+    * Gradient descent is seeded + fixed-order (reproducible), but float
+    * details are engine-specific, so the oracle is the q15 verdict pattern:
+    * n_rows replays, KL-decreased and a non-degenerate 2-D extent pin TRUE;
+    * cluster-structure preservation is asserted in TsneSpec. [SQL] */
+  val m7TsneSummary: Q = (s, dir) => {
+    val rows = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+    val x = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val (y, kl0, kl1) = graft.ml.Tsne.fitWithKl(x, dims = 2,
+      perplexity = math.min(30.0, (x.length - 1) / 3.0), iters = 250)
+    import s.implicits._
+    Seq((rows.length.toLong, kl1 < kl0,
+        y.map(p => math.abs(p(0))).max > 0.0 &&
+          y.map(p => math.abs(p(1))).max > 0.0))
+      .toDF("n_rows", "kl_decreased", "extent_nondegenerate")
+  }
+
+  val m7TsneSummarySql: String =
+    """SELECT count(*) AS n_rows, TRUE AS kl_decreased,
+      |TRUE AS extent_nondegenerate FROM embeddings WHERE vec_id < 500""".stripMargin
+
   private def vec_to_array(c: Column): Column = {
     val f = udf { v: org.apache.spark.ml.linalg.Vector => v.toArray }
     f(c)
@@ -660,6 +685,7 @@ object MLQueries {
     "drift_gradual_signals" -> driftGradualSignals,
     "drift_finetune_signals" -> driftFinetuneSignals,
     "m7_pca_summary" -> m7PcaSummary,
+    "m7_tsne_summary" -> m7TsneSummary,
     "a9_split_counts" -> a9SplitCounts,
     "ml_logreg_holdout" -> mlLogregHoldout,
     "ml_gnb_predict" -> mlGnbPredict,
@@ -690,5 +716,6 @@ object MLQueries {
     "drift_finetune_signals" -> driftFinetuneSignalsSql,
     "drift_unsup_feed" -> driftUnsupFeedSql,
     "ml_logreg_holdout" -> mlLogregHoldoutSql,
-    "m7_pca_summary" -> m7PcaSummarySql)
+    "m7_pca_summary" -> m7PcaSummarySql,
+    "m7_tsne_summary" -> m7TsneSummarySql)
 }
