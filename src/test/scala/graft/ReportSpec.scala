@@ -1,5 +1,7 @@
 package graft
 
+import java.awt.Color
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -54,5 +56,42 @@ class ReportSpec extends AnyFunSuite {
     assert(out.filter(_.getString(1) == "mapped").forall(_.getString(3) == "None"))
     // and the live part still fires
     assert(out.filter(_.getString(1) == "untrained").exists(_.getString(3) == "Drift"))
+  }
+
+  test("reportPng renders the timeline figure: line + detection markers") {
+    import graft.report.Plot
+    val report = Report.experimentReport(feed)
+    val path = java.nio.file.Files.createTempDirectory("plot").toString + "/report.png"
+    Plot.reportPng(report, path)
+    val img = javax.imageio.ImageIO.read(new java.io.File(path))
+    assert(img.getWidth == 1000 && img.getHeight == 400)
+    val px = for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+      yield img.getRGB(x, y)
+    val nonBg = px.filterNot(p => p == Color.WHITE.getRGB || p == Color.GRAY.getRGB)
+    assert(nonBg.size > 200, "the accuracy line must actually be drawn")
+    // the drift ramp fires, so the Drift marker color must appear
+    assert(nonBg.distinct.size >= 2, "line + at least one detection marker color")
+  }
+
+  test("scatterPng renders a labeled 2-D figure (t-SNE/mapping twin)") {
+    import graft.report.Plot
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      (c * 10.0 + (i % 7) * 0.3, c * 5.0 - (i % 5) * 0.2, s"class$c")
+    }.toDF("x", "y", "label")
+    val path = java.nio.file.Files.createTempDirectory("plot").toString + "/scatter.png"
+    Plot.scatterPng(pts, "x", "y", "label", path)
+    val img = javax.imageio.ImageIO.read(new java.io.File(path))
+    val px = (for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+      yield img.getRGB(x, y))
+      .filterNot(p => p == Color.WHITE.getRGB || p == Color.GRAY.getRGB)
+    assert(px.distinct.size >= 3, "three label colors must be visible")
+    // oversized input is rejected
+    val big = spark.range(Plot.MaxPoints + 1)
+      .select(col("id").cast("double").as("x"),
+        col("id").cast("double").as("y"), lit("l").as("label"))
+    intercept[IllegalArgumentException] {
+      Plot.scatterPng(big, "x", "y", "label", path)
+    }
   }
 }
