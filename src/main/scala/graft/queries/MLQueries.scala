@@ -409,6 +409,51 @@ object MLQueries {
        |  TRUE AS acc_at_chance, TRUE AS f1_at_chance FROM bk""".stripMargin
   }
 
+  /** M1 CLOSED (formerly a documented divergence): the reference's actual
+    * architecture — 2-layer LSTM over ragged token-embedding sequences,
+    * abs-max pool (P6), linear head, log-softmax NLL, Adam
+    * (models/wos_classifier.py:111-198, wos_train_lstm.py:20-176) — trained
+    * with the engine's corpus-scale step ([[graft.ml.Lstm]]: params broadcast
+    * out, per-sequence BPTT gradients treeAggregate back, only model-sized
+    * state at the driver). Labels here are pmod(doc_id) — independent of the
+    * text by construction — so the oracled surface is the q15 verdict
+    * pattern: `n_test` replays the hash-Bernoulli split exactly in SQL and
+    * the verdicts pin holdout metrics at chance (NClasses = 10, generous
+    * ≤ 0.35 band). That the network genuinely models SEQUENCE ORDER — the
+    * thing no pooled-vector stand-in can — is pinned in LstmSpec: an
+    * order-only task (same token multiset, label = order) learned to ≥ 0.9
+    * while the pooled linear model sits at chance, plus finite-difference
+    * gradient checks and bit-exact incremental (M2) reproducibility. [SQL] */
+  val mlLstmHoldout: Q = (s, dir) => {
+    val provider = graft.embed.HashingProvider("lstm", 16, seed = 101L)
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(Corpus.NClasses)).cast("int").as("label"),
+      graft.ml.Lstm.sequenceCol(provider, col("text"), maxLen = 48).as("seq"))
+    val (tr, te) = graft.operators.Split.hashSplit(docs, "doc_id", seed = 42L)
+    val model = graft.ml.Lstm.fit(tr, "label", "seq", hidden = 16, nLayers = 2,
+      nClasses = Corpus.NClasses, steps = 6, lr = 5e-2)
+    val m = graft.ml.Lstm.holdoutMetrics(model, te, "doc_id", "label", "seq",
+      Corpus.NClasses)
+    te.agg(count(lit(1)).as("n_test")).crossJoin(m)
+      .select(col("n_test"),
+        (col("accuracy") <= 0.35).as("acc_at_chance"),
+        (col("macro_f1") <= 0.35).as("f1_at_chance"))
+  }
+
+  /** DuckDB twin of [[mlLstmHoldout]]: the split replay of
+    * [[mlLogregHoldoutSql]] over `documents.doc_id`; verdicts pinned TRUE. */
+  val mlLstmHoldoutSql: String = {
+    val staged = Duck.stagedSql(
+      "SELECT CAST(doc_id AS HUGEINT) AS v, CAST(42 AS HUGEINT) AS sd FROM documents",
+      Duck.xxhashLongStages("v", "42", "h1", "za") ++
+        Duck.xxhashLongStages("sd", "h1", "h2", "zb"))
+    s"""WITH hh AS ($staged),
+       |bk AS (SELECT (((${Duck.toSigned("h2")} % 100) + 100) % 100) AS bkt FROM hh)
+       |SELECT count(*) FILTER (bkt < 20) AS n_test,
+       |  TRUE AS acc_at_chance, TRUE AS f1_at_chance FROM bk""".stripMargin
+  }
+
   // ---- ST2: print_every feed gating -----------------------------------------
 
   /** The reference feeds the detector only on print_every boundaries
@@ -688,6 +733,7 @@ object MLQueries {
     "m7_tsne_summary" -> m7TsneSummary,
     "a9_split_counts" -> a9SplitCounts,
     "ml_logreg_holdout" -> mlLogregHoldout,
+    "ml_lstm_holdout" -> mlLstmHoldout,
     "ml_gnb_predict" -> mlGnbPredict,
     "ml_gnb_metrics" -> mlGnbMetrics,
     "drift_abrupt_feed" -> driftAbruptFeed,
@@ -716,6 +762,7 @@ object MLQueries {
     "drift_finetune_signals" -> driftFinetuneSignalsSql,
     "drift_unsup_feed" -> driftUnsupFeedSql,
     "ml_logreg_holdout" -> mlLogregHoldoutSql,
+    "ml_lstm_holdout" -> mlLstmHoldoutSql,
     "m7_pca_summary" -> m7PcaSummarySql,
     "m7_tsne_summary" -> m7TsneSummarySql)
 }

@@ -40,7 +40,16 @@ class ScalingSmokeSpec extends AnyFunSuite {
     "chunk_windows", "chunk_dedup", "dsir_select", "sketch_heavy_hitters",
     "gate_admission")
 
+  /** Steady-state timing, matching the bench contract (r6: untimed artifact
+    * pass before anything is timed): the first run builds content-keyed
+    * artifacts / memos / JIT cold paths untimed, the second run is measured.
+    * Without this the envelope compares a memo-warm small scale against a
+    * cold big scale — the r7 flake: dedup_ngram_jaccard measured 0.07 s at
+    * sf0.1 (memo hit from the earlier test) vs 10-30 s at sf1 (cold build,
+    * variance straight through the 20× bound). Both sides steady-state makes
+    * the ratio measure the OPERATOR's scaling, not cache asymmetry. */
   private def time(name: String, dir: String): Double = {
+    SparkEntry.queries(name)(spark, dir).count() // untimed: warm artifacts
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir).count()
     (System.nanoTime() - t0) / 1e9

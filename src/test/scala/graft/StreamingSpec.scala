@@ -787,4 +787,55 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(cms.estimate("never-seen-prefix-miss") >= 0L)
   }
+
+  test("prequential LSTM over foreachBatch equals the driver-loop wrapper bit-for-bit (M2/ST4)") {
+    // the streaming twin of the reference's run_stream_* LSTM loop: each
+    // trigger scores-then-trains via ONE treeAggregate (Lstm.stepDf) — rows
+    // never reach the driver; with one input partition in row order the
+    // result must be bit-identical to the in-memory wrapper Lstm.step
+    import graft.ml.Lstm
+    val dim = 6
+    def tok(id: Int): Seq[Float] = Seq.tabulate(dim) { d =>
+      val x = java.lang.Long.rotateLeft(id.toLong * 0x9E3779B97F4A7C15L ^ d, 13)
+      ((x.toDouble / Long.MaxValue) * 0.8).toFloat
+    }
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 80).map { i =>
+      val label = i % 2
+      val core = if (label == 1) Seq(0, 1) else Seq(1, 0)
+      val fillers = Seq.fill(4)(2 + rnd.nextInt(6))
+      (i.toLong, label, (core ++ fillers).map(tok))
+    }
+    val batches = rows.grouped(16).toSeq
+
+    var st = Lstm.initState(dim, 8, 2, 2, seed = 3L)
+    val accs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, Seq[Seq[Float]])]
+    val q = mem.toDS().toDF("id", "label", "seq")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val one = b.orderBy("id").coalesce(1)
+        val (next, _, acc) = Lstm.stepDf(st, one, "label", "seq", lr = 5e-2)
+        st = next; accs += acc; ()
+      }.start()
+    try {
+      batches.foreach { bt => mem.addData(bt: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // driver twin over the same batches in the same order
+    var st2 = Lstm.initState(dim, 8, 2, 2, seed = 3L)
+    val accs2 = batches.map { bt =>
+      val in = bt.map { case (_, y, s) =>
+        (y, s.map(_.toArray.map(_.toDouble)).toArray)
+      }
+      val (next, _, acc) = Lstm.step(st2, in, lr = 5e-2)
+      st2 = next; acc
+    }
+    assert(accs.toSeq == accs2, s"prequential accuracy trajectories diverge: $accs vs $accs2")
+    assert(st.params.bf.toSeq == st2.params.bf.toSeq)
+    assert(st.params.wf.flatten.toSeq == st2.params.wf.flatten.toSeq)
+    assert(st.params.layers(0).wx.flatten.toSeq == st2.params.layers(0).wx.flatten.toSeq)
+    assert(st.params.layers(1).wh.flatten.toSeq == st2.params.layers(1).wh.flatten.toSeq)
+    assert(st.m.wf.flatten.toSeq == st2.m.wf.flatten.toSeq, "Adam moment state diverged")
+  }
 }
