@@ -426,10 +426,15 @@ object MLQueries {
     * gradient checks and bit-exact incremental (M2) reproducibility. [SQL] */
   val mlLstmHoldout: Q = (s, dir) => {
     val provider = graft.embed.HashingProvider("lstm", 16, seed = 101L)
-    val docs = Tables.documents(s, dir).select(
-      col("doc_id"),
-      pmod(col("doc_id"), lit(Corpus.NClasses)).cast("int").as("label"),
-      graft.ml.Lstm.sequenceCol(provider, col("text"), maxLen = 48).as("seq"))
+    // repartition BEFORE the embed UDF: the single-file scan is 1-2
+    // partitions, and both the token embedding and the per-sequence BPTT
+    // must fan out across the cluster, not serialize on one core
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(Corpus.NClasses)).cast("int").as("label"),
+        graft.ml.Lstm.sequenceCol(provider, col("text"), maxLen = 48).as("seq"))
     val (tr, te) = graft.operators.Split.hashSplit(docs, "doc_id", seed = 42L)
     val model = graft.ml.Lstm.fit(tr, "label", "seq", hidden = 16, nLayers = 2,
       nClasses = Corpus.NClasses, steps = 6, lr = 5e-2)
