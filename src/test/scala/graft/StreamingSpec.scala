@@ -838,4 +838,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.params.layers(1).wh.flatten.toSeq == st2.params.layers(1).wh.flatten.toSeq)
     assert(st.m.wf.flatten.toSeq == st2.m.wf.flatten.toSeq, "Adam moment state diverged")
   }
+
+  test("supervised drift experiment end-to-end with the real LSTM: " +
+      "stream -> prequential model -> error feed -> DDM fires on the flip") {
+    // The reference's headline loop (streams/run_stream_supervised.py +
+    // models/wos_train_lstm.py) with the REAL architecture: a labeled
+    // sequence stream arrives in micro-batches; each trigger scores then
+    // trains the LSTM (distributed stepDf — the partial_fit loop), the
+    // per-batch error feeds DDM, and the label flip mid-stream must drive
+    // error -> warning/drift signals -> recovery as the model relearns.
+    import graft.ml.Lstm
+    val dim = 6
+    def tok(id: Int): Seq[Float] = Seq.tabulate(dim) { d =>
+      val x = java.lang.Long.rotateLeft(id.toLong * 0x9E3779B97F4A7C15L ^ d, 13)
+      ((x.toDouble / Long.MaxValue) * 0.8).toFloat
+    }
+    val DriftAt = 36 // DDM needs its 30-sample warmup before the flip
+    val NBatches = 54
+    val rnd = new scala.util.Random(59)
+    val batches = (0 until NBatches).map { b =>
+      (0 until 24).map { i =>
+        val orderAB = rnd.nextBoolean()
+        val core = if (orderAB) Seq(0, 1) else Seq(1, 0)
+        // concept drift: the order -> label mapping flips at DriftAt
+        val label = if (b < DriftAt) { if (orderAB) 1 else 0 }
+                    else { if (orderAB) 0 else 1 }
+        val fillers = Seq.fill(4)(2 + rnd.nextInt(6))
+        (b * 24L + i, label, (core ++ fillers).map(tok))
+      }
+    }
+
+    var st = Lstm.initState(dim, 8, 2, 2, seed = 3L)
+    // per-EXAMPLE 0/1 misses in stream order — DDM is a per-sample detector
+    // (the reference drives skmultiflow's DDM element-wise); the per-batch
+    // reporting feed is the ST2-gated view, pinned elsewhere
+    val misses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val errs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, Seq[Seq[Float]])]
+    val q = mem.toDS().toDF("id", "label", "seq")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val one = b.orderBy("id").coalesce(1).localCheckpoint()
+        // score (pre-update, prequential) ...
+        val scored = Lstm.predict(Lstm.Model(st.params), one, "id", "label", "seq")
+          .collect().sortBy(_.getLong(0))
+          .map(r => if (r.getInt(1) == r.getInt(2)) 0.0 else 1.0)
+        misses ++= scored
+        errs += scored.sum / scored.length
+        // ... then train: a few within-batch epochs — the reference's
+        // per-batch Adam step amortized over a stream far longer than ours
+        (0 until 6).foreach { _ => st = Lstm.stepDf(st, one, "label", "seq", lr = 5e-2)._1 }
+        ()
+      }.start()
+    try {
+      batches.foreach { bt => mem.addData(bt: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    assert(errs.length == NBatches)
+    val preLearned = errs.slice(DriftAt - 5, DriftAt)
+    assert(preLearned.sum / 5 <= 0.2,
+      s"model should have learned pre-drift: last-5 errors $preLearned")
+    val atDrift = errs.slice(DriftAt, DriftAt + 3)
+    assert(atDrift.max >= 0.6,
+      s"flipped labels should spike the error: $atDrift")
+    val tail = errs.takeRight(4)
+    assert(tail.sum / 4 <= 0.35,
+      s"model should relearn the flipped concept: tail errors $tail")
+
+    // the engine's own detector over the engine's own error feed — DDM must
+    // stay quiet through learning + plateau and fire on the flip
+    val ddm = new Drift.Ddm()
+    val signals = misses.toSeq.map(ddm.addElement)
+    val firstDrift = signals.indexWhere(_ == "D")
+    assert(firstDrift >= 0, "DDM never fired D on the planted flip")
+    val driftBatch = firstDrift / 24
+    assert(driftBatch >= DriftAt,
+      s"DDM fired before the planted drift: batch $driftBatch")
+    assert(driftBatch <= DriftAt + 3,
+      s"DDM missed the drift window: first D in batch $driftBatch, expected in [$DriftAt, ${DriftAt + 3}]")
+  }
 }
