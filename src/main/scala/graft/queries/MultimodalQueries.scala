@@ -72,7 +72,17 @@ object MultimodalQueries {
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0))
       .orderBy("media_id")
 
+  /** The audio twin of [[mmDecodeReal]] (AudioCodec): real WAVs written and
+    * decoded through `javax.sound.sampled`, per-clip waveform stats. PCM is
+    * lossless and the sample values are a closed-form integer recurrence, so
+    * the DuckDB twin replays the full encode→decode round trip. WAV encode
+    * is cheap (no compression), so this runs over ALL docs. */
+  val mmAudioReal: Q = (s, dir) =>
+    graft.multimodal.AudioCodec.decodeRealStats(Tables.documents(s, dir))
+      .orderBy("media_id")
+
   val queries: Map[String, Q] = Map(
+    "mm_audio_real" -> mmAudioReal,
     "mm_decode_real" -> mmDecodeReal,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_feature_ann" -> mmFeatureAnn,
@@ -231,7 +241,25 @@ object MultimodalQueries {
       |  CAST(max(v) AS INT) AS gray_max
       |FROM g GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin
 
+  /** DuckDB twin of [[mmAudioReal]]: the PCM LCG and clip geometry replayed
+    * in BIGINT (every intermediate bounded — AudioCodec.pcm reduces doc_id
+    * mod 1e5 first); integer sample sums are double-exact. */
+  val mmAudioRealSql: String =
+    """WITH geom AS (SELECT doc_id,
+      |    CAST(doc_id % 5 AS INT) * 160 + 320 AS n
+      |  FROM documents),
+      |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM geom),
+      |v AS (SELECT doc_id, n,
+      |    ((((doc_id % 100000) * 1103515245 + i * 12347 + 999)
+      |      % 2147483648) % 65536 - 32768) AS v
+      |  FROM sm)
+      |SELECT doc_id AS media_id, CAST(n AS INT) AS n_samples,
+      |  round(CAST(sum(v) AS DOUBLE) / n, 6) AS pcm_mean,
+      |  CAST(max(v) AS INT) AS pcm_max
+      |FROM v GROUP BY doc_id, n ORDER BY media_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm_audio_real" -> mmAudioRealSql,
     "mm_decode_real" -> mmDecodeRealSql,
     "mm_decode_stats" -> mmDecodeStatsSql,
     "mm_feature_ann" -> mmFeatureAnnSql,
