@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import javax.imageio.{IIOImage, ImageIO}
+
+/** REAL video decode behind the [[Media.MediaCodec]] boundary — the third
+  * modality made genuine with JDK-only codecs: a multi-frame GIF is a real
+  * video container `javax.imageio` both writes and reads (sequence API), so
+  * the frame-sampling path becomes an actual bytes→frames transform with the
+  * same batched, shuffle-free plumbing as the image/audio closures.
+  *
+  * Oracle strategy mirrors both siblings: [[synthesizeGifs]] writes each
+  * document a short grayscale GIF whose per-frame pixels are a CLOSED-FORM
+  * integer function of (doc_id, pixel index, frame index). GIF's LZW is
+  * lossless and a TYPE_BYTE_GRAY source maps 1:1 onto the 256-entry palette,
+  * so decode(encode(frames)) == frames — the DuckDB twin replays the
+  * generator arithmetic alone and hash-checks the full encode → partition
+  * batch → frame-iterate decode → aggregate chain. A frame-indexing,
+  * disposal, or palette bug breaks the match.
+  *
+  * Scale: GIF bytes are synthesized AND decoded inside one mapPartitions
+  * each — payloads never cross a shuffle; only (media_id, stats) rows do. A
+  * production deployment swaps an FFI ffmpeg/vpx decoder in behind the same
+  * trait without touching the plan shape. */
+object VideoCodec {
+
+  /** gray(m, i, f) ∈ [0, 256): integer LCG mix of doc id, pixel index, and
+    * frame index — bounded intermediates, BIGINT-replayable. */
+  def gray(m: Long, i: Long, f: Int): Int =
+    ((((m % 100000L) * 1103515245L + i * 12345L + f * 777L + 6789L) % 2147483648L) % 256L).toInt
+
+  /** Deterministic clip geometry: 2–4 frames of ≤ 24×16 px (oracle's
+    * frames × pixels explosion stays small and linear). */
+  def framesOf(docId: Long): Int = (docId % 3L).toInt + 2
+  def widthOf(docId: Long): Int = (docId % 4L).toInt * 4 + 12
+  def heightOf(docId: Long): Int = (docId % 3L).toInt * 4 + 8
+
+  /** One real multi-frame GIF per document. Encoding per partition — narrow,
+    * no shuffle. */
+  def synthesizeGifs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = widthOf(id); val h = heightOf(id); val frames = framesOf(id)
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        val bos = new ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, gray(id, y.toLong * w + x, f))
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        Row(id, id, "video", bos.toByteArray,
+          Row(w, h, 0, frames * 100, "gif"))
+      }
+    }
+    spark.createDataFrame(rdd, Media.mediaSchema)
+  }
+
+  /** The real codec: iterate every GIF frame, concatenate gray pixels
+    * frame-major — `samples` is the full decoded clip. */
+  object GifCodec extends Media.MediaCodec {
+    def decodeBatch(rows: Seq[(Long, String, Array[Byte], Row)]): Seq[Media.Decoded] =
+      rows.map { case (id, kind, bytes, _) =>
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+        val n = reader.getNumImages(true)
+        val out = Array.newBuilder[Float]
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out += (img.getRGB(x, y) & 0xFF).toFloat
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        reader.dispose()
+        Media.Decoded(id, kind, out.result())
+      }
+  }
+
+  /** The `mm_video_real` surface: synthesize real GIF clips, decode every
+    * frame through the SAME batched decodeStats plumbing, emit per-clip
+    * stats with the frame count recovered from the decoded sample count. */
+  def decodeRealStats(docs: DataFrame): DataFrame = {
+    val wh = udf { id: Long => widthOf(id) * heightOf(id) }
+    Media.decodeStats(synthesizeGifs(docs), GifCodec)
+      .select(
+        col("media_id"),
+        (col("n_samples") / wh(col("media_id"))).cast("int").as("n_frames"),
+        col("n_samples"),
+        round(col("sample_mean"), 6).as("gray_mean"),
+        col("sample_max").cast("int").as("gray_max"))
+  }
+}

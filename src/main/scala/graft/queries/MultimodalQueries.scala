@@ -81,7 +81,18 @@ object MultimodalQueries {
     graft.multimodal.AudioCodec.decodeRealStats(Tables.documents(s, dir))
       .orderBy("media_id")
 
+  /** The video twin (VideoCodec): real multi-frame GIF clips written and
+    * frame-iterated through `javax.imageio`'s sequence API — all three
+    * modalities now really decode with JDK-only codecs. GIF encode is the
+    * heaviest of the three (LZW per frame), so this samples 1-in-3 docs:
+    * the round trip is pinned per clip, sampling changes density only. */
+  val mmVideoReal: Q = (s, dir) =>
+    graft.multimodal.VideoCodec.decodeRealStats(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0))
+      .orderBy("media_id")
+
   val queries: Map[String, Q] = Map(
+    "mm_video_real" -> mmVideoReal,
     "mm_audio_real" -> mmAudioReal,
     "mm_decode_real" -> mmDecodeReal,
     "mm_decode_stats" -> mmDecodeStats,
@@ -258,7 +269,28 @@ object MultimodalQueries {
       |  CAST(max(v) AS INT) AS pcm_max
       |FROM v GROUP BY doc_id, n ORDER BY media_id""".stripMargin
 
+  /** DuckDB twin of [[mmVideoReal]]: clip geometry + the per-frame gray LCG
+    * replayed in BIGINT over frames × pixels. */
+  val mmVideoRealSql: String =
+    """WITH geom AS (SELECT doc_id,
+      |    CAST(doc_id % 3 AS INT) + 2 AS nf,
+      |    CAST(doc_id % 4 AS INT) * 4 + 12 AS w,
+      |    CAST(doc_id % 3 AS INT) * 4 + 8 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM geom),
+      |px AS (SELECT doc_id, nf, w, h, f, unnest(range(0, w * h)) AS i FROM fr),
+      |g AS (SELECT doc_id, nf, w, h,
+      |    ((((doc_id % 100000) * 1103515245 + i * 12345 + f * 777 + 6789)
+      |      % 2147483648) % 256) AS v
+      |  FROM px)
+      |SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+      |  CAST(nf * w * h AS INT) AS n_samples,
+      |  round(CAST(sum(v) AS DOUBLE) / (nf * w * h), 6) AS gray_mean,
+      |  CAST(max(v) AS INT) AS gray_max
+      |FROM g GROUP BY doc_id, nf, w, h ORDER BY media_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm_video_real" -> mmVideoRealSql,
     "mm_audio_real" -> mmAudioRealSql,
     "mm_decode_real" -> mmDecodeRealSql,
     "mm_decode_stats" -> mmDecodeStatsSql,

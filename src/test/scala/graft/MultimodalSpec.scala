@@ -105,6 +105,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(any.exists(_ < 0) && any.exists(_ > 0))
   }
 
+  test("GifCodec: real multi-frame GIF bytes decode back to the closed-form frames") {
+    import graft.multimodal.VideoCodec
+    val media = VideoCodec.synthesizeGifs(docs).collect()
+    media.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      assert(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F',
+        "payload is a genuinely encoded GIF container")
+    }
+    val rows = media.map(r => (r.getLong(0), r.getString(2),
+      r.getAs[Array[Byte]]("bytes"), r.getStruct(4))).toSeq
+    VideoCodec.GifCodec.decodeBatch(rows).foreach { d =>
+      val id = d.mediaId
+      val w = VideoCodec.widthOf(id); val h = VideoCodec.heightOf(id)
+      val nf = VideoCodec.framesOf(id)
+      assert(d.samples.length == nf * w * h, s"clip $id frame count")
+      // lossless round-trip across EVERY frame: a disposal-method or
+      // palette-quantization bug would corrupt later frames specifically
+      var f = 0
+      while (f < nf) {
+        var i = 0
+        while (i < w * h) {
+          assert(d.samples(f * w * h + i) == VideoCodec.gray(id, i, f).toFloat,
+            s"clip $id frame $f pixel $i")
+          i += 1
+        }
+        f += 1
+      }
+    }
+  }
+
   test("sampleFrames emits capped per-video offsets") {
     val f = Media.sampleFrames(Media.synthesize(docs), everyMs = 1000, maxFrames = 3)
       .groupBy("media_id").agg(count(lit(1)).as("n"), max("frame_ms").as("mx"))
