@@ -467,10 +467,54 @@ object Lstm {
     * in the seqOp, gradients combine executor-side, ONE model-sized
     * treeAggregate to the driver, Adam there. Minibatch membership is the
     * deterministic hash draw rotated by step (no rand()). */
+  /** Checkpointed fit (the reference trainer's resume loop,
+    * models/wos_train_lstm.py:60-68,158-173): every `every` steps the FULL
+    * optimizer state persists via [[save]] keyed by the step counter; on
+    * start, the latest checkpoint at `path` resumes and only the remaining
+    * steps run. A crashed run re-launched with the same arguments continues
+    * the identical trajectory (state round-trip is exact — LstmSpec). */
+  def fitCheckpointed(train: DataFrame, labelCol: String, seqCol: String,
+                      hidden: Int, nLayers: Int, nClasses: Int, steps: Int,
+                      path: String, every: Int = 5, lr: Double = 1e-2,
+                      reg: Double = 1e-4, batchFraction: Double = 1.0,
+                      seed: Long = 42L): Model = {
+    implicit val spark: org.apache.spark.sql.SparkSession = train.sparkSession
+    val st0 = loadLatest(path).getOrElse(
+      initState(seqDim(train, seqCol), hidden, nLayers, nClasses, seed))
+    require(st0.t <= steps, s"checkpoint at step ${st0.t} is past steps=$steps")
+    val fin = fitLoop(train, labelCol, seqCol, nClasses, steps, lr, reg,
+      batchFraction, seed, st0, onStep = { s =>
+        if (s.t % every == 0 && s.t < steps) save(s, s.t.toLong, path)
+      })
+    if (fin.t > st0.t) save(fin, fin.t.toLong, path)
+    Model(fin.params)
+  }
+
+  /** Input dim from the first non-empty sequence. */
+  private def seqDim(df: DataFrame, seqCol: String): Int = {
+    val r = df.select(col(seqCol)).filter(size(col(seqCol)) > 0).head()
+    r.getSeq[scala.collection.Seq[Float]](0).head.length
+  }
+
   def fit(train: DataFrame, labelCol: String, seqCol: String, hidden: Int,
           nLayers: Int, nClasses: Int, steps: Int, lr: Double = 1e-2,
           reg: Double = 1e-4, batchFraction: Double = 1.0,
           seed: Long = 42L): Model = {
+    val dim = seqDim(train, seqCol)
+    val st = fitLoop(train, labelCol, seqCol, nClasses, steps, lr, reg,
+      batchFraction, seed, initState(dim, hidden, nLayers, nClasses, seed),
+      onStep = _ => ())
+    Model(st.params)
+  }
+
+  /** The shared training loop: runs steps `st0.t until steps` (so a resumed
+    * state continues its own trajectory — minibatch rotation is keyed by the
+    * step counter, not loop position), calling `onStep` after each Adam
+    * update. */
+  private def fitLoop(train: DataFrame, labelCol: String, seqCol: String,
+                      nClasses: Int, steps: Int, lr: Double, reg: Double,
+                      batchFraction: Double, seed: Long, st0: TrainState,
+                      onStep: TrainState => Unit): TrainState = {
     require(nClasses >= 2 && steps >= 1 && batchFraction > 0 && batchFraction <= 1)
     val raw = train
       .select(col(labelCol).cast("int").as("y"), col(seqCol).as("x"),
@@ -490,11 +534,10 @@ object Lstm {
     val data = (if (raw.getNumPartitions < want) raw.repartition(want) else raw)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = data.first()._2.headOption.map(_.length).getOrElse(0)
-      require(dim > 0, "first sequence is empty — cannot infer input dim")
-      var st = initState(dim, hidden, nLayers, nClasses, seed)
+      var st = st0
       val threshold = (batchFraction * (1L << 32).toDouble).toLong
-      for (it <- 0 until steps) {
+      while (st.t < steps) {
+        val it = st.t
         val bp = data.sparkContext.broadcast(st.params)
         val (grad, n) = data
           .filter { case (_, _, hh) =>
@@ -511,9 +554,13 @@ object Lstm {
             },
             depth = 2)
         bp.destroy()
-        if (n > 0) st = adamStep(st, grad, n, lr, reg)
+        // an empty minibatch still advances the step counter, or resume
+        // could loop forever on a pathological batchFraction
+        st = if (n > 0) adamStep(st, grad, n, lr, reg)
+             else TrainState(st.params, st.m, st.v, st.t + 1)
+        onStep(st)
       }
-      Model(st.params)
+      st
     } finally data.unpersist(blocking = false)
   }
 

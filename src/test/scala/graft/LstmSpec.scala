@@ -141,6 +141,45 @@ class LstmSpec extends AnyFunSuite {
       s"prequential accuracy did not improve: early $early late $late")
   }
 
+  test("fitCheckpointed resumes a killed training run on the same trajectory (M4)") {
+    // the reference trainer's resume loop (wos_train_lstm.py:60-68): run A is
+    // "killed" after 4 of 10 steps (we just stop it there), run B resumes
+    // from A's checkpoint directory and must finish where an uninterrupted
+    // run would. State round-trips exactly and minibatch rotation keys off
+    // the step counter, so the only divergence source is the float combine
+    // order of the distributed gradient sum — machine epsilon, compared here
+    // against a generous 1e-6 band (weights are O(0.1), six steps deep).
+    val dim = 6
+    val df = toDf(orderData(80, dim, seed = 47)).cache()
+    df.count()
+    val base = java.nio.file.Files.createTempDirectory("lstm_fit_ckpt").toString
+
+    val full = Lstm.fitCheckpointed(df, "label", "seq", hidden = 8, nLayers = 2,
+      nClasses = 2, steps = 10, path = s"$base/full", every = 4, lr = 5e-2)
+    // "crash" after step 4: same run stopped early — its checkpoint dir now
+    // holds step 4 (every = 4)
+    Lstm.fitCheckpointed(df, "label", "seq", hidden = 8, nLayers = 2,
+      nClasses = 2, steps = 4, path = s"$base/part", every = 4, lr = 5e-2)
+    // relaunch with the original steps=10: resumes at 4, runs 6 more
+    val resumed = Lstm.fitCheckpointed(df, "label", "seq", hidden = 8, nLayers = 2,
+      nClasses = 2, steps = 10, path = s"$base/part", every = 4, lr = 5e-2)
+
+    def maxDiff(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+    assert(maxDiff(full.params.bf, resumed.params.bf) < 1e-6)
+    assert(maxDiff(full.params.wf.flatten, resumed.params.wf.flatten) < 1e-6)
+    assert(maxDiff(full.params.layers(0).wx.flatten,
+      resumed.params.layers(0).wx.flatten) < 1e-6)
+    assert(maxDiff(full.params.layers(1).wh.flatten,
+      resumed.params.layers(1).wh.flatten) < 1e-6)
+    // and the final checkpoint itself is the finished state
+    implicit val s = spark
+    val latest = Lstm.loadLatest(s"$base/part").get
+    assert(latest.t == 10)
+    assert(latest.params.bf.toSeq == resumed.params.bf.toSeq)
+    df.unpersist()
+  }
+
   test("checkpoint save/resume round-trips the full optimizer state (S6/M4)") {
     implicit val s = spark
     val dim = 6
