@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional subset (comma-separated names): the sf10 decade benches the
+    // scale-critical set without paying the full 110-query surface at 100×.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = subset match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     // Warm the session so timed runs measure steady state, not one-time costs.
     // Generated-code compilation dominates cold runs (measured 10.9 s cold vs
     // 1.5 s warm on dedup_minhash_lsh) and which query absorbs it depends on
@@ -21,7 +29,7 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     val warmDir0 = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val warmDir = if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     // Second untimed pass at the TARGET dir: content-keyed artifacts
@@ -32,7 +40,7 @@ object Bench {
     // first and the driver's cold-box numbers disagree with a back-to-back
     // run. After this pass the timed loop below measures steady state by
     // construction: a first-run total matches an immediate re-run.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // Iterative queries (connected components, Lloyd's) pin localCheckpoint
@@ -43,7 +51,7 @@ object Bench {
     def releaseBlocks(): Unit = { System.gc(); Thread.sleep(50) }
     releaseBlocks()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed ::= name }
