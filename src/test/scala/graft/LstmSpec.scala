@@ -86,6 +86,42 @@ class LstmSpec extends AnyFunSuite {
     check(_.bf, "bf", 2)
   }
 
+  test("gradient stays FD-correct at the shape edges: empty seq, T=1, single layer") {
+    // T=1 exercises the hPrev-null branch, the empty sequence exercises the
+    // zero-vector substitution, nLayers=1 the no-stacking path
+    val cases = Seq(
+      (2, 3, 1, 2, Seq.empty[Int]),          // empty sequence, 1 layer
+      (3, 2, 2, 3, Seq(4)),                  // T = 1, 2 layers
+      (2, 2, 1, 4, Seq(9, 2)),               // T = 2, 1 layer, 4 classes
+      (1, 4, 2, 2, Seq(3, 3, 3)))            // dim = 1, repeated token
+    cases.foreach { case (dim, h, layers, c, ids) =>
+      val seq = ids.map(tok(_, dim)).toArray
+      val y = c - 1
+      val st = Lstm.initState(dim, h, layers, c, seed = 17L)
+      val g = Lstm.initState(dim, h, layers, c, seed = 5L).m // zeros
+      Lstm.accumulateGrad(st.params, g, seq, y)
+      val eps = 1e-5
+      def lossAt(): Double = {
+        val g2 = Lstm.initState(dim, h, layers, c, seed = 5L).m
+        Lstm.accumulateGrad(st.params, g2, seq, y)._1
+      }
+      // probe one coordinate in each tensor family
+      def check(v: Array[Double], gv: Array[Double], idx: Int, name: String): Unit = {
+        val orig = v(idx)
+        v(idx) = orig + eps; val up = lossAt()
+        v(idx) = orig - eps; val dn = lossAt()
+        v(idx) = orig
+        val num = (up - dn) / (2 * eps)
+        assert(math.abs(num - gv(idx)) <= 1e-4 * math.max(1.0, math.abs(num)),
+          s"($dim,$h,$layers,$c,T=${ids.length}) $name[$idx]: numeric $num vs ${gv(idx)}")
+      }
+      check(st.params.layers(0).wx(0), g.layers(0).wx(0), 0, "L0.wx[0]")
+      check(st.params.layers(0).b, g.layers(0).b, h, "L0.b[f0]")
+      check(st.params.wf(0), g.wf(0), 0, "wf[0]")
+      check(st.params.bf, g.bf, y, "bf[y]")
+    }
+  }
+
   test("learns token ORDER that pooled-vector models cannot separate") {
     val dim = 8
     val rows = orderData(400, dim, seed = 11)

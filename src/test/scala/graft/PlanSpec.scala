@@ -364,6 +364,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global=true")), p)
   }
 
+  test("real media decode: bytes never cross a shuffle — the only exchange is the presentation sort") {
+    // the codec contract (Media scaladoc): encode and decode both run inside
+    // narrow mapPartitions over the scan; only (media_id, stats) rows may
+    // shuffle, and only for the final ORDER BY. One rangepartitioning
+    // exchange, zero hashpartitioning exchanges, in every modality.
+    for (q <- Seq("mm_decode_real", "mm_audio_real", "mm_video_real")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) <= 1,
+        s"$q:\n$p")
+    }
+  }
+
   test("tf-idf: tf aggregation is partial+final; rank window is doc-partitioned and group-limited") {
     val p = plan(Pipelines.textTfidf(spark, sf))
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
