@@ -11,7 +11,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional subset (comma-separated names): the sf10 decade benches the
-    // scale-critical set without paying the full 110-query surface at 100×.
+    // scale-critical set without paying the full declared surface at 100×.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = subset match {

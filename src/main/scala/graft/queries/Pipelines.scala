@@ -1216,6 +1216,56 @@ object Pipelines {
        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
   }
 
+  // ---- Learned BPE tokenizer ------------------------------------------------
+
+  private val bpeMemo = new graft.SessionMemo[graft.functions.Bpe.Model]()
+
+  /** Tokenizer TRAINING as a pipeline step (graft.functions.Bpe — Sennrich
+    * BPE): the corpus-sized pass is ONE distributed word-frequency
+    * aggregation; the merge loop runs driver-side on the BOUNDED word-freq
+    * table (cap enforced, the standard sentencepiece/HF trainer shape); the
+    * learned merge ranks broadcast back into a narrow per-word encode map.
+    * Oracle = the q15 verdict pattern: per-source word counts replay the
+    * clean/split chain exactly in SQL; strict compression, per-word
+    * decode∘encode identity, and the merge-budget bound ride as booleans
+    * pinned TRUE. Exact merge-sequence learnability is pinned in BpeSpec
+    * (hand-computed merges, deterministic tie-breaks). [SQL] */
+  val bpeTokenize: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = bpeMemo.getOrBuild(s, s"bpe|$dir|50|2") {
+      graft.functions.Bpe.train(docs, "text", numMerges = 50, minCount = 2,
+        maxWords = 200000)
+    }
+    val bm = s.sparkContext.broadcast(model)
+    val toks = docs.select(col("source"),
+        explode(TextFns.normTokens(TextFns.cleanText(col("text"),
+          removePunctuation = true))).as("w"))
+      .filter(length(col("w")) > 0)
+    toks.select(col("source"),
+        graft.functions.Bpe.pieceCountCol(bm)(col("w")).as("np"),
+        length(col("w")).cast("long").as("nc"),
+        graft.functions.Bpe.roundTripCol(bm)(col("w")).as("rt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        (sum(col("np")) < sum(col("nc"))).as("compresses"),
+        (min(when(col("rt"), 1).otherwise(0)) === 1).as("roundtrip_exact"))
+      .withColumn("merge_budget_held", lit(model.merges.length <= 50))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[bpeTokenize]]: the clean/normTokens chain replayed
+    * per source; verdicts pinned TRUE. */
+  val bpeTokenizeSql: String = {
+    val clean = Duck.clean("text", punct = true)
+    val ws = """'\s+'"""
+    s"""WITH t AS (SELECT source,
+       |    unnest(string_split(regexp_replace(trim($clean), $ws, ' ', 'g'), ' ')) AS w
+       |  FROM documents)
+       |SELECT source, count(*) AS n_words, TRUE AS compresses,
+       |  TRUE AS roundtrip_exact, TRUE AS merge_budget_held
+       |FROM t WHERE length(w) > 0 GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Unigram-frequency document score: the corpus-LM quality proxy (CCNet
     * trains a real LM; the distributed two-pass shape is identical) — pass 1
     * builds the corpus unigram table, pass 2 scores each doc by its tokens'
@@ -1768,6 +1818,7 @@ object Pipelines {
     "decontam_overlap" -> decontamOverlap,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
+    "bpe_tokenize" -> bpeTokenize,
     "text_unigram_score" -> textUnigramScore,
     "dsir_select" -> dsirSelect,
     "gate_admission" -> gateAdmission,
@@ -1816,6 +1867,7 @@ object Pipelines {
     "decontam_overlap" -> decontamOverlapSql,
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,
+    "bpe_tokenize" -> bpeTokenizeSql,
     "text_unigram_score" -> textUnigramScoreSql,
     "dsir_select" -> dsirSelectSql,
     "gate_admission" -> gateAdmissionSql,
