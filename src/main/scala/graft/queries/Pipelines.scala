@@ -1216,6 +1216,89 @@ object Pipelines {
        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
   }
 
+  // ---- Bigram LM fluency score ----------------------------------------------
+
+  /** CCNet-style LM fluency filtering, exactly oracled: train an add-one-
+    * smoothed bigram LM on the corpus (two distributed count aggregations),
+    * score each doc by its MEAN TRANSITION PROBABILITY. Every per-transition
+    * probability is one exact integer-ratio division, and the per-doc sum is
+    * an ORDER-PINNED left fold (sort by position, fold with 0.0 init — IEEE
+    * `0.0 + p == p`, so DuckDB's init-less `list_reduce` over the same
+    * ordered list is bit-identical). This sidesteps the float-summation-
+    * order trap that forces other host-math queries onto the verdict
+    * pattern: the full trained-model scoring chain hash-matches.
+    *
+    * Scale: the bigram/prefix count tables shuffle narrow (token, count)
+    * rows keyed by token — vocabulary-sized, AQE broadcasts them under the
+    * threshold; the per-doc fold is doc-bounded. Mean-probability ranks
+    * documents the same direction as perplexity would (higher = more
+    * predictable text) without libm logs, which are not correctly-rounded
+    * portable. [SQL] */
+  val lmFluency: Q = (s, dir) => {
+    val arr0 = TextFns.normTokens(TextFns.cleanText(col("text"),
+      removePunctuation = true))
+    // project the array ONCE (HOF lambdas re-evaluate their input per element)
+    val docsArr = Tables.documents(s, dir).select(col("doc_id"),
+      filter(arr0, w => length(w) > 0).as("arr"))
+    val nArr = size(col("arr"))
+    val big = docsArr
+      .select(col("doc_id"), posexplode(
+        when(nArr < 2, array().cast("array<struct<prev:string,cur:string>>"))
+          .otherwise(arrays_zip(
+            slice(col("arr"), lit(1), nArr - 1).as("prev"),
+            slice(col("arr"), lit(2), nArr - 1).as("cur")))))
+      .select(col("doc_id"), col("pos"),
+        col("col.prev").as("prev"), col("col.cur").as("cur"))
+    val bc = big.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val pc = big.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val vv = docsArr.select(explode(col("arr")).as("w"))
+      .agg(countDistinct(col("w")).as("vsz"))
+    val scored = big.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"), col("pos"),
+        ((col("cb").cast("double") + 1.0) /
+          (col("cp").cast("double") + col("vsz").cast("double"))).as("p"))
+    val perDoc = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_trans"),
+      aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("sump"))
+    docsArr.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        round(when(col("n_trans").isNull, 0.0)
+          .otherwise(col("sump") / col("n_trans")), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[lmFluency]] — the identical count/ratio/ordered-fold
+    * chain (list_reduce over `list(p ORDER BY pos)`). */
+  val lmFluencySql: String = {
+    val clean = Duck.clean("text", punct = true)
+    val ws = """'\s+'"""
+    val zipped = "CASE WHEN len(arr)<2 THEN [] ELSE " +
+      "list_zip(arr[1:len(arr)-1], arr[2:len(arr)]) END"
+    s"""WITH base AS (SELECT doc_id,
+       |    list_filter(string_split(regexp_replace(trim($clean), $ws, ' ', 'g'), ' '),
+       |      w -> length(w) > 0) AS arr
+       |  FROM documents),
+       |bg0 AS (SELECT doc_id, unnest($zipped) AS z,
+       |    generate_subscripts($zipped, 1) AS pos FROM base),
+       |big AS (SELECT doc_id, pos, z[1] AS prev, z[2] AS cur FROM bg0),
+       |bc AS (SELECT prev, cur, count(*) AS cb FROM big GROUP BY 1, 2),
+       |pc AS (SELECT prev, count(*) AS cp FROM big GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w) AS vsz FROM
+       |  (SELECT unnest(arr) AS w FROM base)),
+       |sc AS (SELECT b.doc_id, b.pos,
+       |    (CAST(cb AS DOUBLE) + 1.0) / (CAST(cp AS DOUBLE) + CAST(vsz AS DOUBLE)) AS p
+       |  FROM big b JOIN bc USING (prev, cur) JOIN pc USING (prev) CROSS JOIN vv),
+       |pd AS (SELECT doc_id, count(*) AS n_trans,
+       |    list_reduce(list(p ORDER BY pos), (acc, x) -> acc + x) AS sump
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(n_trans, 0) AS BIGINT) AS n_trans,
+       |  round(CASE WHEN n_trans IS NULL THEN 0.0 ELSE sump / n_trans END, 6) AS lm_score
+       |FROM base d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   // ---- Learned BPE tokenizer ------------------------------------------------
 
   private val bpeMemo = new graft.SessionMemo[graft.functions.Bpe.Model]()
@@ -1819,6 +1902,7 @@ object Pipelines {
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
     "bpe_tokenize" -> bpeTokenize,
+    "lm_fluency" -> lmFluency,
     "text_unigram_score" -> textUnigramScore,
     "dsir_select" -> dsirSelect,
     "gate_admission" -> gateAdmission,
@@ -1868,6 +1952,7 @@ object Pipelines {
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,
     "bpe_tokenize" -> bpeTokenizeSql,
+    "lm_fluency" -> lmFluencySql,
     "text_unigram_score" -> textUnigramScoreSql,
     "dsir_select" -> dsirSelectSql,
     "gate_admission" -> gateAdmissionSql,
