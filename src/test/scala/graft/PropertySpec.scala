@@ -189,4 +189,30 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BPE: decode∘encode is the identity for ANY string, on any trained model") {
+    import graft.functions.Bpe
+    // train on arbitrary corpora, encode arbitrary words — including unicode
+    // outside the training alphabet and astral-plane surrogate pairs (encode
+    // splits on UTF-16 code units; concatenation must still reconstruct)
+    val corpusGen = Gen.listOfN(8,
+      Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)).map(_.mkString(" "))
+    val wordGen = Gen.oneOf(
+      Gen.listOfN(12, Gen.alphaLowerChar).map(_.mkString),
+      Gen.const(""),
+      Gen.const("ααβγ-déjà"),
+      Gen.const("a😀b😀"), // astral emoji between letters
+      Gen.listOfN(5, Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString))
+    forSamples2(corpusGen, Gen.listOfN(8, wordGen), n = 6) { (corpus, words) =>
+      val df = Seq((0L, corpus)).toDF("doc_id", "text")
+      val m = Bpe.train(df, "text", numMerges = 10, minCount = 1)
+      words.foreach { w =>
+        val pieces = m.encodeWord(w)
+        assert(m.decode(pieces) == w, s"round-trip broke for ${w.toList}")
+        assert(pieces.forall(_.nonEmpty) || w.isEmpty)
+        // merges only ever shrink: piece count ≤ UTF-16 length
+        assert(pieces.length <= w.length, s"$w → $pieces")
+      }
+    }
+  }
 }
