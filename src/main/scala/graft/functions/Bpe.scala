@@ -70,11 +70,15 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-    val cnt = wordFreq.count()
-    require(cnt <= maxWords,
-      s"word-frequency table has $cnt rows > maxWords=$maxWords — raise minCount " +
+    // ONE corpus-scale pass: limit(maxWords+1) both enforces the contract
+    // (a row count over the cap shows up as exactly maxWords+1 collected
+    // rows) and collects the vocab — count()+collect() would run the full
+    // scan/aggregation twice.
+    val collected = wordFreq.limit(maxWords + 1).collect()
+    require(collected.length <= maxWords,
+      s"word-frequency table has > maxWords=$maxWords rows — raise minCount " +
         "(the merge loop is driver-side BY CONTRACT on a bounded vocab)")
-    val vocab = wordFreq.collect()
+    val vocab = collected
       .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
       .sortBy(_._1.mkString) // deterministic iteration order
     val merges = Array.newBuilder[(String, String)]

@@ -608,18 +608,37 @@ object Lstm {
       .write.mode("append").parquet(path)
   }
 
-  /** Resume the latest checkpoint at `path` (None if absent/empty). */
+  /** Resume the latest checkpoint at `path` (None ONLY if the path doesn't
+    * exist yet — a first run). Any other failure (corrupt footer, transient
+    * I/O, a duplicated ckpt id from a crashed re-append) PROPAGATES: silently
+    * returning None here would restart training from step 0 and overwrite a
+    * recoverable checkpoint with a worse one. */
   def loadLatest(path: String)
                 (implicit spark: org.apache.spark.sql.SparkSession): Option[TrainState] = {
-    val df = try spark.read.parquet(path) catch { case _: Throwable => return None }
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hpath)) return None
+    val df = spark.read.parquet(path)
     val latest = df.agg(max("ckpt")).collect()(0)
     if (latest.isNullAt(0)) return None
     val ck = latest.getLong(0)
     val rows = df.filter(col("ckpt") === ck).collect()
+    // save() appends; a retried/duplicated append of the same ckpt id would
+    // reconstruct doubled matrices — fail loudly instead of garbling tensors.
+    val dup = rows.groupBy(r => (r.getString(1), r.getInt(2), r.getInt(3)))
+      .collectFirst { case (k, g) if g.length > 1 => k }
+    require(dup.isEmpty,
+      s"checkpoint $ck at $path has duplicated tensor rows ($dup) — " +
+        "corrupt append; refuse to resume from it")
     val byTensor = rows.groupBy(_.getString(1))
-    def mat(which: String, layer: Int): Array[Array[Double]] =
-      byTensor(which).filter(_.getInt(2) == layer).sortBy(_.getInt(3))
-        .map(_.getSeq[Double](4).toArray)
+    def mat(which: String, layer: Int): Array[Array[Double]] = {
+      val rs = byTensor(which).filter(_.getInt(2) == layer).sortBy(_.getInt(3))
+      // rows must be exactly 0..n-1 — a lost/partial write surfaces here
+      // instead of as a silently truncated matrix
+      require(rs.zipWithIndex.forall { case (r, i) => r.getInt(3) == i },
+        s"checkpoint $ck tensor $which layer $layer has non-contiguous rows")
+      rs.map(_.getSeq[Double](4).toArray)
+    }
     def vec(which: String, layer: Int): Array[Double] =
       byTensor(which).filter(_.getInt(2) == layer).head.getSeq[Double](4).toArray
     def params(prefix: String): Params = {

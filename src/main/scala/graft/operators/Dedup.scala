@@ -139,14 +139,32 @@ object Dedup {
 
   /** SimHash near-dup candidate pairs within `maxHamming` distance, generated by
     * exact-matching on 4 16-bit blocks (pigeonhole: ≤3 differing bits ⇒ at least
-    * one of 4 blocks matches exactly), then verified with popcount. */
+    * one of 4 blocks matches exactly), then verified with popcount.
+    *
+    * `maxBlockDf` caps the per-(blk, blk_val) bucket size before the
+    * self-join, the same skew guard [[ngramJaccard]]'s `maxShingleDf`
+    * applies to shingles: a block value shared by B signatures contributes
+    * B² candidate pairs, so one hot value (e.g. an all-zero block from
+    * short/templated docs) turns a bucketed join quadratic. Buckets over the
+    * cap are DROPPED — pigeonhole still finds a pair through any of its
+    * other 3 blocks, so only pairs whose every matching block is hot are
+    * lost (recall trade documented; exactness keepers use the default ∞). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBlockDf: Int = Int.MaxValue): DataFrame = {
     val sigs = simHash(docs, idCol, textCol)
-    val blocks = sigs.select(col("id"), col("simhash"),
+    val blocks0 = sigs.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(blk =>
           shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*))
           .as(Seq("blk", "blk_val")))
+    val blocks =
+      if (maxBlockDf == Int.MaxValue) blocks0
+      else {
+        val b0 = blocks0.localCheckpoint() // one signature pass, reused 2×
+        val hot = b0.groupBy("blk", "blk_val").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxBlockDf)
+        b0.join(hot.select("blk", "blk_val"), Seq("blk", "blk_val"), "left_anti")
+      }
     val a = blocks.select(col("blk"), col("blk_val"),
       col("id").as("id_a"), col("simhash").as("sig_a"))
     val b = blocks.select(col("blk"), col("blk_val"),

@@ -47,6 +47,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs((0L, 1L)) == 0)
   }
 
+  test("simhash maxBlockDf: a planted hot block is dropped, non-hot pairs are " +
+    "untouched, and capped output is a subset of uncapped") {
+    // The skew a 100x scale-up could surprise with: 30 byte-identical
+    // templated docs share ALL FOUR block values (each bucket df=30), so the
+    // uncapped candidate join is C(30,2)-quadratic in that bucket. The cap
+    // drops buckets over maxBlockDf BEFORE the self-join; a pair survives iff
+    // ANY of its 4 matching blocks stays under the cap (pigeonhole), so the
+    // planted blob — whose every block is hot — is the documented recall
+    // trade, while pairs in cold buckets are bit-identical to uncapped.
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val hot = (0 until 30).map(i => (100L + i, template))
+    val cold = Seq(
+      (0L, "spark engines shuffle partitions across executors at scale"),
+      (1L, "spark engines shuffle partitions across executors at scale"), // exact dup
+      (2L, "spark engines shuffle partitions across executors at range"), // near dup
+      (3L, "a totally unrelated short note about gardens and rivers"))
+    val corpus = (hot ++ cold).toDF("doc_id", "text")
+
+    val uncapped = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3,
+        maxBlockDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(uncapped.count { case (a, b) => a >= 100 && b >= 100 } == 30 * 29 / 2,
+      "hot blob not planted: the uncapped join must see the full quadratic blob")
+    assert(capped.subsetOf(uncapped), "the cap may only REMOVE pairs")
+    assert(!capped.exists { case (a, b) => a >= 100 && b >= 100 },
+      "every block of a hot-blob pair is over the cap, so the blob drops")
+    assert(capped((0L, 1L)), "cold exact-dup pair survives the cap")
+    val coldPairs = uncapped.filter { case (a, b) => a < 100 && b < 100 }
+    assert(capped.filter { case (a, b) => a < 100 && b < 100 } == coldPairs,
+      "pairs in cold buckets are identical with and without the cap")
+  }
+
   test("ngramJaccard computes the exact set Jaccard") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", shingleSize = 3,
         threshold = 0.1)
