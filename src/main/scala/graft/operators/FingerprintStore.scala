@@ -169,28 +169,42 @@ object FingerprintStore {
           .join(keyed, Seq("__fp", idCol)) // tiny: batch-sized
           .dropDuplicates("__fp")
           .localCheckpoint()
-        // Bloom screen: definite-new rows skip disk entirely
+        // Bloom screen: definite-new rows skip disk entirely. Candidates
+        // stay DISTRIBUTED from here on — on a mostly-duplicate replay
+        // (backlog re-delivery, the crash-recovery shape) every row is a
+        // candidate, so a driver round-trip here would hold the whole
+        // micro-batch's fingerprints and grow an isin expression tree to
+        // batch size. Instead the disk verify is a join pipeline:
+        //   store (shard-pruned scan)  LEFT SEMI  broadcast(candidates)
+        //   firsts                     LEFT ANTI  broadcast(confirmed)
+        // Both joins broadcast the batch side (candidates / the at-most-
+        // candidate-sized confirmed set); the store side only streams its
+        // candidate shards. The ONLY collect is the distinct shard list —
+        // bounded by NumShards (256), never by batch size.
         val bc = bloomBc
         val candidates =
-          if (bc.value.isEmpty) firsts.limit(0)
+          if (bc.value.isEmpty) firsts.select("__fp").limit(0)
           else {
             val possib = udf((fp: Long) => bc.value.exists(_.mightContainLong(fp)))
-            firsts.filter(possib(col("__fp")))
+            firsts.select("__fp").filter(possib(col("__fp")))
           }
-        val candFps = candidates.select("__fp").collect().map(_.getLong(0))
-        // verify candidates against ONLY their shards (static partition filter)
-        val confirmed: Set[Long] =
-          if (candFps.isEmpty) Set.empty
-          else {
-            val shards = candFps.map(f => math.floorMod(f, NumShards).toLong)
-              .distinct.toSeq
-            spark.read.parquet(s"$dir/fps")
-              .filter(col("shard").isin(shards: _*))
-              .filter(col("fp").isin(candFps.toSeq: _*))
-              .select("fp").collect().map(_.getLong(0)).toSet
-          }
-        val isDup = udf((fp: Long) => confirmed.contains(fp))
-        val survivors = firsts.filter(!isDup(col("__fp"))).localCheckpoint()
+        val cand = candidates
+          .select(col("__fp").as("fp"),
+            pmod(col("__fp"), lit(NumShards)).as("shard"))
+          .localCheckpoint()
+        val shards = cand.select("shard").distinct() // ≤ NumShards rows
+          .collect().map(_.getLong(0)).toSeq
+        // verify candidates against ONLY their shards (static partition
+        // filter); the semi-join keeps one store row per confirmed dup
+        val confirmed: DataFrame =
+          if (shards.isEmpty) cand.select("fp")
+          else spark.read.parquet(s"$dir/fps")
+            .filter(col("shard").isin(shards: _*))
+            .join(broadcast(cand.select("fp")), Seq("fp"), "left_semi")
+        val survivors = firsts
+          .join(broadcast(confirmed.select(col("fp").as("__fp"))),
+            Seq("__fp"), "left_anti")
+          .localCheckpoint()
         out(survivors.drop("__fp"))
         val newFps = survivors
           .select(col("__fp").as("fp"),

@@ -372,6 +372,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(FingerprintStore.bloomCount(spark, dir) == 1)
   }
 
+  test("fingerprint store: mostly-duplicate replay batch dedups without a driver round-trip blowup") {
+    // The backlog re-delivery shape: a batch where EVERY row Bloom-screens
+    // as a candidate (all but a handful are true history dups). The verify
+    // path must be the shard-pruned semi/anti join pipeline — correctness
+    // here pins that a batch-sized candidate set flows through joins, with
+    // the only driver materialization being the <=256-row shard list.
+    import graft.operators.FingerprintStore
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpstore_replay").toString
+    val history = (0 until 500).map(i => (i.toLong, s"historical doc $i"))
+    FingerprintStore.seed(history.toDF("doc_id", "text"), "text", dir)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink = FingerprintStore.dedupSink(spark, dir, "doc_id", "text",
+      streamTag = "replay") { df =>
+      got ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val query = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      // 500 re-delivered history docs (new ids, same text) + 3 fresh docs:
+      // every history row is a TRUE Bloom positive, so candidates == batch
+      val replay = history.map { case (i, t) => (1000L + i, t) }
+      mem.addData(replay ++ Seq(
+        (2000L, "genuinely new A"), (2001L, "genuinely new B"),
+        (2002L, "genuinely new C")): _*)
+      query.processAllAvailable()
+      // second wave: re-deliver the fresh docs too (cross-batch dup) plus
+      // one more new doc — candidates again ~= batch
+      mem.addData(
+        (3000L, "genuinely new A"), (3001L, "genuinely new B"),
+        (3002L, "genuinely new C"), (3003L, "late arrival"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(got.sorted.toSeq == Seq(2000L, 2001L, 2002L, 3003L),
+      s"only the 4 fresh texts may survive: ${got.sorted.mkString(",")}")
+    // the store grew by exactly the 4 admitted fingerprints
+    val fps = spark.read.parquet(s"$dir/fps").select("fp").collect()
+      .map(_.getLong(0))
+    assert(fps.length == 504 && fps.distinct.length == 504,
+      s"store must hold 500 history + 4 admitted distinct fps, got ${fps.length}")
+  }
+
   test("fingerprint store: compaction interleaved with a live appender stream loses nothing") {
     import graft.operators.FingerprintStore
     implicit val sqlCtx = spark.sqlContext
