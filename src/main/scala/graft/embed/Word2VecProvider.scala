@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: Word2Vec's negative sampling is seeded per partition, so a
   * fit is reproducible only for a fixed (input, partitioning, seed) triple —
-  * real enough for specs, NOT hash-oracle material; queries over a trained
-  * provider register rows-only. */
+  * real enough for specs, NOT hash-oracle material for the float vectors
+  * themselves. Queries over a trained provider therefore oracle the
+  * DETERMINISTIC spine (per-source top words, counts) exactly and reduce the
+  * trained floats to boolean verdict columns the SQL replays (the
+  * `w2v_top_word_sims` verdict pattern). */
 final class Word2VecProvider private (
     val name: String,
     val dim: Int,

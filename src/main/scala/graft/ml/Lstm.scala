@@ -608,16 +608,26 @@ object Lstm {
       .write.mode("append").parquet(path)
   }
 
-  /** Resume the latest checkpoint at `path` (None ONLY if the path doesn't
-    * exist yet — a first run). Any other failure (corrupt footer, transient
-    * I/O, a duplicated ckpt id from a crashed re-append) PROPAGATES: silently
-    * returning None here would restart training from step 0 and overwrite a
-    * recoverable checkpoint with a worse one. */
+  /** Resume the latest checkpoint at `path` (None if the path doesn't exist
+    * yet OR exists but holds no committed parquet data file — a first run,
+    * or a crash during the very first save() that left only `_temporary`
+    * debris; neither can mask a recoverable checkpoint). Any other failure
+    * (corrupt footer, transient I/O, a duplicated ckpt id from a crashed
+    * re-append) PROPAGATES: silently returning None there would restart
+    * training from step 0 and overwrite a recoverable checkpoint with a
+    * worse one. */
   def loadLatest(path: String)
                 (implicit spark: org.apache.spark.sql.SparkSession): Option[TrainState] = {
     val hpath = new org.apache.hadoop.fs.Path(path)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hpath)) return None
+    // committed data = at least one non-hidden *.parquet under the root
+    // (save() writes flat, no partition dirs; _temporary/_SUCCESS are hidden)
+    val hasData = fs.listStatus(hpath).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData) return None
     val df = spark.read.parquet(path)
     val latest = df.agg(max("ckpt")).collect()(0)
     if (latest.isNullAt(0)) return None

@@ -236,4 +236,25 @@ class LstmSpec extends AnyFunSuite {
     assert(contA.m.wf.flatten.toSeq == contB.m.wf.flatten.toSeq,
       "Adam first-moment state not restored")
   }
+
+  test("loadLatest treats a dir with no committed parquet as a first run, not an error") {
+    implicit val s = spark
+    // a crash during the very FIRST save() can leave the directory existing
+    // with only _temporary debris — that cannot mask a recoverable
+    // checkpoint, so it must read as None (fresh start), not an obscure
+    // 'unable to infer schema' AnalysisException on every later run
+    val base = java.nio.file.Files.createTempDirectory("lstm_empty").toString
+    val path = s"$base/m"
+    assert(Lstm.loadLatest(path).isEmpty, "absent path must be None")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "_temporary", "0"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_started_1"), Array.emptyByteArray)
+    assert(Lstm.loadLatest(path).isEmpty,
+      "dir with only uncommitted debris must be None")
+    // once a real checkpoint commits, the debris is ignored and resume works
+    val st = Lstm.initState(4, 6, 2, 1, seed = 7L)
+    Lstm.save(st, ckptId = 1L, path)
+    val resumed = Lstm.loadLatest(path)
+    assert(resumed.nonEmpty && resumed.get.t == st.t)
+  }
 }
