@@ -198,10 +198,12 @@ object AdaptQueries {
       graft.embed.Word2VecProvider.fit(docs, "text", dim = Dim,
         minCount = 2, maxIter = 1, seed = SourceSeed)
     }
-    val top = docs
+    val words = docs
       .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+    val counts = words.groupBy("source", "w").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // one tokenize+count pass feeds top AND rare
+    val top = counts
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("source")
           .orderBy(col("n").desc, col("w"))))
@@ -210,29 +212,53 @@ object AdaptQueries {
     val bp = s.sparkContext.broadcast(p)
     val anchor = top.orderBy(col("n").desc, col("w")).select("w")
       .head().getString(0)
-    val sim = udf { w: String =>
-      val a = bp.value.embedWord(w).map(_.toDouble)
-      val b = bp.value.embedWord(anchor).map(_.toDouble)
-      val d = a.zip(b).map { case (x, y) => x * y }.sum
-      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    // the LEAST-trained in-vocab word (min global count >= minCount, tie by
+    // word DESC so it cannot collide with the anchor's tie-break): a word
+    // skip-gram barely updated, so it anchors the "training actually pulled
+    // co-occurring words together" comparison below. Deterministic from the
+    // counts spine alone — no floats involved in choosing it.
+    val rareWord = counts.groupBy("w").agg(sum("n").as("gn"))
+      .filter(col("gn") >= 2)
+      .orderBy(col("gn").asc, col("w").desc)
+      .head().getString(0)
+    val cosTo = (a: Array[Float], b: Array[Float]) => {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
     }
+    val sim = udf { w: String =>
+      cosTo(bp.value.embedWord(w), bp.value.embedWord(anchor))
+    }
+    val rareCos = cosTo(p.embedWord(rareWord), p.embedWord(anchor))
+    val inVocab = udf { w: String => bp.value.vocab.contains(w) }
     // Verdict reduction (m7_tsne_summary precedent): the engine-specific
-    // float becomes two deterministic booleans DuckDB replays as TRUE.
-    // Both providers (trained + OOV-hashing fallback) yield finite non-zero
-    // vectors, so cos is always defined; the anchor row compares the anchor
-    // vector against itself, so its cosine is 1 up to float rounding.
+    // floats become deterministic booleans DuckDB replays as TRUE. The first
+    // two are sanity bounds; the last two are the NON-VACUOUS pair a broken
+    // embedding fails: `top_in_vocab` is false when the fit produced no
+    // vector for a count>=minCount word (fallback leak / empty model), and
+    // `closer_than_rare` demands cos(top, anchor) STRICTLY beat
+    // cos(least-trained-word, anchor) — an untrained or constant embedding
+    // gives equality (fails >), and only a fit that actually pulled
+    // frequently-co-occurring words toward the anchor clears it. Pinned
+    // empirically at sf0.001/sf0.01 and deterministic for the memoized
+    // (input, partitioning, seed) triple, the m1/m7 verdict discipline.
     top.withColumn("cos", sim(col("w")))
       .select(col("source"), col("w"), col("n"),
         (abs(col("cos")) <= 1.0 + 1e-9).as("cos_in_range"),
         (col("w") =!= anchor || abs(col("cos") - 1.0) < 1e-6)
-          .as("anchor_self_sim"))
+          .as("anchor_self_sim"),
+        (inVocab(col("w")) && lit(p.vocab.contains(anchor)))
+          .as("top_in_vocab"),
+        (col("cos") > lit(rareCos)).as("closer_than_rare"))
       .orderBy("source")
   }
 
   /** DuckDB replay of [[w2vTopWordSims]]'s deterministic spine: the raw
     * whitespace-regex tokenization (NOT the cleaned [[Corpus.wordsSub]] —
     * Word2Vec trains on raw tokens), per-source top word by (count desc,
-    * word) ties, plus the two cosine verdicts as TRUE literals. */
+    * word) ties, plus the four cosine/vocab verdicts as TRUE literals (the
+    * last two non-vacuous: a broken fit fails them engine-side and the
+    * hash mismatches). */
   private val w2vTopWordSimsSql: String =
     """WITH words AS (SELECT source,
       |    unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents),
@@ -241,7 +267,8 @@ object AdaptQueries {
       |rk AS (SELECT source, w, n,
       |    row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS rk
       |  FROM f)
-      |SELECT source, w, n, TRUE AS cos_in_range, TRUE AS anchor_self_sim
+      |SELECT source, w, n, TRUE AS cos_in_range, TRUE AS anchor_self_sim,
+      |  TRUE AS top_in_vocab, TRUE AS closer_than_rare
       |FROM rk WHERE rk = 1 ORDER BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(
