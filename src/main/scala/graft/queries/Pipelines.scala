@@ -68,6 +68,45 @@ object Pipelines {
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** [[dedupSimhashCapped]]'s hot-block threshold: well under the planted
+    * 31-doc blob's bucket df, above any natural block bucket that matters
+    * for the cold pairs at test scales. */
+  private val SimhashBlockCap = 10
+
+  /** The AT-SCALE simhash configuration on the declared surface: the same
+    * pigeonhole pair generation as [[dedupSimhash]], but with the
+    * `maxBlockDf` hot-block cap ENGAGED, over a corpus with a planted
+    * 30-doc near-identical blob (doc 0's text + a one-token variant
+    * marker, the [[dedupEmbeddingSql]] planted-corpus pattern). The blob
+    * floods its (blk, blk_val) buckets past the cap, so its quadratic
+    * bucket contribution is dropped before the self-join — the skew guard a
+    * templated 100 TB corpus needs — while pairs matching through any cold
+    * block survive bit-identically. The drop rule is a deterministic
+    * count-per-(blk, blk_val) filter, so the whole thing replays exactly in
+    * DuckDB. [SQL] */
+  val dedupSimhashCapped: Q = (s, dir) => {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val blob = base.filter(col("doc_id") === 0)
+      .select(explode(sequence(lit(0L), lit(29L))).as("i"), col("text"))
+      .select((col("i") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" v"), col("i").cast("string")).as("text"))
+    Dedup.simHashPairs(base.unionByName(blob), "doc_id", "text",
+      maxHamming = 3, maxBlockDf = SimhashBlockCap)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twin of [[dedupSimhashCapped]]: the planted-blob corpus CTE +
+    * the hot-bucket HAVING filter, around the shared signature replay. */
+  val dedupSimhashCappedSql: String = simhashSqlFor(
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT 10000000 + r.i AS doc_id,
+       |         d.text || ' v' || CAST(r.i AS VARCHAR) AS text
+       |  FROM documents d, range(0, 30) r(i) WHERE d.doc_id = 0),
+       |""".stripMargin,
+    "corpus", Some(SimhashBlockCap))
+
   /** Word-3-shingle Jaccard pair graph ≥ 0.5, memoized per (session, dir):
     * pair generation is the expensive stage shared by the pair query and the
     * cluster query — run it once per session and pin the (output-sized,
@@ -187,25 +226,40 @@ object Pipelines {
        |FROM tot t LEFT JOIN nd USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Shared token-list CTE text for the xxhash64-based dedup oracles (same
-    * clean/split chain as [[dedupNgramJaccardSql]]). */
-  private def toksCte: String = {
+    * clean/split chain as [[dedupNgramJaccardSql]]), over table/CTE `src`. */
+  private def toksCteFrom(src: String): String = {
     val clean = Duck.clean("text", punct = true)
     val ws = """'\s+'"""
     s"""toksraw AS (
        |  SELECT doc_id, string_split(regexp_replace(trim($clean), $ws, ' ', 'g'), ' ') AS w
-       |  FROM documents)""".stripMargin
+       |  FROM $src)""".stripMargin
   }
 
-  /** DuckDB twin of [[dedupSimhash]] — Spark's xxhash64 replayed exactly (see
-    * Duck.xxh64StrCtes): per-token 64-bit hashes, ±1 votes per bit, signature
-    * reassembly, 16-bit pigeonhole blocks, popcount verify. */
-  val dedupSimhashSql: String = {
+  private def toksCte: String = toksCteFrom("documents")
+
+  /** DuckDB twin of [[Dedup.simHashPairs]] — Spark's xxhash64 replayed
+    * exactly (see Duck.xxh64StrCtes): per-token 64-bit hashes, ±1 votes per
+    * bit, signature reassembly, 16-bit pigeonhole blocks, popcount verify.
+    * `preCtes` prepends corpus-construction CTEs; `src` is the doc table the
+    * tokenizer reads; `maxBlockDf` replays the hot-block drop rule (buckets
+    * with count > cap are removed before the pair join — the deterministic
+    * rule `maxBlockDf` applies engine-side). */
+  private def simhashSqlFor(preCtes: String, src: String,
+                            maxBlockDf: Option[Int]): String = {
     val bitsVals = (0 until 64)
       .map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
     val blkVals = (0 until 4)
       .map(b => s"($b, ${BigInt(1) << (16 * b)}::HUGEINT)").mkString(", ")
+    val capCtes = maxBlockDf.map(c =>
+      s"""
+         |hot AS (SELECT blk, blk_val FROM blocks
+         |  GROUP BY blk, blk_val HAVING count(*) > $c),
+         |cold AS (SELECT b.* FROM blocks b WHERE NOT EXISTS (
+         |  SELECT 1 FROM hot h WHERE h.blk = b.blk AND h.blk_val = b.blk_val)),""".stripMargin)
+      .getOrElse("")
+    val pairSrc = if (maxBlockDf.isDefined) "cold" else "blocks"
     s"""WITH RECURSIVE
-       |$toksCte,
+       |$preCtes${toksCteFrom(src)},
        |tokf AS (SELECT doc_id, tok
        |  FROM (SELECT doc_id, unnest(w) AS tok FROM toksraw) WHERE length(tok) > 0),
        |strs AS (SELECT tok AS sid, tok AS s, CAST(42 AS HUGEINT) AS seed
@@ -222,14 +276,16 @@ object Pipelines {
        |  FROM votes JOIN bits USING (b) GROUP BY doc_id),
        |sigs AS (SELECT doc_id, simu, ${Duck.toSigned("simu")} AS sim FROM sig),
        |blocks AS (SELECT doc_id, sim, blk, (simu // p) % 65536 AS blk_val
-       |  FROM sigs CROSS JOIN blkp),
+       |  FROM sigs CROSS JOIN blkp),$capCtes
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    bit_count(xor(a.sim, b.sim)) AS hamming
-       |  FROM blocks a JOIN blocks b
+       |  FROM $pairSrc a JOIN $pairSrc b
        |    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  val dedupSimhashSql: String = simhashSqlFor("", "documents", None)
 
   /** DuckDB twin of [[dedupMinhashLsh]]: per-shingle XXH64, the 32 seeded
     * variants as hashInt(k,42)→hashLong chains, signed min per (doc, k),
@@ -1349,6 +1405,83 @@ object Pipelines {
        |FROM t WHERE length(w) > 0 GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Sequence packing over LEARNED-tokenizer counts — the real pre-training
+    * shape (reference tokenize-then-batch, `streams/stream_data.py:132-148`):
+    * the corpus's own trained BPE model (shared session artifact with
+    * [[bpeTokenize]] — same memo key, trained once) supplies each doc's
+    * token count via the broadcast merge table, and
+    * [[graft.operators.Pack.packByBudget]] assigns 512-token blocks over
+    * those counts with its partition-composed prefix sum.
+    *
+    * Oracle = the [[bpeTokenize]] verdict pattern: the clean/normTokens
+    * word spine (n_words, n_chars) replays exactly in SQL; the learned
+    * counts and the packing ride as booleans a broken pipeline fails —
+    * `tok_bounded` (words ≤ bpe ≤ chars per doc: a non-encoding or
+    * over-splitting tokenizer breaks a side), `merges_applied` (global
+    * STRICT words < bpe-total < chars: both a no-op encode (= chars) and a
+    * whole-word collapse (= words) fail), and `bin_cross_checked` (the
+    * partition-composed bin/offset equals an independent single-window
+    * global cumsum — the spec twin of the prefix composition, oracle-scale
+    * only). [SQL] */
+  val packBpeSequences: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = bpeMemo.getOrBuild(s, s"bpe|$dir|50|2") {
+      graft.functions.Bpe.train(docs, "text", numMerges = 50, minCount = 2,
+        maxWords = 200000)
+    }
+    val bm = s.sparkContext.broadcast(model)
+    val toks = docs.select(col("doc_id"),
+        explode(TextFns.normTokens(TextFns.cleanText(col("text"),
+          removePunctuation = true))).as("w"))
+      .filter(length(col("w")) > 0)
+    // ONE encode pass feeds the pack, the verdicts, and the global sums
+    val counts = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(graft.functions.Bpe.pieceCountCol(bm)(col("w"))).cast("long")
+          .as("n_bpe"))
+      .localCheckpoint()
+    val tot = counts.agg(sum("n_words").cast("long"), sum("n_chars"),
+      sum("n_bpe")).head()
+    val (totW, totC, totB) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val packed = graft.operators.Pack.packByBudget(
+      counts, "doc_id", "n_bpe", budget = 512L)
+    // spec twin of the prefix composition: one global window (oracle scale
+    // only — the declared operator never runs this shape at corpus scale)
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val direct = counts
+      .select(col("doc_id"),
+        coalesce(sum("n_bpe").over(w), lit(0L)).as("prev"))
+      .select(col("doc_id"), expr("prev DIV 512").as("d_bin"),
+        pmod(col("prev"), lit(512L)).as("d_off"))
+    counts.join(packed.select(col("doc_id"), col("bin_id"), col("bin_offset")),
+        Seq("doc_id"))
+      .join(direct, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        (col("n_words") <= col("n_bpe") && col("n_bpe") <= col("n_chars"))
+          .as("tok_bounded"),
+        (col("bin_id") === col("d_bin") && col("bin_offset") === col("d_off"))
+          .as("bin_cross_checked"),
+        lit(totW < totB && totB < totC).as("merges_applied"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[packBpeSequences]]: the per-doc clean/normTokens word
+    * spine exact; the three learned-count verdicts pinned TRUE. */
+  val packBpeSequencesSql: String = {
+    val clean = Duck.clean("text", punct = true)
+    val ws = """'\s+'"""
+    s"""WITH t AS (SELECT doc_id,
+       |    unnest(string_split(regexp_replace(trim($clean), $ws, ' ', 'g'), ' ')) AS w
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |  TRUE AS tok_bounded, TRUE AS bin_cross_checked,
+       |  TRUE AS merges_applied
+       |FROM t WHERE length(w) > 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Unigram-frequency document score: the corpus-LM quality proxy (CCNet
     * trains a real LM; the distributed two-pass shape is identical) — pass 1
     * builds the corpus unigram table, pass 2 scores each doc by its tokens'
@@ -1916,6 +2049,7 @@ object Pipelines {
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_capped" -> dedupSimhashCapped,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters" -> dedupClusters,
     "dedup_embedding" -> dedupEmbedding,
@@ -1934,6 +2068,7 @@ object Pipelines {
     "text_quality" -> textQuality,
     "quality_quantiles" -> qualityQuantiles,
     "pack_sequences" -> packSequences,
+    "pack_bpe_sequences" -> packBpeSequences,
     "export_shuffle" -> exportShuffle,
     "chunk_windows" -> chunkWindows,
     "chunk_dedup" -> chunkDedup,
@@ -1967,6 +2102,7 @@ object Pipelines {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_capped" -> dedupSimhashCappedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,
@@ -1984,6 +2120,7 @@ object Pipelines {
     "text_quality" -> textQualitySql,
     "quality_quantiles" -> qualityQuantilesSql,
     "pack_sequences" -> packSequencesSql,
+    "pack_bpe_sequences" -> packBpeSequencesSql,
     "export_shuffle" -> exportShuffleSql,
     "chunk_windows" -> chunkWindowsSql,
     "chunk_dedup" -> chunkDedupSql,
