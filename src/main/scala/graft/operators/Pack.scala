@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,7 +28,7 @@ object Pack {
     * @param tokCol   per-doc token count
     */
   def packByBudget(docs: DataFrame, orderCol: String, tokCol: String,
-                   budget: Long): DataFrame = {
+                   budget: Long, startTok: Long = 0L): DataFrame = {
     require(budget > 0)
     val spark = docs.sparkSession
     // Freeze the range layout: spark_partition_id is physical, and BOTH
@@ -56,7 +57,8 @@ object Pack {
       .withColumn("cum", sum("n_tokens").over(w))
       .join(broadcast(offDf), Seq("pid"))
       .select(col("ord").as(orderCol), col("n_tokens"),
-        (col("poff") + col("cum") - col("n_tokens")).as("first_tok"))
+        (lit(startTok) + col("poff") + col("cum") - col("n_tokens"))
+          .as("first_tok"))
       .select(col(orderCol), col("n_tokens"),
         expr(s"first_tok DIV $budget").as("bin_id"),
         pmod(col("first_tok"), lit(budget)).as("bin_offset"))
@@ -80,6 +82,147 @@ object Pack {
       .repartitionByRange(col("shard"), col("bin_id"), col("bin_offset"))
       .sortWithinPartitions("shard", "bin_id", "bin_offset")
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    // seed the token-stream state so a shardAppender can CONTINUE the
+    // global token stream where this bulk export ended
+    val spark = docs.sparkSession
+    val total = docs.agg(sum(col(tokCol).cast("long"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    writeTokenMarker(spark, dir, "_packed_seed", total)
+  }
+
+  private def writeTokenMarker(spark: SparkSession, dir: String,
+                               name: String, total: Long): Unit = {
+    val p = new Path(s"$dir/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(total.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Global token total recorded by the store's markers (the post-epoch
+    * counts [[writeShards]] seeds and [[shardAppender]] advances): the MAX
+    * across markers is where the token stream currently ends. */
+  private def storedTokenTotal(spark: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    fs.listStatus(root).filter(_.getPath.getName.startsWith("_packed_"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          if (n <= 0) 0L else new String(buf, 0, n, "UTF-8").trim.toLong
+        } finally in.close()
+      }.foldLeft(0L)(math.max)
+  }
+
+  /** foreachBatch sink appending each micro-batch as packed blocks that
+    * CONTINUE the store's global token stream — the streaming tail of the
+    * [[writeShards]] bulk export: new docs pack into the bins after
+    * everything already stored, land as new files under their `shard=` dirs
+    * (existing files never rewritten), and a trainer's sequential-shard
+    * contract keeps holding as the corpus grows.
+    *
+    * The running token total persists in the epoch markers themselves
+    * (`_packed_<tag>_epoch_<e>` holds the POST-epoch total), so a restarted
+    * sink resumes the stream where it ended. Idempotent under at-least-once
+    * re-delivery via the [[AnnIndex.ivfAppender]] marker protocol: a
+    * replayed epoch that finds its marker is skipped — without it the batch
+    * would re-append AND double-advance the token stream. Single appender
+    * stream per store, the maintainer contract of the other two stores. */
+  def shardAppender(spark: SparkSession, dir: String, orderCol: String,
+                    tokCol: String, budget: Long, binsPerShard: Long,
+                    streamTag: String = "stream"): (DataFrame, Long) => Unit = {
+    require(budget > 0 && binsPerShard > 0)
+    var total = storedTokenTotal(spark, dir)
+    (batch: DataFrame, epoch: Long) => {
+      val marker = new Path(s"$dir/_packed_${streamTag}_epoch_$epoch")
+      val fs = marker.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker) && !batch.isEmpty) {
+        val b = batch.localCheckpoint()
+        val packed = packByBudget(b, orderCol, tokCol, budget,
+            startTok = total)
+          .select(col(orderCol), col("bin_id"), col("bin_offset"))
+          .join(b, Seq(orderCol))
+        packed
+          .withColumn("shard", expr(s"bin_id DIV $binsPerShard"))
+          .repartitionByRange(col("shard"), col("bin_id"), col("bin_offset"))
+          .sortWithinPartitions("shard", "bin_id", "bin_offset")
+          .write.mode("append").partitionBy("shard").parquet(dir)
+        val n = b.agg(sum(col(tokCol).cast("long"))).head().getLong(0)
+        total += n
+        writeTokenMarker(spark, dir, s"_packed_${streamTag}_epoch_$epoch", total)
+      }
+    }
+  }
+
+  /** Compact the shard store: every appended epoch leaves one parquet file
+    * per touched `shard=` dir, so a long-running appender turns each shard
+    * into thousands of tiny files and the trainer's sequential read becomes
+    * file opens, not bytes (the [[AnnIndex.compact]] disease, same cure).
+    * Rewrites each shard as ONE file with rows sorted by
+    * (bin_id, bin_offset) — the in-shard concatenation order [[writeShards]]
+    * promises.
+    *
+    * Swap protocol (per-shard aside-publish-heal): the full rewrite lands
+    * under a dot-temp dir, each old `shard=` dir moves aside, the new one
+    * publishes, then the aside copies delete. A crash mid-publish leaves
+    * some shards swapped and others aside; the recovery sweep at the next
+    * call restores any aside shard the root is missing, so no interleaving
+    * of crashes loses rows. Markers are untouched — the token stream and
+    * epoch idempotence survive compaction. Single-writer: run between
+    * epochs of the live appender, never racing an in-flight one. */
+  def compactShards(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val prev = new Path(s"$dir/.shards_precompact")
+    // crash recovery: restore any shard moved aside but never re-published
+    if (fs.exists(prev)) {
+      fs.listStatus(prev).foreach { st =>
+        val back = new Path(root, st.getPath.getName)
+        if (!fs.exists(back)) require(fs.rename(st.getPath, back),
+          s"compact: cannot heal ${st.getPath}")
+      }
+      fs.delete(prev, true)
+    }
+    val shardDirs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("shard="))
+    if (shardDirs.isEmpty) return
+    val tmp = new Path(s"$dir/.shards_compact.tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "bin_id", "bin_offset")
+      .write.partitionBy("shard").parquet(tmp.toString)
+    fs.mkdirs(prev)
+    shardDirs.foreach { sd =>
+      require(fs.rename(sd, new Path(prev, sd.getName)),
+        s"compact: cannot move $sd aside")
+    }
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("shard="))
+      .foreach { st =>
+        require(fs.rename(st.getPath, new Path(root, st.getPath.getName)),
+          s"compact: cannot publish ${st.getPath}")
+      }
+    fs.delete(prev, true)
+    fs.delete(tmp, true)
+  }
+
+  /** Data-file count across shard dirs (compaction telemetry, the
+    * [[AnnIndex.listFileCount]] twin). */
+  def shardFileCount(spark: SparkSession, dir: String): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    fs.listStatus(root).filter(_.getPath.getName.startsWith("shard="))
+      .map { sd =>
+        fs.listStatus(sd.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+      }.sum
   }
 
   /** Deterministic training-order shuffle: every example gets a seeded

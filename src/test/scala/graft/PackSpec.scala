@@ -93,4 +93,89 @@ class PackSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(a2.toSet == a.toSet)
   }
+
+  test("shardAppender continues the bulk export's token stream; compaction " +
+    "under the live appender folds files and loses nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("packstore").toString
+    // bulk export: docs 0..99, deterministic lengths, budget 128, 4 bins/shard
+    val bulk = lens(100).map { case (id, n) => (id, n, s"payload-$id") }
+      .toDF("doc_id", "n_toks", "text").repartition(5)
+    Pack.writeShards(bulk, "doc_id", "n_toks", budget = 128L,
+      binsPerShard = 4L, dir)
+    val filesAfterBulk = Pack.shardFileCount(spark, dir)
+    // stream three epochs of new docs through the appender, compacting
+    // BETWEEN epochs while the query stays live (the fpstore/ivf contract)
+    val mem = MemoryStream[(Long, Long, String)]
+    val sink = Pack.shardAppender(spark, dir, "doc_id", "n_toks",
+      budget = 128L, binsPerShard = 4L, streamTag = "t")
+    val query = mem.toDF().toDF("doc_id", "n_toks", "text")
+      .writeStream.foreachBatch(sink).start()
+    def epoch(ids: Range): Unit = {
+      mem.addData(ids.map { i =>
+        (i.toLong, 1L + Math.floorMod(i * 2654435761L, 97L), s"payload-$i")
+      }: _*)
+      query.processAllAvailable()
+    }
+    try {
+      epoch(100 until 140)
+      assert(Pack.shardFileCount(spark, dir) > filesAfterBulk,
+        "epoch append should add files")
+      Pack.compactShards(spark, dir)
+      val shards = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).length
+      assert(Pack.shardFileCount(spark, dir) == shards,
+        "compaction should leave exactly one file per shard")
+      epoch(140 until 170)
+      epoch(170 until 200)
+      Pack.compactShards(spark, dir)
+    } finally query.stop()
+    // the store equals ONE sequential pack over the full concatenation:
+    // bulk docs then epoch docs in arrival order
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("bin_id"), col("bin_offset"),
+        col("shard").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(back.size == 200, s"expected 200 docs, got ${back.size}")
+    var cum = 0L
+    (0 until 200).foreach { i =>
+      val n = 1L + Math.floorMod(i * 2654435761L, 97L)
+      val want = (cum / 128L, cum % 128L, cum / 128L / 4L, s"payload-$i")
+      assert(back(i.toLong) == want, s"doc $i: got ${back(i.toLong)}, want $want")
+      cum += n
+    }
+    // replayed epoch is a no-op (marker protocol): re-run epoch 2's data
+    // through a FRESH sink with the same tag and epoch ids via a restarted
+    // stream — the store must not change
+    val sink2 = Pack.shardAppender(spark, dir, "doc_id", "n_toks",
+      budget = 128L, binsPerShard = 4L, streamTag = "t")
+    val mem2 = MemoryStream[(Long, Long, String)]
+    val q2 = mem2.toDF().toDF("doc_id", "n_toks", "text")
+      .writeStream.foreachBatch(sink2).start()
+    try {
+      // epoch ids restart at 0 for the new query; 0..2 all have markers
+      mem2.addData((100L, 5L, "dup"), (101L, 5L, "dup"))
+      q2.processAllAvailable()
+      mem2.addData((140L, 5L, "dup"))
+      q2.processAllAvailable()
+      mem2.addData((170L, 5L, "dup"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(dir).count() == 200,
+      "replayed epochs with markers must append nothing")
+    // crash-heal: simulate a compact that died after moving shards aside
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val prev = new org.apache.hadoop.fs.Path(s"$dir/.shards_precompact")
+    fs.mkdirs(prev)
+    val firstShard = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted.head
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$firstShard"),
+      new org.apache.hadoop.fs.Path(prev, firstShard)))
+    Pack.compactShards(spark, dir) // heals, then compacts
+    assert(spark.read.parquet(dir).count() == 200,
+      "crash-healed compact must restore the aside shard")
+  }
 }
