@@ -64,6 +64,18 @@ final class SessionMemo[V <: AnyRef](maxEntries: Int = 256) {
     }
   }
 
+  /** Drop ONE entry — the versioned-artifact refresh path
+    * ([[graft.streaming.ModelRefit]]): when a refit publishes version k+1,
+    * version k's entry is removed and whatever it pinned is released. No-op
+    * if the key is absent. Safe against live readers of the old value: drop
+    * removes the MAP's reference only; a consumer mid-query keeps its own. */
+  def drop(s: SparkSession, key: String): Unit = {
+    val k = System.identityHashCode(s.sparkContext) + "|" +
+      System.identityHashCode(s) + "|" + key
+    val v = map.synchronized(map.remove(k))
+    if (v != null) SessionMemo.release(v)
+  }
+
   private[graft] def evictAll(): Unit = {
     val vals = map.synchronized {
       val vs = new java.util.ArrayList[V](map.values)

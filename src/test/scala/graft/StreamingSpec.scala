@@ -627,6 +627,82 @@ class StreamingSpec extends AnyFunSuite {
       s"gate should quarantine the off-domain doc: ${quarantined.mkString(",")}")
   }
 
+  test("refit hook: gate stream publishes epoch-tagged model versions, " +
+    "old version evicted, replayed epochs are no-ops") {
+    import graft.operators.Dsir
+    import graft.streaming.{IngestGate, ModelRefit}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def w(v: String, i: Int) = f"$v${i % 40}%02d"
+    def doc(v: String, salt: Int) =
+      (0 until 24).map(i => w(v, salt + i)).mkString(" ")
+    // a later-vocabulary doc: on-domain alpha words + four DISTINCT q-blob
+    // words the v0 tokenizer has never seen (distinct so the quality gate's
+    // top-unigram / dup-bigram ratios stay clean; still passes affinity:
+    // 4 unknown bigrams against ~20 strongly-target ones)
+    def qdoc(salt: Int) =
+      (0 until 20).map(i => w("alpha", salt + i)).mkString(" ") +
+        " qqqqqqqa qqqqqqqb qqqqqqqc qqqqqqqd"
+    val ref = ((0 until 20).map(i => (i.toLong, doc("alpha", i), true)) ++
+        (0 until 20).map(i => (100L + i, doc("beta", i), false)))
+      .toDF("doc_id", "text", "is_target")
+    val gate = new IngestGate(
+      Dsir.bucketStats(ref, "doc_id", "text", col("is_target")),
+      minAffinity = 2.0)
+    val corpusDir = java.nio.file.Files.createTempDirectory("refit").toString +
+      "/corpus"
+    val refit = new ModelRefit[graft.functions.Bpe.Model]("bpe_live",
+      refitEvery = 2)((s, _) =>
+      graft.functions.Bpe.train(s.read.parquet(corpusDir), "text",
+        numMerges = 30, minCount = 2, maxWords = 10000))
+    val sink = gate.sinkEpoch("doc_id", "text")({ (df, e) =>
+      df.write.mode("append").parquet(corpusDir)
+      refit.onEpoch(spark, e)
+    })((_, _) => ())
+    val mem = MemoryStream[(Long, String)]
+    val query = mem.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      // epoch 0: pure-alpha corpus → version 0 fits on it
+      mem.addData((1L, doc("alpha", 1)), (2L, doc("alpha", 5)),
+        (3L, doc("alpha", 9)))
+      query.processAllAvailable()
+      assert(refit.currentVersion == 0L)
+      val v0 = refit.current(spark)
+      assert(v0.encodeWord("qqqqqqqa").length == 8,
+        "v0 trained before any q-doc: the q-blob must stay char-split")
+      // epoch 1: q-docs land but no refit boundary → still version 0
+      mem.addData((11L, qdoc(2)), (12L, qdoc(6)), (13L, qdoc(10)))
+      query.processAllAvailable()
+      assert(refit.currentVersion == 0L && (refit.current(spark) eq v0),
+        "between boundaries consumers keep the published version")
+      // epoch 2: refit boundary → version 2 trains on the grown corpus,
+      // v0 is evicted, and the new model has learned the q vocabulary
+      mem.addData((21L, qdoc(3)), (22L, qdoc(7)), (23L, qdoc(11)))
+      query.processAllAvailable()
+      assert(refit.currentVersion == 2L, "boundary epoch must publish")
+      assert(refit.liveVersions == 1, "superseded version must be evicted")
+      val v2 = refit.current(spark)
+      assert(v2 ne v0)
+      assert(v2.encodeWord("qqqqqqqa").length < 8,
+        "refit corpus holds the q vocabulary: the tokenizer must merge them")
+    } finally query.stop()
+    // replayed epoch (fresh stream, same hook): epoch ids restart at 0,
+    // all ≤ published version → version must NOT regress
+    val sink2 = gate.sinkEpoch("doc_id", "text")({ (df, e) =>
+      refit.onEpoch(spark, e)
+    })((_, _) => ())
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = mem2.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink2).start()
+    try {
+      mem2.addData((31L, doc("alpha", 13)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(refit.currentVersion == 2L && refit.liveVersions == 1,
+      "replayed/old epochs must never regress the published version")
+  }
+
   test("crash replay: gate -> fp store -> ivf appender recovers bit-identical stores") {
     // The composed front door under failure: a checkpointed file-source query
     // crashes at three different points (before the store chain ran; after
