@@ -38,7 +38,8 @@ class ScalingSmokeSpec extends AnyFunSuite {
     "decontam_overlap", "text_tfidf", "text_pii",
     "dedup_span_fraction", "text_unigram_score", "layout_zorder",
     "chunk_windows", "chunk_dedup", "dsir_select", "sketch_heavy_hitters",
-    "gate_admission", "bpe_tokenize", "lm_fluency")
+    "gate_admission", "bpe_tokenize", "lm_fluency",
+    "dedup_simhash_capped", "pack_bpe_sequences")
 
   /** Steady-state timing, matching the bench contract (r6: untimed artifact
     * pass before anything is timed): the first run builds content-keyed
