@@ -116,6 +116,54 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Cross-snapshot near-dup delta: which INCOMING documents are MinHash
+    * near-duplicates of anything already in the BASE snapshot — the
+    * continuous-crawl admission question one level above
+    * [[FingerprintStore]] (exact text there; similarity here: a re-crawled
+    * page with a changed timestamp sails past the fingerprint store but
+    * not past this). Returns one row per FLAGGED incoming doc:
+    * (doc_id, n_base_dups, max_est).
+    *
+    * Scale shape: the base snapshot's signature table is the persisted
+    * artifact (computed once per snapshot, a parquet table exactly like the
+    * fingerprint store; recomputed here because the test corpus is tiny) —
+    * each delta run hashes ONLY the incoming docs. Both sides band into the
+    * (band_id, band_hash) bucket join on narrow 24-byte rows, candidates
+    * verify by joining the two signature tables by id, and nothing is ever
+    * base × incoming all-pairs. [SQL] */
+  def minHashDelta(base: DataFrame, incoming: DataFrame, idCol: String,
+                   textCol: String, numHashes: Int = 32, bands: Int = 8,
+                   shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sigsB = minHashSignatures(base, idCol, textCol, numHashes, shingleSize)
+      .localCheckpoint()
+    val sigsI = minHashSignatures(incoming, idCol, textCol, numHashes, shingleSize)
+      .localCheckpoint()
+    def banded(sigs: DataFrame, as: String) = sigs.select(col("id").as(as),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          .as(Seq("band_id", "band")))
+      .select(col(as), col("band_id"),
+        xxhash64(col("band_id"), concat_ws(",", col("band"))).as("band_hash"))
+    val cands = banded(sigsI, "id_in")
+      .join(banded(sigsB, "id_base"), Seq("band_id", "band_hash"))
+      .select("id_in", "id_base").distinct()
+    cands
+      .join(sigsI.select(col("id").as("id_in"), col("sig").as("sig_in")),
+        Seq("id_in"))
+      .join(sigsB.select(col("id").as("id_base"), col("sig").as("sig_base")),
+        Seq("id_base"))
+      .select(col("id_in"),
+        (size(filter(zip_with(col("sig_in"), col("sig_base"),
+          (x, y) => x === y), eq => eq)).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_in").as("doc_id"))
+      .agg(count(lit(1)).as("n_base_dups"),
+        round(max("est_jaccard"), 6).as("max_est"))
+  }
+
   /** 64-bit SimHash over word unigrams: per bit, sum ±1 votes of each token's
     * hash bit; signature bit = 1 iff the vote is positive.
     * Returns (id, simhash BIGINT). */

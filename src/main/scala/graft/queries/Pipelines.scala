@@ -326,6 +326,75 @@ object Pipelines {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Cross-snapshot near-dup delta ([[Dedup.minHashDelta]]): yesterday's
+    * snapshot = docs with doc_id % 4 != 0, today's crawl = the rest PLUS ten
+    * planted verbatim re-crawls of base docs (ids offset by 10^7, the
+    * [[dedupEmbedding]] planted-corpus pattern — guaranteed est 1.0 flags at
+    * any sf, on top of whatever natural near-dups straddle the split). Flags
+    * each incoming doc that is a MinHash near-dup of ANY base doc. [SQL] */
+  val dedupDeltaMinhash: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L)
+    val planted = docs
+      .filter(pmod(col("doc_id"), lit(4L)) === 1L && col("doc_id") < 40)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val incoming = docs.filter(pmod(col("doc_id"), lit(4L)) === 0L)
+      .unionByName(planted)
+    Dedup.minHashDelta(base, incoming, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[dedupDeltaMinhash]]: the [[dedupMinhashLshSql]]
+    * signature machinery over the side-tagged corpus; candidates are
+    * in-side × base-side band-VALUE matches (band-hash collisions are the
+    * only divergence from Spark's xxhash64 bucket key, astronomically
+    * unlikely), verified by per-k signature agreement / 32. */
+  val dedupDeltaMinhashSql: String = {
+    val kseeds = Duck.stagedSql(
+      "SELECT CAST(unnest(range(0, 32)) AS HUGEINT) AS k",
+      Duck.xxhashIntStages("k", "42", "seedk", "i"))
+    val khash = Duck.stagedSql(
+      "SELECT s.doc_id, s.h0, ks.k, ks.seedk FROM sh0 s CROSS JOIN kseeds ks",
+      Duck.xxhashLongStages("h0", "seedk", "hk", "k"))
+    s"""WITH RECURSIVE
+       |corpus AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN doc_id % 4 = 0 THEN 'in' ELSE 'base' END AS side
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id, text, 'in' AS side
+       |  FROM documents WHERE doc_id % 4 = 1 AND doc_id < 40),
+       |${toksCteFrom("corpus")},
+       |shing AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+       |        FROM toksraw WHERE len(w) >= 3) q),
+       |strs AS (SELECT sh AS sid, sh AS s, CAST(42 AS HUGEINT) AS seed
+       |  FROM (SELECT DISTINCT sh FROM shing)),
+       |${Duck.xxh64StrCtes("strs")},
+       |sh0 AS (SELECT g.doc_id, x.h AS h0 FROM shing g JOIN xstr x ON x.sid = g.sh),
+       |kseeds AS ($kseeds),
+       |khash AS (SELECT doc_id, k, hk FROM ($khash)),
+       |sig AS (SELECT doc_id, k, min(${Duck.toSigned("hk")}) AS mh
+       |  FROM khash GROUP BY doc_id, k),
+       |bands AS (SELECT doc_id, k // 4 AS band_id, list(mh ORDER BY k) AS band
+       |  FROM sig GROUP BY doc_id, k // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_in, b.doc_id AS id_base
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band = b.band
+       |  JOIN corpus ca ON ca.doc_id = a.doc_id AND ca.side = 'in'
+       |  JOIN corpus cb ON cb.doc_id = b.doc_id AND cb.side = 'base'),
+       |est AS (SELECT c.id_in, c.id_base,
+       |    CAST(count(*) FILTER (sa.mh = sb.mh) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_in
+       |  JOIN sig sb ON sb.doc_id = c.id_base AND sb.k = sa.k
+       |  GROUP BY c.id_in, c.id_base)
+       |SELECT id_in AS doc_id, count(*) AS n_base_dups,
+       |  round(max(est_jaccard), 6) AS max_est
+       |FROM est WHERE est_jaccard >= 0.5
+       |GROUP BY id_in ORDER BY doc_id""".stripMargin
+  }
+
   /** Embedding-cosine near-dups via sign-LSH buckets (rows-only).
     *
     * The synthetic embeddings are i.i.d. random, so true near-dups don't exist;
@@ -2050,6 +2119,7 @@ object Pipelines {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_capped" -> dedupSimhashCapped,
+    "dedup_delta_minhash" -> dedupDeltaMinhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters" -> dedupClusters,
     "dedup_embedding" -> dedupEmbedding,
@@ -2103,6 +2173,7 @@ object Pipelines {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_capped" -> dedupSimhashCappedSql,
+    "dedup_delta_minhash" -> dedupDeltaMinhashSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,

@@ -41,6 +41,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("minhash delta flags only incoming-vs-base near-dups, never in-in or base-base") {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines and scale"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // re-crawl of 0
+      (11L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (12L, "fresh unrelated words nobody wrote before today anywhere"),
+      // in-in exact dup pair: must NOT flag (neither matches any base doc)
+      (13L, "twin text appearing twice inside the incoming batch only"),
+      (14L, "twin text appearing twice inside the incoming batch only"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashDelta(base, incoming, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(10L) == ((1L, 1.0)), s"verbatim re-crawl must flag at est 1.0: $out")
+    assert(out.contains(11L) && out(11L)._2 >= 0.3, s"near-dup must flag: $out")
+    assert(!out.contains(12L), "genuinely new doc must pass")
+    assert(!out.contains(13L) && !out.contains(14L),
+      "in-in dups are the fingerprint store's job, not the delta's — no flag")
+  }
+
   test("simhash: identical docs at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
