@@ -198,6 +198,78 @@ object Pipelines {
        |SELECT cc.doc_id, cc.cluster_id, sz.csize
        |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware cluster representative: real pipelines keep the BEST
+    * member of each near-dup cluster, not the smallest id — a boilerplate
+    * cluster should be represented by its cleanest longest member, and
+    * min-id keeps whatever crawled first. Rep = argmax over
+    * (quality_ok DESC, n_tokens DESC, doc_id ASC) — a deterministic total
+    * order over the SAME memoized cluster assignment `dedup_clusters`
+    * serves and the SAME memoized quality signals `text_quality` serves
+    * (pure composition: one partitioned rank over cluster-sized groups, no
+    * new corpus pass). [SQL — the cluster reachability and quality CTEs
+    * stitched, same ORDER BY]. */
+  val dedupBestOfCluster: Q = (s, dir) => {
+    val cc = clusterAssignments(s, dir)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val q = textQuality(s, dir).select("doc_id", "n_tokens", "quality_ok")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("quality_ok").desc, col("n_tokens").desc, col("doc_id"))
+    cc.select(col("id").as("doc_id"), col("cluster_id"))
+      .join(q, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("doc_id").as("rep_id"), col("csize"),
+        col("n_tokens").as("rep_tokens"), col("quality_ok").as("rep_quality_ok"))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB twin of [[dedupBestOfCluster]]: the [[dedupClustersSql]]
+    * reachability chain + the [[textQualitySql]] signal CTEs (us/g2 only —
+    * the gate needs n_tokens, mean_word_len, top_unigram_ratio,
+    * dup_2gram_ratio), ranked by the same total order. */
+  val dedupBestOfClusterSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, rc.r FROM edges e JOIN reach rc ON rc.v = e.d),
+       |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+       |sz AS (SELECT cluster_id, count(*) AS csize FROM cc GROUP BY cluster_id),
+       |qtoks AS (SELECT doc_id, list_filter(w, x -> length(x) > 0) AS w FROM toksraw),
+       |qtokf AS (SELECT doc_id, unnest(w) AS tok FROM qtoks),
+       |us AS (SELECT doc_id, max(c) AS topc, sum(c) AS n, sum(c * ln_) AS sumlen FROM
+       |  (SELECT doc_id, tok, count(*) AS c, length(tok) AS ln_ FROM qtokf
+       |   GROUP BY doc_id, tok) u GROUP BY doc_id),
+       |g2 AS (SELECT doc_id, count(*) AS tot2, count(DISTINCT g) AS dst2 FROM
+       |  (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+       |   FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+       |         FROM qtoks WHERE len(w) >= 2) q) GROUP BY doc_id),
+       |q AS (SELECT d.doc_id,
+       |  coalesce(CAST(us.n AS BIGINT), 0) AS n_tokens,
+       |  (coalesce(us.n, 0) >= 20 AND coalesce(us.n, 0) <= 100000
+       |   AND round(CAST(us.sumlen AS DOUBLE) / us.n, 6) >= 3.0
+       |   AND round(CAST(us.sumlen AS DOUBLE) / us.n, 6) <= 10.0
+       |   AND round(CAST(us.topc AS DOUBLE) / us.n, 6) <= 0.15
+       |   AND round(CASE WHEN g2.tot2 IS NULL THEN 0.0
+       |     ELSE 1.0 - CAST(g2.dst2 AS DOUBLE) / g2.tot2 END, 6) <= 0.05)
+       |   AS quality_ok
+       |  FROM documents d LEFT JOIN us USING (doc_id) LEFT JOIN g2 USING (doc_id)),
+       |ranked AS (SELECT cc.cluster_id, cc.doc_id, q.n_tokens, q.quality_ok,
+       |    row_number() OVER (PARTITION BY cc.cluster_id
+       |      ORDER BY q.quality_ok DESC, q.n_tokens DESC, cc.doc_id) AS rk
+       |  FROM cc JOIN q USING (doc_id))
+       |SELECT cluster_id, doc_id AS rep_id, sz.csize,
+       |  n_tokens AS rep_tokens, quality_ok AS rep_quality_ok
+       |FROM ranked JOIN sz USING (cluster_id) WHERE rk = 1
+       |ORDER BY cluster_id""".stripMargin
+
   /** Duplicated-span fraction per doc: stride-1 16-token windows that recur
     * verbatim in another document ([[Dedup.spanDupStats]]) — the
     * substring-level dedup signal doc-level near-dup misses. [SQL — same
@@ -2122,6 +2194,7 @@ object Pipelines {
     "dedup_delta_minhash" -> dedupDeltaMinhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters" -> dedupClusters,
+    "dedup_best_of_cluster" -> dedupBestOfCluster,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "sim_brute_topk" -> simBruteTopK,
@@ -2171,6 +2244,7 @@ object Pipelines {
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_best_of_cluster" -> dedupBestOfClusterSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_capped" -> dedupSimhashCappedSql,
     "dedup_delta_minhash" -> dedupDeltaMinhashSql,

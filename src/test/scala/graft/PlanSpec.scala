@@ -387,4 +387,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l =>
       l.contains("WindowGroupLimit") && l.contains("Partial")), p)
   }
+
+  test("minhash delta: banded bucket join only — never a base x incoming cross product") {
+    val p = plan(Pipelines.queries("dedup_delta_minhash")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate generation joins the two banded sides on (band_id, band_hash)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) &&
+        l.contains("band_hash")), p)
+  }
+
+  test("best-of-cluster: rank window is cluster-partitioned, no cross product") {
+    val p = plan(Pipelines.queries("dedup_best_of_cluster")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("windowspecdefinition(cluster_id#"), p)
+    // rk==1 pushes into the window as a group limit: each map task forwards
+    // one candidate row per cluster, not the whole membership
+    assert(p.linesIterator.exists(_.contains("WindowGroupLimit")), p)
+  }
+
+  test("simhash capped: the hot-block filter is an anti-join on (blk, blk_val), no cross product") {
+    val p = plan(Pipelines.queries("dedup_simhash_capped")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("LeftAnti") && l.contains("blk")), p)
+  }
+
+  test("pack_bpe: the packing cumsum window is pid-partitioned; only the declared " +
+    "cross-check twin is global") {
+    val p = plan(Pipelines.queries("pack_bpe_sequences")(spark, sf))
+    // exactly ONE single-partition exchange — the documented oracle-scale
+    // spec twin; the operator's own cumsum composes per partition
+    assert(p.linesIterator.count(_.contains("SinglePartition")) <= 1, p)
+    assert(p.contains("windowspecdefinition(pid#"), p)
+  }
 }
