@@ -703,6 +703,63 @@ class StreamingSpec extends AnyFunSuite {
       "replayed/old epochs must never regress the published version")
   }
 
+  test("refit hook: a restarted hook resumes the persisted version without refitting") {
+    import graft.functions.Bpe
+    import graft.streaming.ModelRefit
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("refit_store").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // merges persist as parquet rows (the ModelIO relational discipline),
+    // one dir per version, published by rename — loadLatest only ever sees
+    // fully written versions
+    def save(m: Bpe.Model, v: Long): Unit = {
+      val tmp = s"$root/.v$v.tmp"
+      m.merges.toSeq.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$root/v$v")))
+    }
+    def loadLatest(): Option[(Long, Bpe.Model)] = {
+      val vs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      if (vs.isEmpty) None
+      else {
+        val v = vs.max
+        val merges = spark.read.parquet(s"$root/v$v").orderBy("rank")
+          .collect().map(r => (r.getString(1), r.getString(2)))
+        Some((v, Bpe.Model(merges)))
+      }
+    }
+    val store = ModelRefit.Store[Bpe.Model](save, () => loadLatest())
+    var corpus = Seq((0L, "aa aa aa bb bb")).toDF("doc_id", "text")
+    var fits = 0
+    val hookA = new ModelRefit[Bpe.Model]("bpe_dur", refitEvery = 2,
+      Some(store))((_, _) => { fits += 1
+        Bpe.train(corpus, "text", numMerges = 5, minCount = 2, maxWords = 100) })
+    hookA.onEpoch(spark, 0)
+    corpus = corpus.unionByName(
+      Seq((1L, "cccc cccc cccc dd dd")).toDF("doc_id", "text"))
+    hookA.onEpoch(spark, 1) // not a boundary
+    hookA.onEpoch(spark, 2) // boundary: v2 trains on the grown corpus + saves
+    assert(fits == 2 && hookA.currentVersion == 2L)
+    val v2Merges = hookA.current(spark).merges.toSeq
+    assert(v2Merges.contains(("c", "c")), s"v2 must know the epoch-1 vocab: $v2Merges")
+    // "driver restart": a fresh hook over the same store must resume v2
+    // from BYTES — the poison fit proves no retrain happens (a refit here
+    // would silently move v2's semantics onto rows it never saw)
+    val hookB = new ModelRefit[Bpe.Model]("bpe_dur", refitEvery = 2,
+      Some(store))((_, _) => sys.error("resume must not refit"))
+    assert(hookB.currentVersion == 2L, "restart must resume the saved version tag")
+    assert(hookB.current(spark).merges.toSeq == v2Merges,
+      "resumed model must be the persisted bytes, bit-identical")
+    // replayed epochs on the restarted hook stay no-ops
+    hookB.onEpoch(spark, 0); hookB.onEpoch(spark, 2)
+    assert(hookB.currentVersion == 2L)
+  }
+
   test("crash replay: gate -> fp store -> ivf appender recovers bit-identical stores") {
     // The composed front door under failure: a checkpointed file-source query
     // crashes at three different points (before the store chain ran; after
