@@ -64,6 +64,62 @@ object Pack {
         pmod(col("first_tok"), lit(budget)).as("bin_offset"))
   }
 
+  /** Keyed packing: every `keyCol` group is an INDEPENDENT concatenation
+    * stream packed into its own `budget`-sized blocks — the length-bucketed
+    * batching trick (group similar-length docs, pack within the group) that
+    * bounds per-batch padding waste when a trainer pads to the block max.
+    *
+    * Same scale shape as [[packByBudget]], generalized: range-partition on
+    * (key, order) so each group's stream is contiguous across partitions,
+    * cumsum in parallel per physical partition, and compose with per-
+    * (key, partition) prefix offsets — the driver sees ≤ |keys|·partitions
+    * rows (model-sized by contract: length bucketing uses a handful of
+    * keys), never the corpus. [SQL oracle: a key-partitioned window cumsum]. */
+  def packByBudgetKeyed(docs: DataFrame, keyCol: String, orderCol: String,
+                        tokCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val spark = docs.sparkSession
+    val sorted = docs.select(col(keyCol).as("key"), col(orderCol).as("ord"),
+        col(tokCol).cast("long").as("n_tokens"))
+      .repartitionByRange(col("key"), col("ord"))
+      .sortWithinPartitions("key", "ord")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // per-(key, partition) totals — |keys| × numPartitions rows, bounded
+    val totals = sorted.groupBy("key", "pid")
+      .agg(sum("n_tokens").as("ptot"))
+      .orderBy("key", "pid").collect()
+    val offs = scala.collection.mutable.ArrayBuffer[(Any, Int, Long)]()
+    var curKey: Any = null
+    var acc = 0L
+    totals.foreach { r =>
+      val k = r.get(0)
+      if (k != curKey) { curKey = k; acc = 0L }
+      offs += ((k, r.getInt(1), acc))
+      acc += r.getLong(2)
+    }
+    import spark.implicits._
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offs.toSeq.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        sorted.schema("key"),
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("poff",
+          org.apache.spark.sql.types.LongType))))
+    val w = Window.partitionBy("key", "pid").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sorted
+      .withColumn("cum", sum("n_tokens").over(w))
+      .join(broadcast(offDf), Seq("key", "pid"))
+      .select(col("key").as(keyCol), col("ord").as(orderCol), col("n_tokens"),
+        (col("poff") + col("cum") - col("n_tokens")).as("first_tok"))
+      .select(col(keyCol), col(orderCol), col("n_tokens"),
+        expr(s"first_tok DIV $budget").as("bin_id"),
+        pmod(col("first_tok"), lit(budget)).as("bin_offset"))
+  }
+
   /** Export packed training shards: the docs (payload columns intact) land
     * under `shard=K/` dirs of `binsPerShard` consecutive blocks each, sorted
     * by (bin_id, bin_offset) inside every file — so a trainer streams one

@@ -986,6 +986,39 @@ object Pipelines {
        |SELECT doc_id, n_tokens, prev // 512 AS bin_id, prev % 512 AS bin_offset
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Length-bucketed packing ([[graft.operators.Pack.packByBudgetKeyed]]):
+    * docs group into fixed-width token-length buckets
+    * (least(n DIV 32, 15) — integer-exact, no float log) and each bucket's
+    * stream packs into its own 512-token blocks. Trainers that pad a block
+    * to its max sequence waste far less on length-homogeneous blocks — the
+    * standard bucketed-batching trick, here as one keyed pass (per-
+    * (bucket, partition) prefix composition, never a global window). [SQL —
+    * bucket-partitioned window cumsum]. */
+  val packLengthBuckets: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+      .select(col("doc_id"), col("n_toks"),
+        least(expr("n_toks DIV 32"), lit(15L)).as("bucket"))
+    graft.operators.Pack.packByBudgetKeyed(docs, "bucket", "doc_id",
+        "n_toks", budget = 512L)
+      .orderBy("bucket", "doc_id")
+  }
+
+  val packLengthBucketsSql: String =
+    s"""WITH c AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '${"""\s+"""}')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_tokens,
+       |    LEAST(n_tokens // 32, 15) AS bucket FROM c),
+       |p AS (SELECT doc_id, n_tokens, bucket,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+       |  FROM b)
+       |SELECT bucket, doc_id, n_tokens, prev // 512 AS bin_id,
+       |  prev % 512 AS bin_offset
+       |FROM p ORDER BY bucket, doc_id""".stripMargin
+
   /** Context-window chunking: 32-token windows advanced by 24 (8 tokens of
     * overlap) over every document ([[graft.operators.Chunk.chunkWindows]] —
     * one narrow shuffle-free projection). [SQL — range + list_slice twin]. */
@@ -2212,6 +2245,7 @@ object Pipelines {
     "quality_quantiles" -> qualityQuantiles,
     "pack_sequences" -> packSequences,
     "pack_bpe_sequences" -> packBpeSequences,
+    "pack_length_buckets" -> packLengthBuckets,
     "export_shuffle" -> exportShuffle,
     "chunk_windows" -> chunkWindows,
     "chunk_dedup" -> chunkDedup,
@@ -2266,6 +2300,7 @@ object Pipelines {
     "quality_quantiles" -> qualityQuantilesSql,
     "pack_sequences" -> packSequencesSql,
     "pack_bpe_sequences" -> packBpeSequencesSql,
+    "pack_length_buckets" -> packLengthBucketsSql,
     "export_shuffle" -> exportShuffleSql,
     "chunk_windows" -> chunkWindowsSql,
     "chunk_dedup" -> chunkDedupSql,

@@ -94,6 +94,26 @@ class PackSpec extends AnyFunSuite {
     assert(a2.toSet == a.toSet)
   }
 
+  test("packByBudgetKeyed matches the per-key sequential definition across partitions") {
+    val data = lens(500).map { case (id, n) => (id, n, n % 7) } // 7 buckets
+    val df = data.toDF("doc_id", "n_toks", "bucket").repartition(13)
+    val got = Pack.packByBudgetKeyed(df, "bucket", "doc_id", "n_toks",
+        budget = 128L)
+      .collect().map(r => (r.getLong(1), (r.getLong(3), r.getLong(4)))).toMap
+    // sequential truth: per bucket, docs in id order, independent cumsum
+    val cum = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    data.sortBy(_._1).foreach { case (id, n, b) =>
+      val c = cum(b)
+      assert(got(id) == ((c / 128L, c % 128L)),
+        s"doc $id bucket $b: got ${got(id)}, want ${(c / 128, c % 128)}")
+      cum(b) = c + n
+    }
+    // plan: the keyed cumsum never funnels through one partition
+    val plan = Pack.packByBudgetKeyed(df, "bucket", "doc_id", "n_toks", 128L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("shardAppender continues the bulk export's token stream; compaction " +
     "under the live appender folds files and loses nothing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
