@@ -125,21 +125,48 @@ object Dedup {
     * (doc_id, n_base_dups, max_est).
     *
     * Scale shape: the base snapshot's signature table is the persisted
-    * artifact (computed once per snapshot, a parquet table exactly like the
-    * fingerprint store; recomputed here because the test corpus is tiny) —
-    * each delta run hashes ONLY the incoming docs. Both sides band into the
-    * (band_id, band_hash) bucket join on narrow 24-byte rows, candidates
-    * verify by joining the two signature tables by id, and nothing is ever
-    * base × incoming all-pairs. [SQL] */
+    * artifact — build it once with [[SignatureStore.seed]] /
+    * [[SignatureStore.storeDir]], extend it per ingest epoch with
+    * [[SignatureStore.appender]], and call [[minHashDeltaStored]] so each
+    * delta run hashes ONLY the incoming docs (this overload recomputes the
+    * base side; it exists for one-shot comparisons of two raw frames).
+    * Both sides band into the (band_id, band_hash) bucket join on narrow
+    * 24-byte rows, candidates verify by joining the two signature tables
+    * by id, and nothing is ever base × incoming all-pairs. [SQL] */
   def minHashDelta(base: DataFrame, incoming: DataFrame, idCol: String,
                    textCol: String, numHashes: Int = 32, bands: Int = 8,
                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
     val sigsB = minHashSignatures(base, idCol, textCol, numHashes, shingleSize)
       .localCheckpoint()
     val sigsI = minHashSignatures(incoming, idCol, textCol, numHashes, shingleSize)
       .localCheckpoint()
+    minHashDeltaOverSigs(sigsB, sigsI, numHashes, bands, threshold)
+  }
+
+  /** [[minHashDelta]] against a PERSISTED base signature table ((id, sig)
+    * rows — a [[SignatureStore.read]] frame or any frame
+    * [[minHashSignatures]] produced): only the incoming docs are shingled
+    * and hashed; the base side is a parquet scan of 8·numHashes-byte rows.
+    * The at-scale delta shape its own doc comment promises. */
+  def minHashDeltaStored(baseSigs: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String, numHashes: Int = 32,
+                         bands: Int = 8, shingleSize: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    val sigsI = minHashSignatures(incoming, idCol, textCol, numHashes, shingleSize)
+      .localCheckpoint()
+    minHashDeltaOverSigs(baseSigs.select("id", "sig"), sigsI, numHashes,
+      bands, threshold)
+  }
+
+  /** Core of the snapshot delta, over two signature frames: band both
+    * sides, bucket-join candidates, verify by id-joining the signatures.
+    * Returns one row per flagged incoming doc:
+    * (doc_id, n_base_dups, max_est). */
+  private[operators] def minHashDeltaOverSigs(sigsB: DataFrame,
+      sigsI: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
     def banded(sigs: DataFrame, as: String) = sigs.select(col("id").as(as),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))

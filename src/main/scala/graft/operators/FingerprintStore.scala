@@ -169,18 +169,18 @@ object FingerprintStore {
           .join(keyed, Seq("__fp", idCol)) // tiny: batch-sized
           .dropDuplicates("__fp")
           .localCheckpoint()
-        // Bloom screen: definite-new rows skip disk entirely. Candidates
-        // stay DISTRIBUTED from here on — on a mostly-duplicate replay
-        // (backlog re-delivery, the crash-recovery shape) every row is a
-        // candidate, so a driver round-trip here would hold the whole
-        // micro-batch's fingerprints and grow an isin expression tree to
-        // batch size. Instead the disk verify is a join pipeline:
+        // Bloom screen: definite-new rows skip disk entirely. The disk
+        // verify is a join pipeline:
         //   store (shard-pruned scan)  LEFT SEMI  broadcast(candidates)
         //   firsts                     LEFT ANTI  broadcast(confirmed)
-        // Both joins broadcast the batch side (candidates / the at-most-
-        // candidate-sized confirmed set); the store side only streams its
-        // candidate shards. The ONLY collect is the distinct shard list —
-        // bounded by NumShards (256), never by batch size.
+        // What this buys on a mostly-duplicate replay (backlog re-delivery,
+        // the crash-recovery shape): NO batch-sized literal expression ever
+        // reaches the plan — the r8 isin shape grew an expression tree /
+        // generated code with the batch. The driver still holds the compact
+        // broadcast relations (8-byte fps of candidates / confirmed — the
+        // usual driver residency of any broadcast build side), and the only
+        // COLLECT is the distinct shard list, bounded by NumShards (256).
+        // The store side streams just its candidate shards.
         val bc = bloomBc
         val candidates =
           if (bc.value.isEmpty) firsts.select("__fp").limit(0)

@@ -74,9 +74,15 @@ object Pack {
     * cumsum in parallel per physical partition, and compose with per-
     * (key, partition) prefix offsets — the driver sees ≤ |keys|·partitions
     * rows (model-sized by contract: length bucketing uses a handful of
-    * keys), never the corpus. [SQL oracle: a key-partitioned window cumsum]. */
+    * keys), never the corpus. The contract is ENFORCED: more than `maxKeys`
+    * distinct keys fails loudly before anything collects (the Tsne
+    * sample-limit / Bpe maxWords discipline) — a high-cardinality key here
+    * means the caller wanted a per-group [[packByBudget]], not a collect of
+    * |keys|·partitions offset rows. [SQL oracle: a key-partitioned window
+    * cumsum]. */
   def packByBudgetKeyed(docs: DataFrame, keyCol: String, orderCol: String,
-                        tokCol: String, budget: Long): DataFrame = {
+                        tokCol: String, budget: Long,
+                        maxKeys: Int = 1024): DataFrame = {
     require(budget > 0)
     val spark = docs.sparkSession
     val sorted = docs.select(col(keyCol).as("key"), col(orderCol).as("ord"),
@@ -85,6 +91,13 @@ object Pack {
       .sortWithinPartitions("key", "ord")
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
+    // key-cardinality gate over the checkpointed frame (cheap second job on
+    // cached blocks) BEFORE the offsets collect below can grow to it
+    val nKeys = sorted.select("key").distinct().count()
+    require(nKeys <= maxKeys,
+      s"packByBudgetKeyed: $nKeys distinct '$keyCol' keys exceed maxKeys=" +
+        s"$maxKeys — the per-(key, partition) offset collect is model-sized " +
+        "only for bucket-grade keys; pack per group or raise maxKeys deliberately")
     // per-(key, partition) totals — |keys| × numPartitions rows, bounded
     val totals = sorted.groupBy("key", "pid")
       .agg(sum("n_tokens").as("ptot"))

@@ -403,7 +403,15 @@ object Pipelines {
     * planted verbatim re-crawls of base docs (ids offset by 10^7, the
     * [[dedupEmbedding]] planted-corpus pattern — guaranteed est 1.0 flags at
     * any sf, on top of whatever natural near-dups straddle the split). Flags
-    * each incoming doc that is a MinHash near-dup of ANY base doc. [SQL] */
+    * each incoming doc that is a MinHash near-dup of ANY base doc.
+    *
+    * Runs the AT-SCALE delta shape: the base snapshot's signatures are a
+    * persisted [[graft.operators.SignatureStore]] artifact (content-digest
+    * keyed, built once per corpus like the ANN indexes) and
+    * [[Dedup.minHashDeltaStored]] hashes ONLY the incoming docs — the
+    * timed work is the incoming-side hash plus a parquet scan of stored
+    * 8·32-byte signature rows, exactly what a snapshot delta costs at
+    * 100 TB. [SQL] */
   val dedupDeltaMinhash: Q = (s, dir) => {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val base = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L)
@@ -412,7 +420,12 @@ object Pipelines {
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
     val incoming = docs.filter(pmod(col("doc_id"), lit(4L)) === 0L)
       .unionByName(planted)
-    Dedup.minHashDelta(base, incoming, "doc_id", "text",
+    val sigDir = graft.operators.SignatureStore.storeDir(base,
+      s"$dir/documents.parquet", "doc_id", "text", numHashes = 32,
+      shingleSize = 3, variant = "deltabase_mod4")
+    Dedup.minHashDeltaStored(
+        graft.operators.SignatureStore.read(s, sigDir),
+        incoming, "doc_id", "text",
         numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
       .orderBy("doc_id")
   }

@@ -64,6 +64,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "in-in dups are the fingerprint store's job, not the delta's — no flag")
   }
 
+  test("signature store: stored delta path is row-identical to the recompute path; " +
+    "appender is replay-idempotent and restart-resumes") {
+    import graft.operators.SignatureStore
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines and scale"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "fresh unrelated words nobody wrote before today anywhere"))
+      .toDF("doc_id", "text")
+    SignatureStore.seed(base, "doc_id", "text", dir)
+    def run(baseSigs: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashDeltaStored(baseSigs, incoming, "doc_id", "text",
+          numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stored = run(SignatureStore.read(spark, dir))
+    val recomputed = Dedup.minHashDelta(base, incoming, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored == recomputed, s"stored=$stored recomputed=$recomputed")
+    // appender: epoch extends the store; replaying the SAME epoch (marker
+    // present) appends nothing; a RESTARTED appender (fresh closure, same
+    // tag) both skips the replay and continues with new epochs
+    val app = SignatureStore.appender(spark, dir, "doc_id", "text",
+      streamTag = "t")
+    val ep0 = Seq((20L, "a brand new page crawled this morning about rivers"))
+      .toDF("doc_id", "text")
+    app(ep0, 0L)
+    val afterEp0 = SignatureStore.read(spark, dir).count()
+    assert(afterEp0 == 3, s"base 2 + appended 1, got $afterEp0")
+    app(ep0, 0L) // same appender replay
+    assert(SignatureStore.read(spark, dir).count() == 3)
+    val app2 = SignatureStore.appender(spark, dir, "doc_id", "text",
+      streamTag = "t")
+    app2(ep0, 0L) // restarted-appender replay: marker still suppresses
+    assert(SignatureStore.read(spark, dir).count() == 3)
+    app2(Seq((21L, "another genuinely fresh page about mountain weather"))
+      .toDF("doc_id", "text"), 1L)
+    assert(SignatureStore.read(spark, dir).count() == 4)
+    // the extended store now flags a re-crawl of the appended doc
+    val flagged = Dedup.minHashDeltaStored(
+        SignatureStore.read(spark, dir),
+        Seq((30L, "a brand new page crawled this morning about rivers"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", numHashes = 32, bands = 8, shingleSize = 3,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.toSeq == Seq((30L, 1L, 1.0)), flagged.mkString(","))
+    // params sidecar: a probe with mismatched params is a loud error
+    val ex = intercept[IllegalArgumentException] {
+      SignatureStore.read(spark, dir, numHashes = 16)
+    }
+    assert(ex.getMessage.contains("params"), ex.getMessage)
+  }
+
   test("simhash: identical docs at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

@@ -114,6 +114,21 @@ class PackSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("packByBudgetKeyed enforces the key-cardinality contract loudly") {
+    // a high-cardinality key (here: the doc id itself) would collect
+    // |keys|·partitions offset rows — the guard must fail before that
+    val df = lens(500).toDF("doc_id", "n_toks")
+      .withColumn("key", col("doc_id"))
+    val ex = intercept[IllegalArgumentException] {
+      Pack.packByBudgetKeyed(df, "key", "doc_id", "n_toks",
+        budget = 128L, maxKeys = 64)
+    }
+    assert(ex.getMessage.contains("maxKeys"), ex.getMessage)
+    // and a deliberate raise admits the same frame
+    assert(Pack.packByBudgetKeyed(df, "key", "doc_id", "n_toks",
+      budget = 128L, maxKeys = 500).count() == 500)
+  }
+
   test("shardAppender continues the bulk export's token stream; compaction " +
     "under the live appender folds files and loses nothing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
