@@ -196,21 +196,38 @@ object Pack {
     *
     * The running token total persists in the epoch markers themselves
     * (`_packed_<tag>_epoch_<e>` holds the POST-epoch total), so a restarted
-    * sink resumes the stream where it ended. Idempotent under at-least-once
-    * re-delivery via the [[AnnIndex.ivfAppender]] marker protocol: a
-    * replayed epoch that finds its marker is skipped — without it the batch
-    * would re-append AND double-advance the token stream. Single appender
-    * stream per store, the maintainer contract of the other two stores. */
+    * sink resumes the stream where it ended. EXACTLY-once under
+    * at-least-once re-delivery — the marker protocol of
+    * [[AnnIndex.ivfAppender]] hardened with stage-then-publish (the
+    * [[compactShards]] aside-publish discipline): the epoch's rows land in
+    * a staging dir first, the marker commits the epoch, and only then do
+    * the files move into the `shard=` dirs. Every crash point replays
+    * clean: before the marker → staging is discarded and the epoch re-runs
+    * whole; after the marker → the epoch is committed, and the heal sweep
+    * (at sink start and on any marker-found replay) finishes the pending
+    * file moves — a direct append-then-marker would instead DOUBLE the
+    * epoch's rows at the same (shard, bin_id, bin_offset) when the crash
+    * fell between append and marker, silently duplicating trainer content.
+    * Single appender stream per store, the maintainer contract of the
+    * other two stores. */
   def shardAppender(spark: SparkSession, dir: String, orderCol: String,
                     tokCol: String, budget: Long, binsPerShard: Long,
                     streamTag: String = "stream"): (DataFrame, Long) => Unit = {
     require(budget > 0 && binsPerShard > 0)
+    // restart heal: committed epochs finish publishing, uncommitted staging
+    // is discarded (its epoch will replay in full)
+    healStaging(spark, dir, streamTag)
     var total = storedTokenTotal(spark, dir)
     (batch: DataFrame, epoch: Long) => {
       val marker = new Path(s"$dir/_packed_${streamTag}_epoch_$epoch")
       val fs = marker.getFileSystem(
         batch.sparkSession.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker) && !batch.isEmpty) {
+      if (fs.exists(marker)) {
+        // replayed epoch: committed — make sure its publish completed
+        healStaging(spark, dir, streamTag)
+      } else if (!batch.isEmpty) {
+        val stage = new Path(stagePath(dir, streamTag, epoch))
+        fs.delete(stage, true) // half-written pre-crash staging, if any
         val b = batch.localCheckpoint()
         val packed = packByBudget(b, orderCol, tokCol, budget,
             startTok = total)
@@ -220,12 +237,55 @@ object Pack {
           .withColumn("shard", expr(s"bin_id DIV $binsPerShard"))
           .repartitionByRange(col("shard"), col("bin_id"), col("bin_offset"))
           .sortWithinPartitions("shard", "bin_id", "bin_offset")
-          .write.mode("append").partitionBy("shard").parquet(dir)
+          .write.partitionBy("shard").parquet(stage.toString)
         val n = b.agg(sum(col(tokCol).cast("long"))).head().getLong(0)
         total += n
+        // the marker IS the commit point: everything after it is replay-safe
         writeTokenMarker(spark, dir, s"_packed_${streamTag}_epoch_$epoch", total)
+        publishStage(fs, dir, stage)
       }
     }
+  }
+
+  private def stagePath(dir: String, tag: String, epoch: Long): String =
+    s"$dir/.pack_stage_${tag}_$epoch"
+
+  /** Move a committed staging dir's shard files into the store's `shard=`
+    * dirs, then drop the staging dir. Idempotent: per-file atomic renames,
+    * already-moved files are simply absent on a re-sweep. */
+  private def publishStage(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                           stage: Path): Unit = {
+    if (!fs.exists(stage)) return
+    fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.startsWith("shard=")).foreach { sd =>
+        val dest = new Path(dir, sd.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(sd).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            require(fs.rename(f, new Path(dest, f.getName)),
+              s"shardAppender: cannot publish $f")
+          }
+      }
+    fs.delete(stage, true)
+  }
+
+  /** Crash-recovery sweep over leftover staging dirs of `tag`: a stage
+    * whose epoch marker exists is committed — finish its publish; one
+    * without a marker is a pre-commit orphan — discard it (the epoch will
+    * be re-delivered and re-run whole). */
+  private def healStaging(spark: SparkSession, dir: String,
+                          tag: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val prefix = s".pack_stage_${tag}_"
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).foreach { stage =>
+        val epoch = stage.getName.drop(prefix.length)
+        if (fs.exists(new Path(s"$dir/_packed_${tag}_epoch_$epoch")))
+          publishStage(fs, dir, stage)
+        else fs.delete(stage, true)
+      }
   }
 
   /** Compact the shard store: every appended epoch leaves one parquet file

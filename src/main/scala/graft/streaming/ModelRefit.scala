@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
 import org.apache.spark.sql.SparkSession
 
 import graft.SessionMemo
@@ -10,31 +12,47 @@ import graft.SessionMemo
   * admitting documents, and a tokenizer or embedding table fit on last
   * month's corpus drifts away from what the store now holds. The reference
   * refits its models per stream segment (the retrain loop of
-  * `adaptation/stream.py`); here the refit is epoch-tagged and rides the
-  * same foreachBatch the stores use.
+  * `adaptation/stream.py` runs BETWEEN segments, never inside one); here
+  * the refit is epoch-tagged, triggered by the same foreachBatch the
+  * stores use, and the fit itself runs OFF the hot path.
   *
   * Contract:
   *  - `onEpoch(s, e)` — call from the stream's sink AFTER the epoch's rows
   *    land (gate → store → refit hook, one foreachBatch chain). Every
-  *    `refitEvery` epochs it trains a NEW version tagged with that epoch,
-  *    publishes it atomically (volatile swap), and DROPS the superseded
-  *    version from the memo — exactly one live version per hook, so an
-  *    unbounded stream holds O(1) model state
-  *    ([[graft.SessionMemo.drop]]).
+  *    `refitEvery` epochs it REQUESTS a new version tagged with that epoch
+  *    and returns immediately: the fit runs on a single background worker
+  *    thread, so a slow refit never stalls admission (ingest epochs keep
+  *    completing while the model trains). When the fit lands it persists,
+  *    then publishes atomically (volatile swap). Boundary requests that
+  *    arrive while an older fit is still training COLLAPSE to the newest
+  *    epoch — the backlog is O(1), never a queue of stale versions.
   *  - `current(s)` — the published model; consumers between refits keep
   *    reading a consistent version while the next one trains. Lazily fits
-  *    version 0 if the stream has not reached a refit boundary yet.
-  *  - Re-delivered epochs are no-ops (version only advances), so the hook
-  *    composes with the stores' replay-marker idempotence: a crash-replayed
-  *    batch re-runs `onEpoch` with an epoch ≤ the published version and
-  *    changes nothing — the [[graft.ml.Lstm.fitCheckpointed]] resume
-  *    discipline (never regress to an older training state) applied to
-  *    whole-model refits.
+  *    version 0 inline if nothing has ever published (a consumer always
+  *    gets a model).
+  *  - Eviction keeps the LAST TWO versions memoized (publish of k+1 drops
+  *    k-1): a consumer that read the version tag just before a publish
+  *    still finds its entry — dropping the superseded version immediately
+  *    would let that reader re-run `fit` on the now-grown corpus and
+  *    memoize a semantics-drifted stale entry. Still O(1) model state on
+  *    an unbounded stream ([[graft.SessionMemo.drop]]).
+  *  - Re-delivered epochs are no-ops (version and requests only advance),
+  *    so the hook composes with the stores' replay-marker idempotence: a
+  *    crash-replayed batch re-runs `onEpoch` with an epoch ≤ the published
+  *    version and changes nothing — the [[graft.ml.Lstm.fitCheckpointed]]
+  *    resume discipline (never regress to an older training state) applied
+  *    to whole-model refits.
+  *  - `awaitRefits()` — block until no fit is requested or running
+  *    (maintenance windows, deterministic tests). The hot path never calls
+  *    it.
   *
   * `fit(s, version)` trains on the store's CURRENT contents (caller-scoped:
   * read the corpus dir, the fingerprint-store survivors table, whatever the
-  * deployment's source of record is). Determinism per (corpus-state,
-  * version) is the fit's own contract, as everywhere else.
+  * deployment's source of record is). Because the fit runs asynchronously,
+  * a version's training set is the store AS OF when the worker picks the
+  * request up — at least everything its tag epoch admitted, possibly more
+  * (the same skew a between-segments retrain job has). Determinism per
+  * (corpus-state, version) is the fit's own contract, as everywhere else.
   */
 final class ModelRefit[M <: AnyRef](name: String, refitEvery: Long,
                                     store: Option[ModelRefit.Store[M]] = None)
@@ -50,14 +68,25 @@ final class ModelRefit[M <: AnyRef](name: String, refitEvery: Long,
   // original fit never saw)
   private val resumed: Option[(Long, M)] = store.flatMap(_.loadLatest())
   @volatile private var ver: Long = resumed.map(_._1).getOrElse(-1L)
+  @volatile private var prevVer: Long = -1L
   @volatile private var pending: Option[(Long, M)] = resumed
+  // newest boundary epoch requested but not yet published; worker liveness
+  private val requested = new AtomicLong(-1L)
+  private val fitting = new AtomicBoolean(false)
+  // one daemon worker per hook: fits are serialized, admission is not
+  @transient private lazy val worker =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, s"model-refit-$name")
+      t.setDaemon(true)
+      t
+    })
 
   /** The epoch tag of the published version (-1 before any fit). */
   def currentVersion: Long = ver
 
-  /** The published model; fits version 0 on first use if no refit boundary
-    * has passed yet (a consumer always gets a model). A resumed version
-    * seeds the memo from the store's bytes — never a refit. */
+  /** The published model; fits version 0 inline on first use if nothing
+    * has ever published (a consumer always gets a model). A resumed
+    * version seeds the memo from the store's bytes — never a refit. */
   def current(s: SparkSession): M = {
     val v = math.max(ver, 0L)
     memo.getOrBuild(s, s"$name|v$v") {
@@ -68,23 +97,66 @@ final class ModelRefit[M <: AnyRef](name: String, refitEvery: Long,
     }
   }
 
-  /** Epoch hook: refit + save + publish + evict-old at every `refitEvery`
-    * boundary; otherwise (and on any replayed epoch ≤ the published
-    * version) a no-op. Ordering: the new version trains and PERSISTS
-    * before the volatile swap, so readers never see a half-built model and
-    * a crash between save and publish just means the restart resumes the
+  /** Epoch hook: at a `refitEvery` boundary, request a refit and return —
+    * the fit trains on the background worker and publishes when done.
+    * On any replayed epoch ≤ the published (or already-requested) version:
+    * a no-op. Publish ordering: the new version trains and PERSISTS before
+    * the volatile swap, so readers never see a half-built model and a
+    * crash between save and publish just means the restart resumes the
     * newer (fully trained, fully saved) version. */
   def onEpoch(s: SparkSession, epoch: Long): Unit =
-    if (epoch % refitEvery == 0 && epoch > ver) {
-      val old = ver
-      val m = memo.getOrBuild(s, s"$name|v$epoch")(fit(s, epoch))
-      store.foreach(_.save(m, epoch))
-      ver = epoch
-      pending = None
-      if (old >= 0L) memo.drop(s, s"$name|v$old")
+    if (epoch % refitEvery == 0 && epoch > ver &&
+        epoch > requested.getAndUpdate(r => math.max(r, epoch)).max(ver)) {
+      startWorker(s)
     }
 
-  /** Live memoized versions (eviction telemetry — 1 in steady state). */
+  private def startWorker(s: SparkSession): Unit =
+    if (fitting.compareAndSet(false, true)) {
+      worker.execute(() => {
+        try {
+          var e = requested.get()
+          while (e > ver) {
+            // requests that arrived during a fit collapse: only the newest
+            // epoch at loop-check time trains (stale versions never exist)
+            val m = memo.getOrBuild(s, s"$name|v$e")(fit(s, e))
+            store.foreach(_.save(m, e))
+            publish(s, e)
+            e = requested.get()
+          }
+        } finally {
+          fitting.set(false)
+          // a request may have landed between the loop exit and the reset
+          if (requested.get() > ver) startWorker(s)
+        }
+      })
+    }
+
+  private def publish(s: SparkSession, epoch: Long): Unit = synchronized {
+    val old = ver
+    ver = epoch
+    pending = None
+    // keep the last two: drop k-2, not the just-superseded k-1 (see class
+    // doc — closes the read-the-tag-then-miss-the-memo race)
+    if (prevVer >= 0L && prevVer != old && prevVer != epoch)
+      memo.drop(s, s"$name|v$prevVer")
+    prevVer = old
+  }
+
+  /** Block until no refit is requested or in flight (tests, maintenance
+    * windows — never the ingest path). */
+  def awaitRefits(timeoutMs: Long = 120000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while ((fitting.get() || requested.get() > ver) &&
+           System.nanoTime() < deadline) Thread.sleep(10)
+    require(!fitting.get() && requested.get() <= ver,
+      s"refit $name still in flight after ${timeoutMs}ms")
+  }
+
+  /** True while a fit is training in the background (telemetry). */
+  def refitInFlight: Boolean = fitting.get() || requested.get() > ver
+
+  /** Live memoized versions (eviction telemetry — ≤2 in steady state:
+    * current + the immediately superseded version). */
   private[graft] def liveVersions: Int = memo.entryCount
 }
 

@@ -129,6 +129,60 @@ class PackSpec extends AnyFunSuite {
       budget = 128L, maxKeys = 500).count() == 500)
   }
 
+  test("shardAppender stage-then-publish: a committed-but-unpublished epoch " +
+    "heals on restart; an uncommitted stage is discarded and replays exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("packcrash").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bulk = lens(50).map { case (id, n) => (id, n, s"p-$id") }
+      .toDF("doc_id", "n_toks", "text")
+    Pack.writeShards(bulk, "doc_id", "n_toks", budget = 128L,
+      binsPerShard = 4L, dir)
+    val total0 = lens(50).map(_._2).sum
+    def storeCount() = spark.read.parquet(dir).count()
+    assert(storeCount() == 50)
+    // simulate a crash AFTER the commit marker, BEFORE publish: the epoch's
+    // packed rows sit in staging, the marker exists, nothing reached the
+    // shard dirs (exactly what the appender leaves between its marker write
+    // and publishStage)
+    val ep0 = Seq((100L, 10L, "p-100")).toDF("doc_id", "n_toks", "text")
+    Pack.packByBudget(ep0, "doc_id", "n_toks", budget = 128L,
+        startTok = total0)
+      .select(col("doc_id"), col("bin_id"), col("bin_offset"))
+      .join(ep0, Seq("doc_id"))
+      .withColumn("shard", expr("bin_id DIV 4"))
+      .write.partitionBy("shard").parquet(s"$dir/.pack_stage_t_0")
+    val mk = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_packed_t_epoch_0"), true)
+    mk.write((total0 + 10L).toString.getBytes("UTF-8")); mk.close()
+    assert(storeCount() == 50, "dot-staging must be invisible to readers")
+    // restart: constructing the appender heals the committed stage
+    val app = Pack.shardAppender(spark, dir, "doc_id", "n_toks",
+      budget = 128L, binsPerShard = 4L, streamTag = "t")
+    assert(storeCount() == 51, "committed epoch must publish on heal")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.pack_stage_t_0")))
+    app(ep0, 0L) // replay of the healed epoch: marker found → no double
+    assert(storeCount() == 51)
+    // simulate a crash BEFORE the marker: an orphan stage with bogus rows —
+    // the heal must DISCARD it (the epoch re-delivers and re-runs whole)
+    Seq((999L, 1L, "junk", 0L, 0L, 0L))
+      .toDF("doc_id", "n_toks", "text", "bin_id", "bin_offset", "shard")
+      .write.partitionBy("shard").parquet(s"$dir/.pack_stage_t_1")
+    val app2 = Pack.shardAppender(spark, dir, "doc_id", "n_toks",
+      budget = 128L, binsPerShard = 4L, streamTag = "t")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.pack_stage_t_1")),
+      "uncommitted stage must be discarded, not published")
+    assert(storeCount() == 51)
+    val ep1 = Seq((101L, 7L, "p-101")).toDF("doc_id", "n_toks", "text")
+    app2(ep1, 1L) // the re-delivered epoch appends exactly once
+    assert(storeCount() == 52)
+    // and the token stream continued through crash + heal: doc 101's first
+    // token is total0 + 10
+    val r = spark.read.parquet(dir).filter(col("doc_id") === 101L)
+      .select("bin_id", "bin_offset").head()
+    val firstTok = total0 + 10L
+    assert((r.getLong(0), r.getLong(1)) == (firstTok / 128L, firstTok % 128L))
+  }
+
   test("shardAppender continues the bulk export's token stream; compaction " +
     "under the live appender folds files and loses nothing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -663,10 +663,12 @@ class StreamingSpec extends AnyFunSuite {
     val query = mem.toDF().toDF("doc_id", "text")
       .writeStream.foreachBatch(sink).start()
     try {
-      // epoch 0: pure-alpha corpus → version 0 fits on it
+      // epoch 0: pure-alpha corpus → version 0 fits on it (async: drain
+      // the worker before asserting the publish)
       mem.addData((1L, doc("alpha", 1)), (2L, doc("alpha", 5)),
         (3L, doc("alpha", 9)))
       query.processAllAvailable()
+      refit.awaitRefits()
       assert(refit.currentVersion == 0L)
       val v0 = refit.current(spark)
       assert(v0.encodeWord("qqqqqqqa").length == 8,
@@ -677,15 +679,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(refit.currentVersion == 0L && (refit.current(spark) eq v0),
         "between boundaries consumers keep the published version")
       // epoch 2: refit boundary → version 2 trains on the grown corpus,
-      // v0 is evicted, and the new model has learned the q vocabulary
+      // and the new model has learned the q vocabulary. Keep-last-two
+      // eviction: v0 stays memoized alongside v2 (the read-race guard).
       mem.addData((21L, qdoc(3)), (22L, qdoc(7)), (23L, qdoc(11)))
       query.processAllAvailable()
+      refit.awaitRefits()
       assert(refit.currentVersion == 2L, "boundary epoch must publish")
-      assert(refit.liveVersions == 1, "superseded version must be evicted")
+      assert(refit.liveVersions == 2,
+        "current + immediately superseded stay live (read-race guard)")
       val v2 = refit.current(spark)
       assert(v2 ne v0)
       assert(v2.encodeWord("qqqqqqqa").length < 8,
         "refit corpus holds the q vocabulary: the tokenizer must merge them")
+      // epochs 3-4: the next boundary publishes v4 and drops v0 (k-2) —
+      // live versions stay bounded at two on an unbounded stream
+      mem.addData((31L, doc("alpha", 17)))
+      query.processAllAvailable()
+      mem.addData((32L, doc("alpha", 21)))
+      query.processAllAvailable()
+      refit.awaitRefits()
+      assert(refit.currentVersion == 4L)
+      assert(refit.liveVersions == 2,
+        "publishing k drops k-2: O(1) live versions on an unbounded stream")
     } finally query.stop()
     // replayed epoch (fresh stream, same hook): epoch ids restart at 0,
     // all ≤ published version → version must NOT regress
@@ -699,8 +714,51 @@ class StreamingSpec extends AnyFunSuite {
       mem2.addData((31L, doc("alpha", 13)))
       q2.processAllAvailable()
     } finally q2.stop()
-    assert(refit.currentVersion == 2L && refit.liveVersions == 1,
+    refit.awaitRefits()
+    assert(refit.currentVersion == 4L && refit.liveVersions == 2,
       "replayed/old epochs must never regress the published version")
+  }
+
+  test("refit hook: a slow fit never stalls ingest epochs, publishes only when " +
+    "it lands, and queued boundary requests collapse to the newest") {
+    import graft.streaming.ModelRefit
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val fitStarted = new java.util.concurrent.CountDownLatch(1)
+    val fitGate = new java.util.concurrent.CountDownLatch(1)
+    val trained = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val refit = new ModelRefit[String]("slow_fit", refitEvery = 1)((_, v) => {
+      trained.add(v)
+      fitStarted.countDown()
+      require(fitGate.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      s"model-v$v"
+    })
+    val mem = MemoryStream[Long]
+    var epochsDone = 0
+    val q = mem.toDF().writeStream.foreachBatch {
+      (df: org.apache.spark.sql.DataFrame, e: Long) =>
+        df.count(); refit.onEpoch(spark, e); epochsDone += 1
+    }.start()
+    try {
+      mem.addData(1L); q.processAllAvailable() // epoch 0: refit requested
+      require(fitStarted.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      // the v0 fit is now BLOCKED in flight — ingest must keep completing
+      mem.addData(2L); q.processAllAvailable()
+      mem.addData(3L); q.processAllAvailable()
+      assert(epochsDone == 3,
+        "ingest epochs must complete while the refit trains off the hot path")
+      assert(refit.currentVersion == -1L,
+        "nothing publishes until the fit lands")
+      assert(refit.refitInFlight)
+      fitGate.countDown()
+      refit.awaitRefits()
+      // epochs 1 and 2 both hit the boundary while v0 trained: the requests
+      // collapse — v2 trains next, v1 NEVER exists
+      assert(refit.currentVersion == 2L, s"trained=${trained}")
+      assert(trained.toArray.toSeq == Seq(0L, 2L),
+        s"superseded request must collapse, got ${trained}")
+      assert(refit.current(spark) == "model-v2")
+    } finally q.stop()
   }
 
   test("refit hook: a restarted hook resumes the persisted version without refitting") {
@@ -740,10 +798,12 @@ class StreamingSpec extends AnyFunSuite {
       Some(store))((_, _) => { fits += 1
         Bpe.train(corpus, "text", numMerges = 5, minCount = 2, maxWords = 100) })
     hookA.onEpoch(spark, 0)
+    hookA.awaitRefits() // v0 must train on the PRE-growth corpus
     corpus = corpus.unionByName(
       Seq((1L, "cccc cccc cccc dd dd")).toDF("doc_id", "text"))
     hookA.onEpoch(spark, 1) // not a boundary
     hookA.onEpoch(spark, 2) // boundary: v2 trains on the grown corpus + saves
+    hookA.awaitRefits()
     assert(fits == 2 && hookA.currentVersion == 2L)
     val v2Merges = hookA.current(spark).merges.toSeq
     assert(v2Merges.contains(("c", "c")), s"v2 must know the epoch-1 vocab: $v2Merges")
