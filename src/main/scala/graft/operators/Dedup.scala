@@ -158,24 +158,30 @@ object Dedup {
       bands, threshold)
   }
 
-  /** Core of the snapshot delta, over two signature frames: band both
-    * sides, bucket-join candidates, verify by id-joining the signatures.
-    * Returns one row per flagged incoming doc:
-    * (doc_id, n_base_dups, max_est). */
-  private[operators] def minHashDeltaOverSigs(sigsB: DataFrame,
-      sigsI: DataFrame, numHashes: Int, bands: Int,
-      threshold: Double): DataFrame = {
+  /** Band projection over a signature frame: (asCol, band_id, band_hash) —
+    * the narrow 24-byte rows every LSH bucket join in this file moves. Also
+    * the row shape of [[SignatureStore]]'s persisted band index, so the
+    * stored index and a probe's banding are the same deterministic hash by
+    * construction. */
+  private[operators] def bandedSigs(sigs: DataFrame, as: String,
+      numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    def banded(sigs: DataFrame, as: String) = sigs.select(col("id").as(as),
+    sigs.select(col("id").as(as),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
           .as(Seq("band_id", "band")))
       .select(col(as), col("band_id"),
         xxhash64(col("band_id"), concat_ws(",", col("band"))).as("band_hash"))
-    val cands = banded(sigsI, "id_in")
-      .join(banded(sigsB, "id_base"), Seq("band_id", "band_hash"))
-      .select("id_in", "id_base").distinct()
+  }
+
+  /** Verify (id_in, id_base) candidate pairs by signature-estimated
+    * Jaccard: id-join both signature frames, keep pairs at or above
+    * `threshold`, fold to one row per flagged incoming doc:
+    * (doc_id, n_base_dups, max_est). */
+  private[operators] def verifySigCandidates(cands: DataFrame,
+      sigsI: DataFrame, sigsB: DataFrame, numHashes: Int,
+      threshold: Double): DataFrame =
     cands
       .join(sigsI.select(col("id").as("id_in"), col("sig").as("sig_in")),
         Seq("id_in"))
@@ -189,6 +195,19 @@ object Dedup {
       .groupBy(col("id_in").as("doc_id"))
       .agg(count(lit(1)).as("n_base_dups"),
         round(max("est_jaccard"), 6).as("max_est"))
+
+  /** Core of the snapshot delta, over two signature frames: band both
+    * sides, bucket-join candidates, verify by id-joining the signatures.
+    * Returns one row per flagged incoming doc:
+    * (doc_id, n_base_dups, max_est). */
+  private[operators] def minHashDeltaOverSigs(sigsB: DataFrame,
+      sigsI: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val cands = bandedSigs(sigsI, "id_in", numHashes, bands)
+      .join(bandedSigs(sigsB, "id_base", numHashes, bands),
+        Seq("band_id", "band_hash"))
+      .select("id_in", "id_base").distinct()
+    verifySigCandidates(cands, sigsI, sigsB, numHashes, threshold)
   }
 
   /** 64-bit SimHash over word unigrams: per bit, sum ±1 votes of each token's

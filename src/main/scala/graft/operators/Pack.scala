@@ -272,7 +272,10 @@ object Pack {
   /** Crash-recovery sweep over leftover staging dirs of `tag`: a stage
     * whose epoch marker exists is committed — finish its publish; one
     * without a marker is a pre-commit orphan — discard it (the epoch will
-    * be re-delivered and re-run whole). */
+    * be re-delivered and re-run whole). Only purely-numeric epoch suffixes
+    * match: tag "stream" must never claim `.pack_stage_stream_b_3` (tag
+    * "stream_b", epoch 3) — a prefix-only match would DELETE the sibling
+    * tag's committed-but-unpublished staging. */
   private def healStaging(spark: SparkSession, dir: String,
                           tag: String): Unit = {
     val root = new Path(dir)
@@ -282,9 +285,11 @@ object Pack {
     fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith(prefix)).foreach { stage =>
         val epoch = stage.getName.drop(prefix.length)
-        if (fs.exists(new Path(s"$dir/_packed_${tag}_epoch_$epoch")))
-          publishStage(fs, dir, stage)
-        else fs.delete(stage, true)
+        if (epoch.nonEmpty && epoch.forall(_.isDigit)) {
+          if (fs.exists(new Path(s"$dir/_packed_${tag}_epoch_$epoch")))
+            publishStage(fs, dir, stage)
+          else fs.delete(stage, true)
+        }
       }
   }
 

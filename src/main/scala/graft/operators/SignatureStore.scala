@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted MinHash signature store — the near-dup sibling of
@@ -15,41 +15,60 @@ import org.apache.spark.sql.functions._
   * the memoized-artifact discipline of `adaptation/dataset.py:131-147`,
   * applied to MinHash signatures).
   *
-  * Layout: `dir/sigs` — an append-only parquet table of
-  * (id, sig ARRAY<BIGINT>), `partitionBy(shard)` on the id's hash low
-  * bits, plus `_sig_<tag>_epoch_<e>` idempotence markers (the
-  * [[AnnIndex.ivfAppender]] protocol). `dir/_params` pins
-  * (numHashes, shingleSize): signatures from different parameters never
-  * mix — a probe with mismatched params is a loud error, not silent
-  * zero-overlap estimates.
+  * Layout under `dir`:
+  *  - `sigs/shard=K/` — (id, sig ARRAY<BIGINT>), sharded on the id's hash
+  *    (`NumShards` partitions): the verify join prunes to candidate shards.
+  *  - `bands/bucket=K/` — (id, band_id, band_hash) band index, partitioned
+  *    on the band hash (`NumBuckets` partitions): a probe batch reads ONLY
+  *    its colliding buckets (the [[AnnIndex]] `partitionBy(list_id)` +
+  *    static-prune discipline), never the whole store — per-trigger probe
+  *    cost tracks the batch's bucket footprint, not store age.
+  *  - `_params` — pins (numHashes, shingleSize, bands): signatures from
+  *    different parameters never mix; a mismatched probe is a loud error,
+  *    not silent zero-overlap estimates.
+  *  - `_sigapp_<tag>_epoch_<e>` / `_sigscr_<tag>_epoch_<e>` — idempotence
+  *    markers, one namespace PER SINK KIND: an appender and a screen
+  *    mounted on the same store can never suppress each other's epochs.
+  *  - `.sigapp_stage_<tag>_<e>` / `.sigscr_stage_<tag>_<e>` — per-epoch
+  *    staging dirs (the [[Pack.shardAppender]] stage-then-publish shape).
   *
-  * Scale shape per delta/screen: banding is a cheap slice+hash projection
-  * over the STORED sigs (8·numHashes bytes per doc — no text is ever
-  * re-shingled), the candidate join moves 24-byte (band_id, band_hash, id)
-  * rows with the batch side broadcast, and candidate verification joins
-  * the sigs tables by id with the store side pruned to the candidates'
-  * shards (the [[FingerprintStore]] partition-filter discipline).
+  * Sink crash discipline (both sinks): the epoch's sigs + band rows land
+  * in a staging dir first, the marker commits the epoch, and only then do
+  * the files move into the partitioned tables. A crash before the marker
+  * discards staging and replays the epoch whole — in particular a replayed
+  * SCREEN epoch re-probes a store that does NOT contain its own staged
+  * signatures, so it recomputes identical survivors instead of
+  * self-matching to an empty frame. A crash after the marker replays as a
+  * heal sweep that finishes the pending file moves. A direct
+  * append-then-marker would instead double the epoch's (id, sig) rows,
+  * silently inflating every later delta's n_base_dups.
   */
 object SignatureStore {
 
   private val NumShards = 64
+  private[operators] val NumBuckets = 256
 
-  private def shardCol(id: org.apache.spark.sql.Column) =
-    pmod(xxhash64(id), lit(NumShards))
+  private def shardCol(id: Column) = pmod(xxhash64(id), lit(NumShards))
+  private def bucketCol(bandHash: Column) = pmod(bandHash, lit(NumBuckets))
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Parameter sidecar: written once at seed, checked on every read. */
-  private def writeParams(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-                          numHashes: Int, shingleSize: Int): Unit = {
+  private def writeParams(fs: FileSystem, dir: String, numHashes: Int,
+                          shingleSize: Int, bands: Int): Unit = {
     val p = new Path(s"$dir/_params")
     if (!fs.exists(p)) {
       val out = fs.create(p, true)
-      try out.write(s"$numHashes,$shingleSize".getBytes("UTF-8"))
+      try out.write(s"$numHashes,$shingleSize,$bands".getBytes("UTF-8"))
       finally out.close()
     }
   }
 
-  private def checkParams(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-                          numHashes: Int, shingleSize: Int): Unit = {
+  /** Loud params check. `bands < 0` = caller doesn't band (plain sig
+    * reads) — only (numHashes, shingleSize) must match. */
+  private def checkParams(fs: FileSystem, dir: String, numHashes: Int,
+                          shingleSize: Int, bands: Int = -1): Unit = {
     val p = new Path(s"$dir/_params")
     if (fs.exists(p)) {
       val in = fs.open(p)
@@ -58,24 +77,36 @@ object SignatureStore {
         val n = in.read(buf)
         if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
       } finally in.close()
-      require(txt == s"$numHashes,$shingleSize",
-        s"SignatureStore $dir holds params ($txt), probe asked " +
-          s"($numHashes,$shingleSize) — signatures from different params " +
-          "never compare")
+      val want =
+        if (bands < 0) txt.split(",").take(2).mkString(",")
+        else txt
+      val asked =
+        if (bands < 0) s"$numHashes,$shingleSize"
+        else s"$numHashes,$shingleSize,$bands"
+      require(want == asked,
+        s"SignatureStore $dir holds params ($txt), probe asked ($asked) — " +
+          "signatures from different params never compare")
     }
   }
 
   /** Seed (or extend) the store from a static corpus — the bulk "hash the
-    * snapshot once" pass. One signature computation, one sharded append. */
+    * snapshot once" pass: one signature computation feeds both the sharded
+    * sig table and the band index. Not marker-protected: run it through
+    * [[storeDir]] (atomic build-aside) or re-run it whole on failure. */
   def seed(docs: DataFrame, idCol: String, textCol: String, dir: String,
-           numHashes: Int = 32, shingleSize: Int = 3): Unit = {
+           numHashes: Int = 32, shingleSize: Int = 3, bands: Int = 8): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = docs.sparkSession
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    checkParams(fs, dir, numHashes, shingleSize)
-    Dedup.minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
-      .withColumn("shard", shardCol(col("id")))
+    val fs = fsOf(spark, dir)
+    checkParams(fs, dir, numHashes, shingleSize, bands)
+    val sigs = Dedup.minHashSignatures(docs, idCol, textCol, numHashes,
+      shingleSize).localCheckpoint()
+    sigs.withColumn("shard", shardCol(col("id")))
       .write.mode("append").partitionBy("shard").parquet(s"$dir/sigs")
-    writeParams(fs, dir, numHashes, shingleSize)
+    Dedup.bandedSigs(sigs, "id", numHashes, bands)
+      .withColumn("bucket", bucketCol(col("band_hash")))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
+    writeParams(fs, dir, numHashes, shingleSize, bands)
   }
 
   /** The stored signature table: (id, sig, shard). Empty frame (same
@@ -83,91 +114,312 @@ object SignatureStore {
     * store admit everything instead of failing on a missing path. */
   def read(spark: SparkSession, dir: String, numHashes: Int = 32,
            shingleSize: Int = 3): DataFrame = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    checkParams(fs, dir, numHashes, shingleSize)
-    if (fs.exists(new Path(s"$dir/sigs")))
+    checkParams(fsOf(spark, dir), dir, numHashes, shingleSize)
+    readSigsRaw(spark, dir)
+  }
+
+  private def readSigsRaw(spark: SparkSession, dir: String): DataFrame =
+    if (fsOf(spark, dir).exists(new Path(s"$dir/sigs")))
       spark.read.parquet(s"$dir/sigs")
     else {
       import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("id", LongType),
           StructField("sig", ArrayType(LongType)),
           StructField("shard", LongType))))
     }
+
+  /** The stored band index: (id, band_id, band_hash, bucket); empty frame
+    * for a fresh store. A store holding sigs WITHOUT a band index (a
+    * pre-index layout) is a loud error — a silent empty index would admit
+    * every near-dup. [[backfillBands]] migrates such a store in place. */
+  def readBands(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    if (fs.exists(new Path(s"$dir/bands")))
+      spark.read.parquet(s"$dir/bands")
+    else if (fs.exists(new Path(s"$dir/sigs")))
+      throw new IllegalStateException(
+        s"SignatureStore $dir holds sigs but no band index — a pre-index " +
+          "store; run backfillBands before probing")
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType),
+          StructField("band_id", IntegerType),
+          StructField("band_hash", LongType),
+          StructField("bucket", LongType))))
+    }
+  }
+
+  /** Rebuild the band index from the stored sigs in one pass (migration
+    * for a pre-index store; also a repair tool): build aside, swap in
+    * atomically. Single-writer, like [[compact]]. */
+  def backfillBands(spark: SparkSession, dir: String, numHashes: Int = 32,
+                    shingleSize: Int = 3, bands: Int = 8): Unit = {
+    val fs = fsOf(spark, dir)
+    checkParams(fs, dir, numHashes, shingleSize)
+    if (!fs.exists(new Path(s"$dir/sigs"))) return
+    val tmp = new Path(s"$dir/.bands_backfill.tmp")
+    fs.delete(tmp, true)
+    Dedup.bandedSigs(readSigsRaw(spark, dir).select("id", "sig"), "id",
+        numHashes, bands)
+      .withColumn("bucket", bucketCol(col("band_hash")))
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    fs.delete(new Path(s"$dir/bands"), true)
+    require(fs.rename(tmp, new Path(s"$dir/bands")),
+      s"backfillBands: cannot publish $tmp")
+  }
+
+  // ---------------------------------------------------------------- sinks
+
+  private def markerPath(dir: String, kind: String, tag: String,
+                         epoch: Long): String =
+    s"$dir/_${kind}_${tag}_epoch_$epoch"
+
+  private def stagePath(dir: String, kind: String, tag: String,
+                        epoch: Long): String =
+    s"$dir/.${kind}_stage_${tag}_$epoch"
+
+  /** Write one epoch's signatures into a staging dir: sharded sigs under
+    * `stage/sigs`, band-index rows under `stage/bands`. */
+  private def writeStage(sigs: DataFrame, numHashes: Int, bands: Int,
+                         stage: String): Unit = {
+    sigs.withColumn("shard", shardCol(col("id")))
+      .write.partitionBy("shard").parquet(s"$stage/sigs")
+    Dedup.bandedSigs(sigs, "id", numHashes, bands)
+      .withColumn("bucket", bucketCol(col("band_hash")))
+      .write.partitionBy("bucket").parquet(s"$stage/bands")
+  }
+
+  /** Move a committed staging dir's files into the store's partitioned
+    * tables, then drop the staging dir. Idempotent: per-file atomic
+    * renames; already-moved files are simply absent on a re-sweep. */
+  private def publishStage(fs: FileSystem, dir: String, stage: Path): Unit = {
+    if (!fs.exists(stage)) return
+    Seq("sigs" -> "shard=", "bands" -> "bucket=").foreach {
+      case (sub, partPrefix) =>
+        val subDir = new Path(stage, sub)
+        if (fs.exists(subDir))
+          fs.listStatus(subDir).map(_.getPath)
+            .filter(_.getName.startsWith(partPrefix)).foreach { pd =>
+              val dest = new Path(s"$dir/$sub/${pd.getName}")
+              fs.mkdirs(dest)
+              fs.listStatus(pd).map(_.getPath)
+                .filter(_.getName.endsWith(".parquet")).foreach { f =>
+                  require(fs.rename(f, new Path(dest, f.getName)),
+                    s"SignatureStore: cannot publish $f")
+                }
+            }
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Crash-recovery sweep over leftover staging dirs of (kind, tag): a
+    * stage whose epoch marker exists is committed — finish its publish;
+    * one without a marker is a pre-commit orphan — discard it (its epoch
+    * replays whole). Only purely-numeric epoch suffixes match, so a tag
+    * that prefixes another tag can never claim (and destroy) the longer
+    * tag's staging. */
+  private def healStaging(fs: FileSystem, dir: String, kind: String,
+                          tag: String): Unit = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) return
+    val prefix = s".${kind}_stage_${tag}_"
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).foreach { stage =>
+        val epoch = stage.getName.drop(prefix.length)
+        if (epoch.nonEmpty && epoch.forall(_.isDigit)) {
+          if (fs.exists(new Path(markerPath(dir, kind, tag, epoch.toLong))))
+            publishStage(fs, dir, stage)
+          else fs.delete(stage, true)
+        }
+      }
   }
 
   /** foreachBatch sink extending the store: each epoch's docs are hashed
-    * once and their signatures appended under their shards. Idempotent
-    * under at-least-once re-delivery via the epoch-marker protocol; a
-    * RESTARTED appender resumes seamlessly — the store is append-only
-    * parquet, so there is no in-memory state to rebuild (contrast
-    * [[Pack.shardAppender]]'s running token total). Single appender stream
-    * per store, the maintainer contract of the other stores. */
+    * once and their signatures + band rows stage, commit (marker), and
+    * publish. Exactly-once under at-least-once re-delivery; a RESTARTED
+    * appender heals pending publishes and resumes — the store is
+    * append-only parquet, no in-memory state to rebuild. Single appender
+    * stream per store, the maintainer contract of the other stores. */
   def appender(spark: SparkSession, dir: String, idCol: String,
                textCol: String, numHashes: Int = 32, shingleSize: Int = 3,
+               bands: Int = 8,
                streamTag: String = "stream"): (DataFrame, Long) => Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    healStaging(fsOf(spark, dir), dir, "sigapp", streamTag)
     (batch: DataFrame, epoch: Long) => {
-      val fs = new Path(dir).getFileSystem(
-        batch.sparkSession.sparkContext.hadoopConfiguration)
-      checkParams(fs, dir, numHashes, shingleSize)
-      val marker = new Path(s"$dir/_sig_${streamTag}_epoch_$epoch")
-      if (!fs.exists(marker) && !batch.isEmpty) {
-        Dedup.minHashSignatures(batch, idCol, textCol, numHashes, shingleSize)
-          .withColumn("shard", shardCol(col("id")))
-          .write.mode("append").partitionBy("shard").parquet(s"$dir/sigs")
-        writeParams(fs, dir, numHashes, shingleSize)
+      val fs = fsOf(batch.sparkSession, dir)
+      checkParams(fs, dir, numHashes, shingleSize, bands)
+      val marker = new Path(markerPath(dir, "sigapp", streamTag, epoch))
+      if (fs.exists(marker)) {
+        healStaging(fs, dir, "sigapp", streamTag)
+      } else if (!batch.isEmpty) {
+        val stage = new Path(stagePath(dir, "sigapp", streamTag, epoch))
+        fs.delete(stage, true)
+        val sigs = Dedup.minHashSignatures(batch, idCol, textCol, numHashes,
+          shingleSize).localCheckpoint()
+        writeStage(sigs, numHashes, bands, stage.toString)
+        writeParams(fs, dir, numHashes, shingleSize, bands)
         fs.create(marker, true).close()
+        publishStage(fs, dir, stage)
       }
     }
+  }
+
+  /** Batch-vs-store near-dup probe on the PRUNED path: band the probe
+    * sigs, read ONLY the store buckets those bands hash into (static
+    * partition filter over the band index), then verify candidates against
+    * ONLY their sig shards (static partition filter + broadcast semi-join,
+    * the [[FingerprintStore.dedupSink]] verify shape). Returns
+    * (doc_id, n_base_dups, max_est) — [[Dedup.minHashDeltaOverSigs]]
+    * semantics. The only collects are the two distinct partition-value
+    * lists, bounded by NumBuckets (256) and NumShards (64). `eager=false`
+    * skips the intermediate localCheckpoints so the returned plan exposes
+    * both pruned scans (plan pins); production callers keep the default. */
+  def probeStored(spark: SparkSession, dir: String, probeSigs: DataFrame,
+                  numHashes: Int, bands: Int, threshold: Double,
+                  eager: Boolean = true): DataFrame = {
+    def pin(df: DataFrame) = if (eager) df.localCheckpoint() else df
+    val bandsI = pin(Dedup.bandedSigs(probeSigs, "id_in", numHashes, bands)
+      .withColumn("bucket", bucketCol(col("band_hash"))))
+    val buckets = bandsI.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ NumBuckets rows
+    val storeBands = readBands(spark, dir)
+    val cands = pin((if (buckets.isEmpty) storeBands.limit(0)
+                 else storeBands.filter(col("bucket").isin(buckets: _*)))
+      .select(col("id").as("id_base"), col("band_id"), col("band_hash"))
+      .join(broadcast(bandsI.select("band_id", "band_hash", "id_in")),
+        Seq("band_id", "band_hash"))
+      .select("id_in", "id_base").distinct())
+    val shards = cands.select(shardCol(col("id_base")).as("shard"))
+      .distinct().collect().map(_.getLong(0)).toSeq // ≤ NumShards rows
+    val sigsB =
+      (if (shards.isEmpty) readSigsRaw(spark, dir).limit(0)
+       else readSigsRaw(spark, dir).filter(col("shard").isin(shards: _*))
+         .join(broadcast(cands.select(col("id_base").as("id"))), Seq("id"),
+           "left_semi"))
+        .select("id", "sig")
+    Dedup.verifySigCandidates(cands, probeSigs, sigsB, numHashes, threshold)
   }
 
   /** foreachBatch sink SCREENING each micro-batch against the store before
     * admitting: documents that are MinHash near-duplicates (estimated
     * Jaccard ≥ `threshold`) of anything already stored are dropped;
-    * survivors' signatures append and the surviving rows (original
-    * columns) flow to `out`. Mount DOWNSTREAM of
+    * survivors' signatures stage-commit-publish and the surviving rows
+    * (original columns) flow to `out`. Mount DOWNSTREAM of
     * [[FingerprintStore.dedupSink]]: the fp store kills byte-identical
     * re-deliveries cheaply, this screen catches the re-crawl that changed
     * one timestamp token.
     *
     * Per epoch the batch's text is hashed ONCE ([[Dedup.minHashSignatures]])
-    * and that signature frame feeds the screen, the append, and nothing
-    * else re-reads the text. The store side is never re-hashed — banding is
-    * a projection over the stored sigs. Near-dups WITHIN one batch admit
-    * together (documented: the screen compares batch vs store; intra-batch
-    * near-dup at micro-batch size is the batch pipeline's job). Replayed
-    * epochs skip via the marker — re-screening would find the batch's own
-    * just-appended signatures and drop everything. */
+    * and that signature frame feeds the probe, the append, and nothing
+    * else re-reads the text. The probe runs the [[probeStored]] pruned
+    * path — colliding band buckets + candidate sig shards only, so
+    * per-trigger cost tracks the batch's collision footprint, not store
+    * age. Near-dups WITHIN one batch admit together (documented: the
+    * screen compares batch vs store; intra-batch near-dup at micro-batch
+    * size is the batch pipeline's job).
+    *
+    * Crash windows (all pinned in StreamingSpec): `out(survivors)` runs
+    * BEFORE anything persists, and the epoch's sigs are invisible until
+    * the marker commits — a replay from any pre-marker crash re-probes a
+    * store without this epoch's sigs and recomputes identical survivors
+    * (never a self-match); a post-marker crash replays as a heal that
+    * finishes the publish. */
   def screenSink(spark: SparkSession, dir: String, idCol: String,
                  textCol: String, threshold: Double = 0.5,
                  numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
                  streamTag: String = "stream")
                 (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    healStaging(fsOf(spark, dir), dir, "sigscr", streamTag)
     (batch: DataFrame, epoch: Long) => {
-      val fs = new Path(dir).getFileSystem(
-        batch.sparkSession.sparkContext.hadoopConfiguration)
-      checkParams(fs, dir, numHashes, shingleSize)
-      val marker = new Path(s"$dir/_sig_${streamTag}_epoch_$epoch")
-      if (!fs.exists(marker) && !batch.isEmpty) {
+      val fs = fsOf(batch.sparkSession, dir)
+      checkParams(fs, dir, numHashes, shingleSize, bands)
+      val marker = new Path(markerPath(dir, "sigscr", streamTag, epoch))
+      if (fs.exists(marker)) {
+        healStaging(fs, dir, "sigscr", streamTag)
+      } else if (!batch.isEmpty) {
+        val stage = new Path(stagePath(dir, "sigscr", streamTag, epoch))
+        fs.delete(stage, true)
         val b = batch.localCheckpoint()
         val sigsI = Dedup.minHashSignatures(b, idCol, textCol, numHashes,
           shingleSize).localCheckpoint()
-        val flagged = Dedup.minHashDeltaOverSigs(read(spark, dir, numHashes,
-            shingleSize).select("id", "sig"), sigsI, numHashes, bands,
+        val flagged = probeStored(spark, dir, sigsI, numHashes, bands,
             threshold)
-          .select(col("doc_id").as(idCol))
+          .select(col("doc_id").as(idCol)).localCheckpoint()
         val survivors = b.join(broadcast(flagged), Seq(idCol), "left_anti")
           .localCheckpoint()
         out(survivors)
-        sigsI.join(broadcast(flagged.select(col(idCol).as("id"))),
-            Seq("id"), "left_anti")
-          .withColumn("shard", shardCol(col("id")))
-          .write.mode("append").partitionBy("shard").parquet(s"$dir/sigs")
-        writeParams(fs, dir, numHashes, shingleSize)
+        val survSigs = sigsI
+          .join(broadcast(flagged.select(col(idCol).as("id"))), Seq("id"),
+            "left_anti")
+        writeStage(survSigs, numHashes, bands, stage.toString)
+        writeParams(fs, dir, numHashes, shingleSize, bands)
         fs.create(marker, true).close()
+        publishStage(fs, dir, stage)
       }
     }
+  }
+
+  // ----------------------------------------------------------- maintenance
+
+  /** Compact the store: a long-lived appender/screen leaves one parquet
+    * file per epoch per touched partition; fold each `sigs/shard=` and
+    * `bands/bucket=` partition back to one file (the [[AnnIndex.compact]]
+    * disease, same cure). Whole-table aside-publish-heal swap per
+    * sub-table (the [[FingerprintStore.compact]] protocol): build the
+    * rewrite in a dot-temp while the live table still serves, move the old
+    * table aside, publish, delete the aside; a crash between aside and
+    * publish heals at the next call (or read) by restoring the aside.
+    * Markers and staging dirs are untouched — epoch idempotence survives
+    * compaction. Single-writer: run between epochs of a live sink, never
+    * racing an in-flight one. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    compactTable(spark, dir, "sigs", "shard")
+    compactTable(spark, dir, "bands", "bucket")
+  }
+
+  private def compactTable(spark: SparkSession, dir: String, sub: String,
+                           partCol: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(s"$dir/$sub")
+    val prev = new Path(s"$dir/.${sub}_precompact")
+    if (!fs.exists(root) && fs.exists(prev))
+      require(fs.rename(prev, root), s"compact: cannot heal $prev")
+    if (!fs.exists(root)) return
+    val tmp = new Path(s"$dir/.${sub}_compact.tmp")
+    fs.delete(tmp, true)
+    fs.delete(prev, true)
+    spark.read.parquet(root.toString)
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).parquet(tmp.toString)
+    require(fs.rename(root, prev), s"compact: cannot move $root aside")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(prev, root)
+      throw new IllegalStateException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(prev, true)
+  }
+
+  /** Data-file count across both partitioned tables (compaction
+    * telemetry, the [[Pack.shardFileCount]] twin). */
+  def fileCount(spark: SparkSession, dir: String): Int = {
+    val fs = fsOf(spark, dir)
+    Seq("sigs", "bands").map { sub =>
+      val root = new Path(s"$dir/$sub")
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root)
+        .filter(st => st.isDirectory &&
+          (st.getPath.getName.startsWith("shard=") ||
+            st.getPath.getName.startsWith("bucket=")))
+        .map(sd => fs.listStatus(sd.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")))
+        .sum
+    }.sum
   }
 
   /** Build (or reuse) a persisted store for a static base corpus; returns
@@ -175,21 +427,24 @@ object SignatureStore {
     * `corpusPath` keys the digest, the build is atomic (write aside +
     * rename), and every session sharing the cache root reuses one build.
     * This is how a batch delta query gets the "snapshot signatures are
-    * computed once" shape without managing dirs itself. */
+    * computed once" shape without managing dirs itself. The digest carries
+    * a layout-format token: stores built before the band index never
+    * collide with (and silently miss probes against) the indexed layout. */
   def storeDir(base: DataFrame, corpusPath: String, idCol: String,
                textCol: String, numHashes: Int = 32, shingleSize: Int = 3,
-               variant: String = ""): String = {
+               bands: Int = 8, variant: String = ""): String = {
     val spark = base.sparkSession
-    val digest = AdaptCache.digestOf(Seq(corpusPath,
+    val digest = AdaptCache.digestOf(Seq("sigstore_v2", corpusPath,
       AdaptCache.corpusToken(spark, corpusPath), idCol, textCol,
-      numHashes.toString, shingleSize.toString, variant))
+      numHashes.toString, shingleSize.toString, bands.toString, variant))
     val dir = new Path(AdaptCache.cacheRoot(spark), s"sig_store_$digest")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) AdaptCache.synchronized {
       if (!fs.exists(dir)) {
         val tmp = new Path(dir.getParent, s".sig_store_$digest.tmp")
         fs.delete(tmp, true)
-        seed(base, idCol, textCol, tmp.toString, numHashes, shingleSize)
+        seed(base, idCol, textCol, tmp.toString, numHashes, shingleSize,
+          bands)
         if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost a race: reuse
       }
     }

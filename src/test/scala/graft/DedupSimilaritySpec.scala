@@ -122,6 +122,207 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("params"), ex.getMessage)
   }
 
+  test("signature store: pruned probe equals the full-scan delta; both store " +
+    "scans are partition-pruned (band buckets + sig shards)") {
+    import graft.operators.SignatureStore
+    val dir = java.nio.file.Files.createTempDirectory("sigprobe").toString
+    val base = (0L until 40L).map(i =>
+      (i, s"base document number $i with some shared words plus token${i} " +
+        s"extra${i} filler${i} more${i} tail${i}"))
+      .toDF("doc_id", "text")
+    SignatureStore.seed(base, "doc_id", "text", dir)
+    val incoming = Seq(
+      (100L, "base document number 7 with some shared words plus token7 " +
+        "extra7 filler7 more7 tail7"),        // verbatim re-crawl of 7
+      (101L, "base document number 7 with some shared words plus token7 " +
+        "extra7 filler7 more7 CHANGED"),      // near-dup of 7 (one token)
+      (102L, "entirely novel words that never appeared anywhere before now"))
+      .toDF("doc_id", "text")
+    val sigsI = Dedup.minHashSignatures(incoming, "doc_id", "text", 32, 3)
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = rows(Dedup.minHashDeltaStored(SignatureStore.read(spark, dir),
+      incoming, "doc_id", "text", 32, 8, 3, 0.3))
+    val pruned = rows(SignatureStore.probeStored(spark, dir, sigsI, 32, 8, 0.3))
+    assert(pruned == full, s"pruned=$pruned full=$full")
+    assert(pruned.exists(_._1 == 100L) && pruned.exists(_._1 == 101L) &&
+      !pruned.exists(_._1 == 102L), pruned.toString)
+    // plan pin: with checkpoints off, the probe's plan must show BOTH store
+    // scans statically partition-pruned — bands by bucket, sigs by shard
+    val p = {
+      val df = SignatureStore.probeStored(spark, dir, sigsI, 32, 8, 0.3,
+        eager = false)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out)(df.explain("formatted"))
+      out.toString
+    }
+    assert("PartitionFilters: \\[[^\\n]*bucket".r.findFirstIn(p).isDefined, p)
+    assert("PartitionFilters: \\[[^\\n]*shard".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("signature store: stage-then-publish — a committed-but-unpublished " +
+    "epoch heals on restart; an uncommitted stage is discarded; a sibling " +
+    "tag's staging is never touched") {
+    import graft.operators.SignatureStore
+    val fsp = java.nio.file.Files.createTempDirectory("sigcrash")
+    val dir = fsp.toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    SignatureStore.seed(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines and scale"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    def count() = SignatureStore.read(spark, dir).count()
+    assert(count() == 2)
+    // hand-build a committed-but-unpublished appender epoch: seed a scratch
+    // store (identical layout), move its tables under the stage dir, write
+    // the commit marker — exactly what a crash between marker and publish
+    // leaves behind
+    val scratch = java.nio.file.Files.createTempDirectory("sigscratch").toString
+    SignatureStore.seed(Seq(
+      (20L, "a brand new page crawled this morning about rivers"))
+      .toDF("doc_id", "text"), "doc_id", "text", scratch)
+    val stage = s"$dir/.sigapp_stage_t_0"
+    fs.mkdirs(path(stage))
+    require(fs.rename(path(s"$scratch/sigs"), path(s"$stage/sigs")))
+    require(fs.rename(path(s"$scratch/bands"), path(s"$stage/bands")))
+    fs.create(path(s"$dir/_sigapp_t_epoch_0"), true).close()
+    assert(count() == 2, "dot-staging must be invisible to readers")
+    val app = SignatureStore.appender(spark, dir, "doc_id", "text",
+      streamTag = "t")
+    assert(count() == 3, "committed epoch must publish on heal")
+    assert(!fs.exists(path(stage)))
+    val ep0 = Seq((20L, "a brand new page crawled this morning about rivers"))
+      .toDF("doc_id", "text")
+    app(ep0, 0L) // replay of the healed epoch: marker found → no double
+    assert(count() == 3)
+    assert(SignatureStore.read(spark, dir).select("id").distinct().count() == 3,
+      "no id may hold two signature rows after crash + heal + replay")
+    // uncommitted orphan stage (crash BEFORE the marker): discarded, and
+    // the re-delivered epoch appends exactly once
+    val scratch2 = java.nio.file.Files.createTempDirectory("sigscr2").toString
+    SignatureStore.seed(Seq((999L, "junk rows that must never publish"))
+      .toDF("doc_id", "text"), "doc_id", "text", scratch2)
+    val stage1 = s"$dir/.sigapp_stage_t_1"
+    fs.mkdirs(path(stage1))
+    require(fs.rename(path(s"$scratch2/sigs"), path(s"$stage1/sigs")))
+    require(fs.rename(path(s"$scratch2/bands"), path(s"$stage1/bands")))
+    // a SIBLING tag's stage that this tag's heal must never claim: tag "t"
+    // is a string prefix of tag "t_b" (the Pack.healStaging lesson)
+    val stageSib = s"$dir/.sigapp_stage_t_b_3"
+    fs.mkdirs(path(stageSib))
+    val app2 = SignatureStore.appender(spark, dir, "doc_id", "text",
+      streamTag = "t")
+    assert(!fs.exists(path(stage1)),
+      "uncommitted stage must be discarded, not published")
+    assert(fs.exists(path(stageSib)),
+      "tag t's heal must not touch tag t_b's staging")
+    assert(count() == 3)
+    app2(Seq((21L, "another genuinely fresh page about mountain weather"))
+      .toDF("doc_id", "text"), 1L)
+    assert(count() == 4)
+    // the published epochs are probe-visible through the band index
+    val hit = SignatureStore.probeStored(spark, dir,
+      Dedup.minHashSignatures(
+        Seq((50L, "a brand new page crawled this morning about rivers"))
+          .toDF("doc_id", "text"), "doc_id", "text", 32, 3),
+      32, 8, 0.3).collect()
+    assert(hit.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((50L, 1.0)), hit.mkString(","))
+  }
+
+  test("signature store: appender and screen marker namespaces are disjoint — " +
+    "same tag, same epoch, neither suppresses the other") {
+    import graft.operators.SignatureStore
+    val dir = java.nio.file.Files.createTempDirectory("signs").toString
+    SignatureStore.seed(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    // appender runs epoch 0 under tag "stream"
+    val app = SignatureStore.appender(spark, dir, "doc_id", "text")
+    app(Seq((1L, "completely different content about spark engines and scale"))
+      .toDF("doc_id", "text"), 0L)
+    assert(SignatureStore.read(spark, dir).count() == 2)
+    // a screen on the SAME store, SAME default tag, SAME epoch id must
+    // still screen (shared `_sig_` markers would skip it, admitting dups)
+    val screened = scala.collection.mutable.ArrayBuffer[Long]()
+    val screen = SignatureStore.screenSink(spark, dir, "doc_id", "text",
+      threshold = 0.4) { df =>
+      screened ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    screen(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // stored dup
+      (11L, "fresh unrelated words nobody wrote before today anywhere"))
+      .toDF("doc_id", "text"), 0L)
+    assert(screened.sorted.toSeq == Seq(11L),
+      s"screen must run and reject the stored dup: ${screened.mkString(",")}")
+    assert(SignatureStore.read(spark, dir).count() == 3)
+    // and the screen's epoch didn't suppress a LATER appender epoch either
+    app(Seq((2L, "another genuinely fresh page about mountain weather"))
+      .toDF("doc_id", "text"), 1L)
+    assert(SignatureStore.read(spark, dir).count() == 4)
+  }
+
+  test("signature store: compaction folds per-epoch files, preserves probe " +
+    "results, and leaves replay markers intact") {
+    import graft.operators.SignatureStore
+    val dir = java.nio.file.Files.createTempDirectory("sigcompact").toString
+    SignatureStore.seed(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val app = SignatureStore.appender(spark, dir, "doc_id", "text",
+      streamTag = "c")
+    val eps = Seq(
+      (10L, "completely different content about spark engines and scale"),
+      (11L, "fresh unrelated words nobody wrote before today anywhere"),
+      (12L, "another genuinely fresh page about mountain weather"))
+    eps.zipWithIndex.foreach { case ((id, t), e) =>
+      app(Seq((id, t)).toDF("doc_id", "text"), e.toLong)
+    }
+    val before = SignatureStore.fileCount(spark, dir)
+    def probe(id: Long, text: String) = SignatureStore.probeStored(spark, dir,
+        Dedup.minHashSignatures(Seq((id, text)).toDF("doc_id", "text"),
+          "doc_id", "text", 32, 3), 32, 8, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hitsBefore = probe(90L, eps(1)._2)
+    SignatureStore.compact(spark, dir)
+    val after = SignatureStore.fileCount(spark, dir)
+    assert(after < before, s"compaction must fold files: $before -> $after")
+    assert(SignatureStore.read(spark, dir).count() == 4)
+    assert(probe(90L, eps(1)._2) == hitsBefore)
+    // replay markers survive compaction: re-delivering epoch 0 is a no-op
+    app(Seq(eps(0)).toDF("doc_id", "text"), 0L)
+    assert(SignatureStore.read(spark, dir).count() == 4)
+    // and the appender keeps extending the compacted store
+    app(Seq((13L, "yet another never seen page about glaciers and wind"))
+      .toDF("doc_id", "text"), 3L)
+    assert(SignatureStore.read(spark, dir).count() == 5)
+  }
+
+  test("signature store: a pre-index store (sigs, no bands) fails loudly on " +
+    "probe and migrates via backfillBands") {
+    import graft.operators.SignatureStore
+    val dir = java.nio.file.Files.createTempDirectory("sigmigrate").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    SignatureStore.seed(docs, "doc_id", "text", dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bands"), true)
+    val probeSigs = Dedup.minHashSignatures(
+      Seq((100L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), "doc_id", "text", 32, 3).localCheckpoint()
+    val ex = intercept[IllegalStateException] {
+      SignatureStore.probeStored(spark, dir, probeSigs, 32, 8, 0.3).collect()
+    }
+    assert(ex.getMessage.contains("backfillBands"), ex.getMessage)
+    SignatureStore.backfillBands(spark, dir)
+    val hits = SignatureStore.probeStored(spark, dir, probeSigs, 32, 8, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // matches docs 0 and 1 verbatim (est 1.0) and near-dup doc 2 at 0.3
+    assert(hits.toSeq == Seq((100L, 3L, 1.0)), hits.mkString(","))
+  }
+
   test("simhash: identical docs at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

@@ -167,10 +167,17 @@ class PackSpec extends AnyFunSuite {
     Seq((999L, 1L, "junk", 0L, 0L, 0L))
       .toDF("doc_id", "n_toks", "text", "bin_id", "bin_offset", "shard")
       .write.partitionBy("shard").parquet(s"$dir/.pack_stage_t_1")
+    // a SIBLING tag's committed-but-unpublished stage: tag "t" is a string
+    // prefix of tag "t_b" — tag t's heal must neither publish nor delete it
+    Seq((998L, 1L, "sibling", 0L, 0L, 0L))
+      .toDF("doc_id", "n_toks", "text", "bin_id", "bin_offset", "shard")
+      .write.partitionBy("shard").parquet(s"$dir/.pack_stage_t_b_3")
     val app2 = Pack.shardAppender(spark, dir, "doc_id", "n_toks",
       budget = 128L, binsPerShard = 4L, streamTag = "t")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.pack_stage_t_1")),
       "uncommitted stage must be discarded, not published")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.pack_stage_t_b_3")),
+      "tag t's heal must not touch tag t_b's staging")
     assert(storeCount() == 51)
     val ep1 = Seq((101L, 7L, "p-101")).toDF("doc_id", "n_toks", "text")
     app2(ep1, 1L) // the re-delivered epoch appends exactly once
