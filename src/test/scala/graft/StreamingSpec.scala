@@ -943,6 +943,181 @@ class StreamingSpec extends AnyFunSuite {
     assert(quaN == Set(3L, 6L, 8L), quaN.toString)
   }
 
+  test("full front door with signature screen: the one-token-changed re-crawl " +
+    "passes the gate AND the fingerprint store but is rejected at the screen") {
+    import graft.operators.{Dsir, FingerprintStore, SignatureStore}
+    import graft.streaming.IngestGate
+    implicit val sqlCtx = spark.sqlContext
+    // 80-token vocab, ref salts 0..59: every bigram is covered (gate
+    // affinity), and 24-token pages at salts 4/30/56 are pairwise DISJOINT
+    // windows — genuinely-new pages share zero shingles with stored ones
+    def w(v: String, i: Int) = f"$v${i % 80}%02d"
+    def doc(v: String, salt: Int) =
+      (0 until 24).map(i => w(v, salt + i)).mkString(" ")
+    // the re-crawl: same page, ONE trailing token changed — different bytes
+    // (fp store admits), 19/25 shared shingles (J=0.76, screen rejects)
+    def recrawl(v: String, salt: Int) =
+      (0 until 23).map(i => w(v, salt + i)).mkString(" ") + " " + w(v, salt + 40)
+    val ref = ((0 until 60).map(i => (i.toLong, doc("alpha", i), true)) ++
+        (0 until 60).map(i => (200L + i, doc("beta", i), false)))
+      .toDF("doc_id", "text", "is_target")
+    val gate = new IngestGate(
+      Dsir.bucketStats(ref, "doc_id", "text", col("is_target")),
+      minAffinity = 2.0)
+    val fpDir = java.nio.file.Files.createTempDirectory("door_fp").toString
+    val sigDir = java.nio.file.Files.createTempDirectory("door_sig").toString
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val pastFp = scala.collection.mutable.ArrayBuffer[Long]()
+    val curEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val screen = SignatureStore.screenSink(spark, sigDir, "doc_id", "text",
+      threshold = 0.45, streamTag = "door") { df =>
+      admitted ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    val fpSink = FingerprintStore.dedupSink(spark, fpDir, "doc_id", "text",
+      streamTag = "door") { df =>
+      pastFp ++= df.select("doc_id").collect().map(_.getLong(0))
+      screen(df, curEpoch.get())
+    }
+    val mem = MemoryStream[(Long, String)]
+    val query = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(gate.sinkEpoch("doc_id", "text")(
+        { (df, e) => curEpoch.set(e); fpSink(df, e) })((_, _) => ()))
+      .start()
+    try {
+      // epoch 0: first crawl of the page + an off-topic doc
+      mem.addData((1L, doc("alpha", 4)), (2L, doc("beta", 7)))
+      query.processAllAvailable()
+      // epoch 1: byte-identical re-delivery (fp store's kill), the
+      // one-token-changed re-crawl (screen's kill), and a genuinely new page
+      mem.addData((3L, doc("alpha", 4)), (4L, recrawl("alpha", 4)),
+        (5L, doc("alpha", 30)))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(pastFp.sorted.toSeq == Seq(1L, 4L, 5L),
+      s"fp store alone ADMITS the changed re-crawl: ${pastFp.mkString(",")}")
+    assert(admitted.sorted.toSeq == Seq(1L, 5L),
+      s"screen must reject the re-crawl the fp store admitted: " +
+        admitted.mkString(","))
+    // the store holds one signature per admitted doc, none for rejects
+    val ids = SignatureStore.read(spark, sigDir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 5L), ids.mkString(","))
+  }
+
+  test("crash replay: gate -> fp store -> signature screen recovers " +
+    "bit-identical stores and never self-matches a replayed epoch") {
+    // Screen-specific crash windows on a checkpointed file-source query:
+    //  - screen-out (survivors delivered, NOTHING persisted): the replay
+    //    re-probes a store WITHOUT the epoch's own sigs — it must recompute
+    //    the SAME nonempty survivor set, never self-match to empty;
+    //  - accept-entry (nothing ran): plain whole-epoch replay;
+    //  - quarantine (every store + marker committed): replay is a no-op.
+    import graft.operators.{Dsir, FingerprintStore, SignatureStore}
+    import graft.streaming.IngestGate
+    // disjoint-window page design: see the front-door screen test above
+    def w(v: String, i: Int) = f"$v${i % 80}%02d"
+    def doc(v: String, salt: Int) =
+      (0 until 24).map(i => w(v, salt + i)).mkString(" ")
+    def recrawl(v: String, salt: Int) =
+      (0 until 23).map(i => w(v, salt + i)).mkString(" ") + " " + w(v, salt + 40)
+    val ref = ((0 until 60).map(i => (i.toLong, doc("alpha", i), true)) ++
+        (0 until 60).map(i => (200L + i, doc("beta", i), false)))
+      .toDF("doc_id", "text", "is_target")
+    val epochs = Seq(
+      Seq((1L, doc("alpha", 4)), (3L, doc("beta", 7))),
+      Seq((4L, recrawl("alpha", 4)), (5L, doc("alpha", 30))),
+      Seq((7L, doc("alpha", 56)), (9L, recrawl("alpha", 30))))
+
+    def runScenario(tag: String, crashPlan: Set[String]):
+        (String, String, Set[Long], Set[Long]) = {
+      val inDir = java.nio.file.Files.createTempDirectory(s"scr_in_$tag").toFile
+      epochs.zipWithIndex.foreach { case (rows, i) =>
+        val f = new java.io.File(inDir, f"b$i%02d.json")
+        val js = rows.map { case (id, t) =>
+          s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n")
+        java.nio.file.Files.write(f.toPath, js.getBytes("UTF-8"))
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"scr_ck_$tag").toString
+      val fpDir = java.nio.file.Files.createTempDirectory(s"scr_fp_$tag").toString
+      val sigDir = java.nio.file.Files.createTempDirectory(s"scr_sg_$tag").toString
+      val crashed = scala.collection.mutable.Set[String]()
+      def crashPoint(p: String): Unit =
+        if (crashPlan.contains(p) && crashed.add(p))
+          throw new RuntimeException(s"injected crash at $p")
+      val admitted = scala.collection.mutable.Set[Long]()
+      val quarantined = scala.collection.mutable.Set[Long]()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 8) {
+        attempts += 1
+        // fresh gate + sinks per restart: blooms, heal sweeps, and stats
+        // reload from disk, exactly like a recovered driver process
+        val gate = new IngestGate(
+          Dsir.bucketStats(ref, "doc_id", "text", col("is_target")),
+          minAffinity = 2.0)
+        val curEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val screen = SignatureStore.screenSink(spark, sigDir, "doc_id",
+          "text", threshold = 0.45, streamTag = "cr") { df =>
+          val ids = df.select("doc_id").collect().map(_.getLong(0))
+          admitted ++= ids
+          crashPoint(s"screen-out-${curEpoch.get()}")
+        }
+        val fpSink = FingerprintStore.dedupSink(spark, fpDir, "doc_id",
+          "text", streamTag = "cr") { df =>
+          screen(df, curEpoch.get())
+        }
+        val sink = gate.sinkEpoch("doc_id", "text")(
+          { (df, e) =>
+            crashPoint(s"accept-entry-$e"); curEpoch.set(e); fpSink(df, e) })(
+          { (df, e) =>
+            crashPoint(s"quarantine-$e")
+            quarantined ++= df.select("doc_id").collect().map(_.getLong(0)) })
+        val query = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .json(inDir.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(sink)
+          .start()
+        try { query.processAllAvailable(); done = true }
+        catch { case _: Throwable => () }
+        finally { try query.stop() catch { case _: Throwable => () } }
+      }
+      assert(done, s"$tag: stream never completed after $attempts attempts")
+      (fpDir, sigDir, admitted.toSet, quarantined.toSet)
+    }
+
+    val (fpC, sigC, accC, quaC) = runScenario("crash", Set(
+      "quarantine-0",   // everything committed; epoch replays as no-op
+      "accept-entry-1", // nothing persisted; epoch recomputes from scratch
+      "screen-out-2"))  // survivors delivered, sigs staged nowhere: the
+                        // self-match window — replay must re-admit 7
+    val (fpN, sigN, accN, quaN) = runScenario("clean", Set.empty)
+
+    def sigRows(d: String) = SignatureStore.read(spark, d)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    def fpRows(d: String) = spark.read.parquet(s"$d/fps")
+      .select("fp").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sigRows(sigC) == sigRows(sigN),
+      s"sig store must match the uncrashed run: ${sigRows(sigC)} vs ${sigRows(sigN)}")
+    assert(sigRows(sigC).distinct.size == sigRows(sigC).size,
+      "no id may hold two signature rows across replays")
+    assert(fpRows(fpC) == fpRows(fpN),
+      "fp store must match the uncrashed run exactly")
+    assert(accC == accN && quaC == quaN,
+      s"admitted/quarantined sets must match: $accC vs $accN")
+    // scenario sanity: re-crawls 4 and 9 die at the screen, never stored
+    assert(accN == Set(1L, 5L, 7L), accN.toString)
+    assert(sigRows(sigN) == Seq(1L, 5L, 7L), sigRows(sigN).mkString(","))
+  }
+
   test("streaming quantiles track exact batch quantiles within the GK rank bound") {
     import graft.streaming.StreamingQuantiles
     implicit val sqlCtx = spark.sqlContext
