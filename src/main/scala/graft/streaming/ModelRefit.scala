@@ -27,9 +27,14 @@ import graft.SessionMemo
   *    arrive while an older fit is still training COLLAPSE to the newest
   *    epoch — the backlog is O(1), never a queue of stale versions.
   *  - `current(s)` — the published model; consumers between refits keep
-  *    reading a consistent version while the next one trains. Lazily fits
-  *    version 0 inline if nothing has ever published (a consumer always
-  *    gets a model).
+  *    reading a consistent version while the next one trains. Before any
+  *    publish, the first consumer routes a version-0 fit through the same
+  *    worker and blocks on it (a consumer always gets a model; the fit
+  *    never runs inline, so it cannot race a concurrent boundary request).
+  *  - A fit FAILURE poisons the hook: the next `onEpoch` (and
+  *    `awaitRefits`, and a pre-publish `current`) rethrows it, failing the
+  *    stream as loudly as a synchronous fit would — never an unlogged
+  *    background retry loop.
   *  - Eviction keeps the LAST TWO versions memoized (publish of k+1 drops
   *    k-1): a consumer that read the version tag just before a publish
   *    still finds its entry — dropping the superseded version immediately
@@ -81,14 +86,38 @@ final class ModelRefit[M <: AnyRef](name: String, refitEvery: Long,
       t
     })
 
+  // first fit failure, if any: the hook is POISONED — the next onEpoch /
+  // awaitRefits / pre-publish current rethrows it, failing the stream as
+  // loudly as the old synchronous fit did. Without this, an exception
+  // escaping the worker task would vanish into thread stderr while the
+  // finally-block re-arm spun the SAME failing fit in an unbounded,
+  // unlogged hot loop of full training jobs. Restarting the query builds a
+  // fresh hook (the sinks' restart discipline), which is the retry.
+  @volatile private var failure: Option[(Long, Throwable)] = None
+
+  private def rethrowFailure(): Unit = failure.foreach { case (v, t) =>
+    throw new IllegalStateException(
+      s"refit $name: fit of v$v failed; failing the stream (restart the " +
+        "query to retry)", t)
+  }
+
   /** The epoch tag of the published version (-1 before any fit). */
   def currentVersion: Long = ver
 
-  /** The published model; fits version 0 inline on first use if nothing
-    * has ever published (a consumer always gets a model). A resumed
-    * version seeds the memo from the store's bytes — never a refit. */
+  /** The published model (a consumer always gets one). If nothing has ever
+    * published, the FIRST consumer routes a version-0 fit through the
+    * worker and blocks on the publish — never an inline fit, which would
+    * race a concurrent `onEpoch(0)` request's worker fit on a corpus that
+    * may have grown between them and double-train v0. Only that first
+    * consumer blocks; ingest epochs never do. A resumed version seeds the
+    * memo from the store's bytes — never a refit. */
   def current(s: SparkSession): M = {
-    val v = math.max(ver, 0L)
+    if (ver < 0L) {
+      requested.getAndUpdate(r => math.max(r, 0L))
+      startWorker(s)
+      awaitRefits()
+    }
+    val v = ver
     memo.getOrBuild(s, s"$name|v$v") {
       pending match {
         case Some((pv, m)) if pv == v => m
@@ -103,30 +132,42 @@ final class ModelRefit[M <: AnyRef](name: String, refitEvery: Long,
     * a no-op. Publish ordering: the new version trains and PERSISTS before
     * the volatile swap, so readers never see a half-built model and a
     * crash between save and publish just means the restart resumes the
-    * newer (fully trained, fully saved) version. */
-  def onEpoch(s: SparkSession, epoch: Long): Unit =
+    * newer (fully trained, fully saved) version. A previous fit failure
+    * rethrows here — the stream fails loudly instead of silently ingesting
+    * against a permanently stale model. */
+  def onEpoch(s: SparkSession, epoch: Long): Unit = {
+    rethrowFailure()
     if (epoch % refitEvery == 0 && epoch > ver &&
         epoch > requested.getAndUpdate(r => math.max(r, epoch)).max(ver)) {
       startWorker(s)
     }
+  }
 
   private def startWorker(s: SparkSession): Unit =
-    if (fitting.compareAndSet(false, true)) {
+    if (failure.isEmpty && fitting.compareAndSet(false, true)) {
       worker.execute(() => {
         try {
           var e = requested.get()
-          while (e > ver) {
+          while (failure.isEmpty && e > ver) {
             // requests that arrived during a fit collapse: only the newest
             // epoch at loop-check time trains (stale versions never exist)
-            val m = memo.getOrBuild(s, s"$name|v$e")(fit(s, e))
-            store.foreach(_.save(m, e))
-            publish(s, e)
+            try {
+              val m = memo.getOrBuild(s, s"$name|v$e")(fit(s, e))
+              store.foreach(_.save(m, e))
+              publish(s, e)
+            } catch {
+              case t: Throwable =>
+                failure = Some((e, t))
+                System.err.println(
+                  s"[ModelRefit:$name] fit of v$e failed: $t")
+            }
             e = requested.get()
           }
         } finally {
           fitting.set(false)
-          // a request may have landed between the loop exit and the reset
-          if (requested.get() > ver) startWorker(s)
+          // a request may have landed between the loop exit and the reset;
+          // never re-arm after a failure (that is the hot retry loop)
+          if (failure.isEmpty && requested.get() > ver) startWorker(s)
         }
       })
     }
@@ -142,12 +183,14 @@ final class ModelRefit[M <: AnyRef](name: String, refitEvery: Long,
     prevVer = old
   }
 
-  /** Block until no refit is requested or in flight (tests, maintenance
-    * windows — never the ingest path). */
+  /** Block until no refit is requested or in flight (first-consumer v0
+    * publish, tests, maintenance windows — never the ingest path).
+    * Rethrows a worker fit failure instead of spinning on it. */
   def awaitRefits(timeoutMs: Long = 120000L): Unit = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while ((fitting.get() || requested.get() > ver) &&
+    while (failure.isEmpty && (fitting.get() || requested.get() > ver) &&
            System.nanoTime() < deadline) Thread.sleep(10)
+    rethrowFailure()
     require(!fitting.get() && requested.get() <= ver,
       s"refit $name still in flight after ${timeoutMs}ms")
   }

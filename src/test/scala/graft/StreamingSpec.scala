@@ -761,6 +761,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("refit hook: a failing fit poisons the hook loudly — one attempt, " +
+    "no background hot-retry loop, the next epoch rethrows") {
+    import graft.streaming.ModelRefit
+    val fits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refit = new ModelRefit[String]("poison_fit", refitEvery = 1)((_, v) => {
+      fits.incrementAndGet()
+      sys.error(s"broken training data for v$v")
+    })
+    refit.onEpoch(spark, 0L) // requests v0; the worker fit throws
+    // the failure surfaces on awaitRefits instead of spinning forever
+    val exAwait = intercept[IllegalStateException](refit.awaitRefits())
+    assert(exAwait.getCause.getMessage.contains("broken training data"),
+      exAwait.toString)
+    // the next ingest epoch fails the stream loudly (the synchronous-fit
+    // contract), and a pre-publish consumer cannot get a model either
+    val exEpoch = intercept[IllegalStateException](refit.onEpoch(spark, 1L))
+    assert(exEpoch.getMessage.contains("poison_fit"), exEpoch.getMessage)
+    intercept[IllegalStateException](refit.current(spark))
+    // exactly ONE training attempt ever ran: the finally-block re-arm must
+    // not respin the same failing fit as an unbounded background loop
+    Thread.sleep(200)
+    assert(fits.get() == 1, s"failing fit must not hot-loop: ${fits.get()}")
+    assert(refit.currentVersion == -1L, "a failed fit never publishes")
+  }
+
+  test("refit hook: the first consumer's v0 fit runs on the worker — a " +
+    "concurrent boundary request never double-trains v0") {
+    import graft.streaming.ModelRefit
+    val fitStarted = new java.util.concurrent.CountDownLatch(1)
+    val fitGate = new java.util.concurrent.CountDownLatch(1)
+    val trained = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val refit = new ModelRefit[String]("v0_race", refitEvery = 1)((_, v) => {
+      trained.add(v)
+      fitStarted.countDown()
+      require(fitGate.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      s"model-v$v"
+    })
+    // the ingest side requests v0 and the worker starts training it
+    refit.onEpoch(spark, 0L)
+    require(fitStarted.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    // a consumer arrives MID-FIT: it must wait for the worker's publish,
+    // not fit its own v0 inline against a possibly-grown corpus
+    val got = new java.util.concurrent.atomic.AtomicReference[String]()
+    val consumer = new Thread(() => got.set(refit.current(spark)))
+    consumer.start()
+    Thread.sleep(100)
+    assert(got.get() == null, "the consumer must block until v0 publishes")
+    fitGate.countDown()
+    consumer.join(60000)
+    assert(got.get() == "model-v0")
+    assert(trained.toArray.toSeq == Seq(0L),
+      s"v0 must train exactly once, got $trained")
+    // and a COLD consumer with no request in flight also routes through
+    // the worker: one more fit total, not an inline duplicate
+    val refit2 = new ModelRefit[String]("v0_cold", refitEvery = 1)((_, v) =>
+      s"cold-v$v")
+    assert(refit2.current(spark) == "cold-v0")
+    assert(refit2.currentVersion == 0L,
+      "the first-consumer fit must publish v0 through the worker")
+  }
+
   test("refit hook: a restarted hook resumes the persisted version without refitting") {
     import graft.functions.Bpe
     import graft.streaming.ModelRefit
