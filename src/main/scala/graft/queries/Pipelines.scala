@@ -228,8 +228,11 @@ object Pipelines {
     * reachability chain + the [[textQualitySql]] signal CTEs (us/g2 only —
     * the gate needs n_tokens, mean_word_len, top_unigram_ratio,
     * dup_2gram_ratio), ranked by the same total order. */
-  val dedupBestOfClusterSql: String =
-    s"""WITH RECURSIVE $ngramPairCtes,
+  /** The [[dedupClustersSql]] reachability chain + the quality-signal CTEs
+    * + the per-cluster rank — the shared spine of [[dedupBestOfClusterSql]]
+    * and [[dedupKeepBestSql]]. */
+  private def clusterRankCtes: String =
+    s"""$ngramPairCtes,
        |pairs AS (
        |  SELECT id_a, id_b FROM inter
        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
@@ -264,11 +267,60 @@ object Pipelines {
        |ranked AS (SELECT cc.cluster_id, cc.doc_id, q.n_tokens, q.quality_ok,
        |    row_number() OVER (PARTITION BY cc.cluster_id
        |      ORDER BY q.quality_ok DESC, q.n_tokens DESC, cc.doc_id) AS rk
-       |  FROM cc JOIN q USING (doc_id))
+       |  FROM cc JOIN q USING (doc_id))""".stripMargin
+
+  val dedupBestOfClusterSql: String =
+    s"""WITH RECURSIVE $clusterRankCtes
        |SELECT cluster_id, doc_id AS rep_id, sz.csize,
        |  n_tokens AS rep_tokens, quality_ok AS rep_quality_ok
        |FROM ranked JOIN sz USING (cluster_id) WHERE rk = 1
        |ORDER BY cluster_id""".stripMargin
+
+  /** The corpus AFTER the near-dup drop a real build executes: every
+    * near-dup cluster keeps only its [[dedupBestOfCluster]] representative
+    * (quality_ok DESC, n_tokens DESC, doc_id ASC), singleton docs (in no
+    * ≥0.5-Jaccard pair) pass through untouched — `dedup_clusters` +
+    * `dedup_best_of_cluster` stitched into the end-to-end keep-list. Pure
+    * composition over the SAME memoized cluster assignment and the same
+    * quality signals: rank members per cluster, anti-join the
+    * non-representatives out of the corpus (at 100 TB the drop list is
+    * corpus-fraction-sized, so the anti-join stays an id-keyed shuffle —
+    * never broadcast by hint). Returns the kept corpus as
+    * (doc_id, csize, n_tokens), csize 1 for singletons. [SQL — the
+    * best-of-cluster CTE spine + NOT IN drop list]. */
+  val dedupKeepBest: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val cc = clusterAssignments(s, dir)
+    val q = textQuality(s, dir).select("doc_id", "n_tokens", "quality_ok")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("quality_ok").desc, col("n_tokens").desc, col("doc_id"))
+    val drops = cc.select(col("id").as("doc_id"), col("cluster_id"))
+      .join(q, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select("doc_id")
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    docs.select("doc_id")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .join(cc.select(col("id").as("doc_id"), col("cluster_id"))
+        .join(sizes, Seq("cluster_id")), Seq("doc_id"), "left")
+      .join(q.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .select(col("doc_id"), coalesce(col("csize"), lit(1L)).as("csize"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[dedupKeepBest]]: the shared cluster-rank spine; kept
+    * docs = everything not ranked strictly below its cluster's best. */
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $clusterRankCtes
+       |SELECT d.doc_id, coalesce(sz.csize, 1) AS csize, q.n_tokens
+       |FROM documents d
+       |JOIN q ON q.doc_id = d.doc_id
+       |LEFT JOIN cc ON cc.doc_id = d.doc_id
+       |LEFT JOIN sz ON sz.cluster_id = cc.cluster_id
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Duplicated-span fraction per doc: stride-1 16-token windows that recur
     * verbatim in another document ([[Dedup.spanDupStats]]) — the
@@ -1669,6 +1721,88 @@ object Pipelines {
        |FROM t WHERE length(w) > 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Length-bucketed packing over LEARNED-tokenizer counts — [[bpeTokenize]]
+    * + [[packLengthBuckets]] composed, the shape a bucketed-batching trainer
+    * actually runs: the corpus's own trained BPE model (shared session
+    * artifact with [[bpeTokenize]], same memo key — trained once) supplies
+    * each doc's piece count, docs bucket by piece-count width
+    * (least(n_bpe DIV 32, 15), ≤16 keys — well inside the
+    * [[graft.operators.Pack.packByBudgetKeyed]] cardinality contract), and
+    * each bucket's stream packs independently into its own 512-piece blocks.
+    *
+    * Oracle = the [[packBpeSequences]] verdict pattern: the clean/normTokens
+    * word spine (n_words, n_chars) replays exactly in SQL; the learned
+    * piece counts cross-check IN-ENGINE against a direct bucket-partitioned
+    * window cumsum (spec twin, oracle scale only) and against the
+    * every-bucket-starts-at-zero independence property, exporting as
+    * pinned-TRUE verdicts. [SQL] */
+  val packBucketedBpe: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = bpeMemo.getOrBuild(s, s"bpe|$dir|50|2") {
+      graft.functions.Bpe.train(docs, "text", numMerges = 50, minCount = 2,
+        maxWords = 200000)
+    }
+    val bm = s.sparkContext.broadcast(model)
+    val toks = docs.select(col("doc_id"),
+        explode(TextFns.normTokens(TextFns.cleanText(col("text"),
+          removePunctuation = true))).as("w"))
+      .filter(length(col("w")) > 0)
+    // ONE encode pass feeds the bucketing, the pack, and the verdicts
+    val counts = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(graft.functions.Bpe.pieceCountCol(bm)(col("w"))).cast("long")
+          .as("n_bpe"))
+      .withColumn("bucket", least(expr("n_bpe DIV 32"), lit(15L)))
+      .localCheckpoint()
+    val packed = graft.operators.Pack.packByBudgetKeyed(
+        counts, "bucket", "doc_id", "n_bpe", budget = 512L)
+      .select(col("doc_id"), col("bin_id"), col("bin_offset"))
+      .localCheckpoint()
+    // spec twin of the keyed prefix composition: one bucket-partitioned
+    // window (oracle scale only — the declared operator composes
+    // per-(key, partition) instead)
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val direct = counts
+      .select(col("doc_id"), col("bucket"),
+        coalesce(sum("n_bpe").over(w), lit(0L)).as("prev"))
+      .select(col("doc_id"), expr("prev DIV 512").as("d_bin"),
+        pmod(col("prev"), lit(512L)).as("d_off"))
+    // independence property: every bucket's packed stream starts at block
+    // 0, offset 0 (16-row frame, broadcast into the verdict join)
+    val starts = counts.select("doc_id", "bucket")
+      .join(packed, Seq("doc_id"))
+      .groupBy("bucket")
+      .agg(min(col("bin_id") * 512L + col("bin_offset")).as("bstart"))
+    counts
+      .join(packed, Seq("doc_id"))
+      .join(direct, Seq("doc_id"))
+      .join(broadcast(starts), Seq("bucket"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        (col("n_words") <= col("n_bpe") && col("n_bpe") <= col("n_chars"))
+          .as("tok_bounded"),
+        (col("bin_id") === col("d_bin") && col("bin_offset") === col("d_off"))
+          .as("bin_cross_checked"),
+        (col("bstart") === 0L).as("bucket_starts_fresh"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[packBucketedBpe]]: the per-doc clean/normTokens word
+    * spine exact; the three learned-count verdicts pinned TRUE. */
+  val packBucketedBpeSql: String = {
+    val clean = Duck.clean("text", punct = true)
+    val ws = """'\s+'"""
+    s"""WITH t AS (SELECT doc_id,
+       |    unnest(string_split(regexp_replace(trim($clean), $ws, ' ', 'g'), ' ')) AS w
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |  TRUE AS tok_bounded, TRUE AS bin_cross_checked,
+       |  TRUE AS bucket_starts_fresh
+       |FROM t WHERE length(w) > 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Unigram-frequency document score: the corpus-LM quality proxy (CCNet
     * trains a real LM; the distributed two-pass shape is identical) — pass 1
     * builds the corpus unigram table, pass 2 scores each doc by its tokens'
@@ -2241,6 +2375,7 @@ object Pipelines {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters" -> dedupClusters,
     "dedup_best_of_cluster" -> dedupBestOfCluster,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "sim_brute_topk" -> simBruteTopK,
@@ -2259,6 +2394,7 @@ object Pipelines {
     "pack_sequences" -> packSequences,
     "pack_bpe_sequences" -> packBpeSequences,
     "pack_length_buckets" -> packLengthBuckets,
+    "pack_bucketed_bpe" -> packBucketedBpe,
     "export_shuffle" -> exportShuffle,
     "chunk_windows" -> chunkWindows,
     "chunk_dedup" -> chunkDedup,
@@ -2292,6 +2428,7 @@ object Pipelines {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_best_of_cluster" -> dedupBestOfClusterSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_capped" -> dedupSimhashCappedSql,
     "dedup_delta_minhash" -> dedupDeltaMinhashSql,
@@ -2314,6 +2451,7 @@ object Pipelines {
     "pack_sequences" -> packSequencesSql,
     "pack_bpe_sequences" -> packBpeSequencesSql,
     "pack_length_buckets" -> packLengthBucketsSql,
+    "pack_bucketed_bpe" -> packBucketedBpeSql,
     "export_shuffle" -> exportShuffleSql,
     "chunk_windows" -> chunkWindowsSql,
     "chunk_dedup" -> chunkDedupSql,

@@ -424,4 +424,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("SinglePartition")) <= 1, p)
     assert(p.contains("windowspecdefinition(pid#"), p)
   }
+
+  test("dedup_keep_best: the drop anti-join is id-keyed (no cross product, " +
+    "no broadcast of the corpus-fraction drop list by hint), rank window " +
+    "cluster-partitioned") {
+    val p = plan(Pipelines.queries("dedup_keep_best")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("windowspecdefinition(cluster_id#"), p)
+    assert(p.linesIterator.exists(l => l.contains("Join LeftAnti") ||
+      l.contains("LeftAnti")), p)
+  }
+
+  test("pack_bucketed_bpe: keyed cumsum windows stay partitioned — no " +
+    "single-partition exchange anywhere; bucket-start dims broadcast") {
+    val p = plan(Pipelines.queries("pack_bucketed_bpe")(spark, sf))
+    // even the in-engine spec twin partitions by bucket here, so unlike
+    // pack_bpe_sequences NOTHING may funnel through one partition
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(bucket#"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
