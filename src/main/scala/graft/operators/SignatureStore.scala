@@ -65,8 +65,13 @@ object SignatureStore {
     }
   }
 
-  /** Loud params check. `bands < 0` = caller doesn't band (plain sig
-    * reads) — only (numHashes, shingleSize) must match. */
+  /** Loud params check, field-wise: a negative argument means the caller
+    * cannot know that field and it is skipped — `bands < 0` for plain sig
+    * reads (only numHashes + shingleSize must match), `shingleSize < 0`
+    * for [[probeStored]] (the probe takes pre-computed signatures, so the
+    * shingling happened at the caller; numHashes + bands must match). A
+    * checked field that is ABSENT from the sidecar (a pre-index 2-field
+    * `_params` asked for bands) still fails loudly. */
   private def checkParams(fs: FileSystem, dir: String, numHashes: Int,
                           shingleSize: Int, bands: Int = -1): Unit = {
     val p = new Path(s"$dir/_params")
@@ -77,13 +82,16 @@ object SignatureStore {
         val n = in.read(buf)
         if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
       } finally in.close()
-      val want =
-        if (bands < 0) txt.split(",").take(2).mkString(",")
-        else txt
-      val asked =
-        if (bands < 0) s"$numHashes,$shingleSize"
-        else s"$numHashes,$shingleSize,$bands"
-      require(want == asked,
+      val stored = txt.split(",")
+      def field(i: Int): String = if (stored.length > i) stored(i) else ""
+      val mismatch =
+        field(0) != numHashes.toString ||
+        (shingleSize >= 0 && field(1) != shingleSize.toString) ||
+        (bands >= 0 && field(2) != bands.toString)
+      val asked = s"${numHashes}," +
+        s"${if (shingleSize >= 0) shingleSize else "*"}," +
+        s"${if (bands >= 0) bands else "*"}"
+      require(!mismatch,
         s"SignatureStore $dir holds params ($txt), probe asked ($asked) — " +
           "signatures from different params never compare")
     }
@@ -118,8 +126,27 @@ object SignatureStore {
     readSigsRaw(spark, dir)
   }
 
-  private def readSigsRaw(spark: SparkSession, dir: String): DataFrame =
-    if (fsOf(spark, dir).exists(new Path(s"$dir/sigs")))
+  /** Heal a [[compact]] crash window on the READ path: a crash between
+    * moving the live table aside and publishing the rewrite leaves the
+    * table dir absent with the `.<sub>_precompact` aside intact. Restore
+    * the aside here so a reader (in particular a live [[screenSink]], for
+    * which an empty frame means "admit every near-dup") never sees a
+    * silently empty store — the docstring's "heals at the next call (or
+    * read)", now true of reads. Under the single-writer contract nothing
+    * races this; a reader that does race a live compact at worst restores
+    * the aside early and makes that compact fail its publish LOUDLY. */
+  private def healCompactAside(fs: FileSystem, dir: String,
+                               sub: String): Unit = {
+    val root = new Path(s"$dir/$sub")
+    val prev = new Path(s"$dir/.${sub}_precompact")
+    if (!fs.exists(root) && fs.exists(prev))
+      require(fs.rename(prev, root), s"SignatureStore: cannot heal $prev")
+  }
+
+  private def readSigsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    healCompactAside(fs, dir, "sigs")
+    if (fs.exists(new Path(s"$dir/sigs")))
       spark.read.parquet(s"$dir/sigs")
     else {
       import org.apache.spark.sql.types._
@@ -129,6 +156,7 @@ object SignatureStore {
           StructField("sig", ArrayType(LongType)),
           StructField("shard", LongType))))
     }
+  }
 
   /** The stored band index: (id, band_id, band_hash, bucket); empty frame
     * for a fresh store. A store holding sigs WITHOUT a band index (a
@@ -136,6 +164,9 @@ object SignatureStore {
     * every near-dup. [[backfillBands]] migrates such a store in place. */
   def readBands(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
+    healCompactAside(fs, dir, "bands")
+    healCompactAside(fs, dir, "sigs") // the pre-index check below must not
+                                      // misread a mid-compact sigs table
     if (fs.exists(new Path(s"$dir/bands")))
       spark.read.parquet(s"$dir/bands")
     else if (fs.exists(new Path(s"$dir/sigs")))
@@ -170,6 +201,13 @@ object SignatureStore {
     fs.delete(new Path(s"$dir/bands"), true)
     require(fs.rename(tmp, new Path(s"$dir/bands")),
       s"backfillBands: cannot publish $tmp")
+    // Complete the migration in the params sidecar too: a pre-index store
+    // pinned the 2-field "numHashes,shingleSize" format, and writeParams is
+    // write-once — without an explicit rewrite to the 3-field format every
+    // later appender/screen epoch would fail checkParams against the old
+    // pin with no supported way to finish the migration.
+    fs.delete(new Path(s"$dir/_params"), false)
+    writeParams(fs, dir, numHashes, shingleSize, bands)
   }
 
   // ---------------------------------------------------------------- sinks
@@ -282,6 +320,12 @@ object SignatureStore {
   def probeStored(spark: SparkSession, dir: String, probeSigs: DataFrame,
                   numHashes: Int, bands: Int, threshold: Double,
                   eager: Boolean = true): DataFrame = {
+    // public API: a direct caller probing with mismatched numHashes/bands
+    // must get the module's promised loud error, not silent zero-overlap
+    // (band hashes that never collide admit everything). shingleSize is
+    // unknowable here (the probe takes pre-computed signatures) — the
+    // sig-computing callers (screenSink, appender, seed) pin it.
+    checkParams(fsOf(spark, dir), dir, numHashes, -1, bands)
     def pin(df: DataFrame) = if (eager) df.localCheckpoint() else df
     val bandsI = pin(Dedup.bandedSigs(probeSigs, "id_in", numHashes, bands)
       .withColumn("bucket", bucketCol(col("band_hash"))))
@@ -388,8 +432,7 @@ object SignatureStore {
     val fs = fsOf(spark, dir)
     val root = new Path(s"$dir/$sub")
     val prev = new Path(s"$dir/.${sub}_precompact")
-    if (!fs.exists(root) && fs.exists(prev))
-      require(fs.rename(prev, root), s"compact: cannot heal $prev")
+    healCompactAside(fs, dir, sub)
     if (!fs.exists(root)) return
     val tmp = new Path(s"$dir/.${sub}_compact.tmp")
     fs.delete(tmp, true)

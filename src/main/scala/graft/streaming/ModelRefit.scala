@@ -60,10 +60,13 @@ import graft.SessionMemo
   * (corpus-state, version) is the fit's own contract, as everywhere else.
   */
 final class ModelRefit[M <: AnyRef](name: String, refitEvery: Long,
-                                    store: Option[ModelRefit.Store[M]] = None)
+                                    store: Option[ModelRefit.Store[M]] = None,
+                                    firstFitTimeoutMs: Long =
+                                      ModelRefit.FirstFitTimeoutMs)
                                    (fit: (SparkSession, Long) => M)
     extends Serializable {
   require(refitEvery > 0)
+  require(firstFitTimeoutMs > 0)
 
   @transient private lazy val memo = new SessionMemo[M]()
   // resume the published version from the durable store, the
@@ -110,12 +113,18 @@ final class ModelRefit[M <: AnyRef](name: String, refitEvery: Long,
     * race a concurrent `onEpoch(0)` request's worker fit on a corpus that
     * may have grown between them and double-train v0. Only that first
     * consumer blocks; ingest epochs never do. A resumed version seeds the
-    * memo from the store's bytes — never a refit. */
+    * memo from the store's bytes — never a refit.
+    *
+    * The v0 wait uses `firstFitTimeoutMs` (default 24 h), NOT the 2-minute
+    * test/maintenance default of [[awaitRefits]]: a first full-corpus fit
+    * is legitimately slow, and a deadline sized for test suites would turn
+    * a slow-but-healthy v0 into a stream failure the old inline fit never
+    * had. Deployments with a hard SLA pass their own bound. */
   def current(s: SparkSession): M = {
     if (ver < 0L) {
       requested.getAndUpdate(r => math.max(r, 0L))
       startWorker(s)
-      awaitRefits()
+      awaitRefits(firstFitTimeoutMs)
     }
     val v = ver
     memo.getOrBuild(s, s"$name|v$v") {
@@ -204,6 +213,12 @@ final class ModelRefit[M <: AnyRef](name: String, refitEvery: Long,
 }
 
 object ModelRefit {
+  /** Default bound on the first consumer's blocking wait for the v0
+    * publish (see [[ModelRefit.current]]): generous because a first
+    * full-corpus fit can legitimately take hours — distinct from the
+    * [[ModelRefit.awaitRefits]] test/maintenance default. */
+  val FirstFitTimeoutMs: Long = 24L * 3600L * 1000L
+
   /** Durable version store for [[ModelRefit]]: `save(model, version)` must
     * publish atomically (write aside + rename, the checkpoint discipline of
     * every store in this engine); `loadLatest` returns the newest fully

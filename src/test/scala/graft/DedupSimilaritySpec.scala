@@ -302,25 +302,94 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("signature store: a pre-index store (sigs, no bands) fails loudly on " +
-    "probe and migrates via backfillBands") {
+    "probe and migrates via backfillBands — including its 2-field _params") {
     import graft.operators.SignatureStore
     val dir = java.nio.file.Files.createTempDirectory("sigmigrate").toString
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     SignatureStore.seed(docs, "doc_id", "text", dir)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bands"), true)
+    // a genuinely pre-index store pinned the OLD 2-field params format
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/_params")
+    fs.delete(paramsPath, false)
+    val out = fs.create(paramsPath, true)
+    out.write("32,3".getBytes("UTF-8")); out.close()
     val probeSigs = Dedup.minHashSignatures(
       Seq((100L, "the quick brown fox jumps over the lazy dog"))
         .toDF("doc_id", "text"), "doc_id", "text", 32, 3).localCheckpoint()
-    val ex = intercept[IllegalStateException] {
+    // probeStored checks params FIRST: a 2-field pin can't answer for bands
+    val exP = intercept[IllegalArgumentException] {
       SignatureStore.probeStored(spark, dir, probeSigs, 32, 8, 0.3).collect()
     }
-    assert(ex.getMessage.contains("backfillBands"), ex.getMessage)
+    assert(exP.getMessage.contains("params"), exP.getMessage)
     SignatureStore.backfillBands(spark, dir)
     val hits = SignatureStore.probeStored(spark, dir, probeSigs, 32, 8, 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // matches docs 0 and 1 verbatim (est 1.0) and near-dup doc 2 at 0.3
     assert(hits.toSeq == Seq((100L, 3L, 1.0)), hits.mkString(","))
+    // backfillBands completed the migration in the sidecar too: an appender
+    // epoch passes checkParams against the rewritten 3-field pin
+    val app = SignatureStore.appender(spark, dir, "doc_id", "text",
+      streamTag = "mig")
+    app(Seq((200L, "another genuinely fresh page about mountain weather"))
+      .toDF("doc_id", "text"), 0L)
+    assert(SignatureStore.read(spark, dir).count() == docs.count() + 1)
+  }
+
+  test("signature store: probeStored is loud on mismatched params (direct " +
+    "public-API caller, not just the sinks)") {
+    import graft.operators.SignatureStore
+    val dir = java.nio.file.Files.createTempDirectory("sigparams").toString
+    SignatureStore.seed(docs, "doc_id", "text", dir) // 32 hashes, 8 bands
+    val probeSigs = Dedup.minHashSignatures(
+      Seq((100L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), "doc_id", "text", 16, 3).localCheckpoint()
+    // wrong numHashes: band hashes would never collide — must throw, never
+    // silently admit everything
+    val ex1 = intercept[IllegalArgumentException] {
+      SignatureStore.probeStored(spark, dir, probeSigs, 16, 8, 0.3).collect()
+    }
+    assert(ex1.getMessage.contains("params"), ex1.getMessage)
+    // wrong band count, same numHashes: same loud failure
+    val ex2 = intercept[IllegalArgumentException] {
+      SignatureStore.probeStored(spark, dir,
+        Dedup.minHashSignatures(
+          Seq((100L, "the quick brown fox jumps over the lazy dog"))
+            .toDF("doc_id", "text"), "doc_id", "text", 32, 3),
+        32, 4, 0.3).collect()
+    }
+    assert(ex2.getMessage.contains("params"), ex2.getMessage)
+  }
+
+  test("signature store: a compact() crash between aside and publish heals " +
+    "on the next READ — a live screen never sees a silently empty store") {
+    import graft.operators.SignatureStore
+    val dir = java.nio.file.Files.createTempDirectory("sigcompcrash").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    SignatureStore.seed(docs, "doc_id", "text", dir)
+    val n = SignatureStore.read(spark, dir).count()
+    val probeSigs = Dedup.minHashSignatures(
+      Seq((100L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), "doc_id", "text", 32, 3).localCheckpoint()
+    val hitsHealthy = SignatureStore.probeStored(spark, dir, probeSigs,
+      32, 8, 0.3).collect().map(_.getLong(0)).toSet
+    assert(hitsHealthy.nonEmpty)
+    // simulate the crash window: sigs moved aside, rewrite never published
+    require(fs.rename(path(s"$dir/sigs"), path(s"$dir/.sigs_precompact")))
+    assert(SignatureStore.read(spark, dir).count() == n,
+      "read must restore the precompact aside, not return an empty frame")
+    // same window on the band index: the probe (which reads bands first)
+    // heals it and still flags the near-dup
+    require(fs.rename(path(s"$dir/bands"), path(s"$dir/.bands_precompact")))
+    val hitsHealed = SignatureStore.probeStored(spark, dir, probeSigs,
+      32, 8, 0.3).collect().map(_.getLong(0)).toSet
+    assert(hitsHealed == hitsHealthy, s"$hitsHealed != $hitsHealthy")
+    assert(fs.exists(path(s"$dir/sigs")) && fs.exists(path(s"$dir/bands")) &&
+      !fs.exists(path(s"$dir/.sigs_precompact")) &&
+      !fs.exists(path(s"$dir/.bands_precompact")),
+      "heal must leave the store in the healthy layout")
   }
 
   test("simhash: identical docs at hamming 0") {

@@ -822,6 +822,25 @@ class StreamingSpec extends AnyFunSuite {
       "the first-consumer fit must publish v0 through the worker")
   }
 
+  test("refit hook: the first-consumer v0 wait uses its own generous bound, " +
+    "not the 2-minute awaitRefits maintenance default") {
+    import graft.streaming.ModelRefit
+    // the default bound must comfortably exceed the awaitRefits default: a
+    // slow-but-healthy first full-corpus fit is not a stream failure
+    assert(ModelRefit.FirstFitTimeoutMs > 120000L)
+    // the bound is plumbed: a deployment's own (here: tiny) bound trips the
+    // in-flight require instead of waiting forever on a stuck fit
+    val refit = new ModelRefit[String]("v0_deadline", refitEvery = 1,
+      firstFitTimeoutMs = 100L)((_, v) => {
+      Thread.sleep(2000); s"slow-v$v"
+    })
+    val ex = intercept[IllegalArgumentException] { refit.current(spark) }
+    assert(ex.getMessage.contains("in flight"), ex.getMessage)
+    // the fit itself is healthy: once it lands, the consumer gets v0
+    refit.awaitRefits(30000L)
+    assert(refit.current(spark) == "slow-v0")
+  }
+
   test("refit hook: a restarted hook resumes the persisted version without refitting") {
     import graft.functions.Bpe
     import graft.streaming.ModelRefit
