@@ -322,6 +322,156 @@ object Pipelines {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The full corpus-construction driver, composed END-TO-END as one
+    * declared query — the §2.8-style experiment driver for the LLM-pipeline
+    * surface: documents → quality gate ([[textQuality]], shared memo) →
+    * near-dup keep-list (the [[dedupKeepBest]] rank over the shared cluster
+    * assignment) → per-source token budgets over the SURVIVING corpus (the
+    * [[mixTokenFill]] α=0.7 flattened-share greedy fill, seed 13) →
+    * length-bucketed BPE packing of the selected docs (the
+    * [[packBucketedBpe]] trained-tokenizer keyed pack). Every stage is the
+    * SAME code path its standalone query declares — this query pins that
+    * they compose: the budget totals are computed over the gated+deduped
+    * corpus (not the raw one), and the pack runs over exactly the docs the
+    * fill kept.
+    *
+    * Output: one row per SELECTED doc — (doc_id, source, n_toks) replayed
+    * exactly by the oracle, plus the two learned-count pack verdicts
+    * cross-checked IN-ENGINE ([[packBpeSequences]] verdict pattern) and
+    * exported as pinned-TRUE booleans.
+    *
+    * Scale design: pure composition of the component plans — the gate and
+    * drop list anti-join id-keyed (corpus-fraction-sized, never broadcast
+    * by hint), budgets from two sources-sized aggs broadcast back, ONE
+    * per-source cumsum shuffle for the fill, per-bucket keyed pack with no
+    * single-partition exchange. No stage re-reads the corpus text more than
+    * its standalone query does; the gate/cluster signals come from the
+    * session memos all sibling queries share. [SQL — the cluster-rank spine
+    * + staged-xxhash64 draw replay + per-source cumsum, pack verdicts
+    * pinned TRUE]. */
+  val corpusBuild: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val q = textQuality(s, dir).select("doc_id", "n_tokens", "quality_ok")
+    // near-dup drop list: every cluster member ranked below its best
+    val cc = clusterAssignments(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("quality_ok").desc, col("n_tokens").desc, col("doc_id"))
+    val drops = cc.select(col("id").as("doc_id"), col("cluster_id"))
+      .join(q, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select("doc_id")
+    val kept0 = docs
+      .join(q.filter(col("quality_ok")).select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("text"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+      .localCheckpoint() // feeds budgets + fill + the encode pass
+    // per-source token budgets over the surviving corpus (mixTokenFill
+    // discipline: round-6-then-floor longs, integer cumsum comparisons)
+    val per = kept0.groupBy("source").agg(sum("n_toks").as("src_toks"))
+    val tot = per.agg(sum("src_toks").as("tot_toks"))
+    val wgt = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("tot_toks"),
+        pow(col("src_toks").cast("double") / col("tot_toks").cast("double"),
+          lit(0.7)).as("w"))
+    val sw = wgt.agg(sum("w").as("sum_w"))
+    val budgets = wgt.crossJoin(broadcast(sw))
+      .select(col("source"),
+        floor(round(lit(0.5) * col("tot_toks").cast("double") * col("w") /
+          col("sum_w"), 6)).cast("long").as("budget_toks"))
+    val win = Window.partitionBy("source").orderBy(col("draw").desc,
+      col("doc_id"))
+    val filled = kept0
+      .withColumn("draw", graft.operators.Sample.drawCol(col("doc_id"), 13L))
+      .withColumn("cum_toks", sum("n_toks").over(win))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_toks") - col("n_toks") < col("budget_toks"))
+      .select("doc_id", "source", "text", "n_toks")
+      .localCheckpoint()
+    // bucketed BPE pack of the selection (shared trained model, same memo
+    // key as bpe_tokenize/pack_bucketed_bpe — trained once per session)
+    val model = bpeMemo.getOrBuild(s, s"bpe|$dir|50|2") {
+      graft.functions.Bpe.train(docs, "text", numMerges = 50, minCount = 2,
+        maxWords = 200000)
+    }
+    val bm = s.sparkContext.broadcast(model)
+    val counts = filled.select(col("doc_id"),
+        explode(TextFns.normTokens(TextFns.cleanText(col("text"),
+          removePunctuation = true))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id")
+      .agg(sum(graft.functions.Bpe.pieceCountCol(bm)(col("w"))).cast("long")
+        .as("n_bpe"))
+      .withColumn("bucket", least(expr("n_bpe DIV 32"), lit(15L)))
+      .localCheckpoint()
+    val packed = graft.operators.Pack.packByBudgetKeyed(
+        counts, "bucket", "doc_id", "n_bpe", budget = 512L)
+      .select(col("doc_id"), col("bin_id"), col("bin_offset"))
+      .localCheckpoint()
+    // verdict twins (oracle scale only): bucket-partitioned window cumsum
+    // cross-check + every-bucket-starts-fresh independence
+    val dw = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val direct = counts
+      .select(col("doc_id"), col("bucket"),
+        coalesce(sum("n_bpe").over(dw), lit(0L)).as("prev"))
+      .select(col("doc_id"), expr("prev DIV 512").as("d_bin"),
+        pmod(col("prev"), lit(512L)).as("d_off"))
+    val starts = counts.select("doc_id", "bucket")
+      .join(packed, Seq("doc_id"))
+      .groupBy("bucket")
+      .agg(min(col("bin_id") * 512L + col("bin_offset")).as("bstart"))
+    counts
+      .join(packed, Seq("doc_id"))
+      .join(direct, Seq("doc_id"))
+      .join(broadcast(starts), Seq("bucket"))
+      .join(filled.select("doc_id", "source", "n_toks"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        (col("bin_id") === col("d_bin") && col("bin_offset") === col("d_off"))
+          .as("bin_cross_checked"),
+        (col("bstart") === 0L).as("bucket_starts_fresh"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[corpusBuild]]: the cluster-rank spine gates and
+    * dedups, the staged-xxhash64 draw + per-source cumsum replays the fill
+    * exactly; the two learned-count pack verdicts are pinned TRUE. */
+  val corpusBuildSql: String = {
+    val ws = """'\s+'"""
+    val drawn = drawSelect("keep0", "doc_id", Seq("source", "text"), 13L)
+    s"""WITH RECURSIVE $clusterRankCtes,
+       |keep0 AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+       |  WHERE q.quality_ok
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)),
+       |d2 AS ($drawn),
+       |t AS (SELECT source, doc_id, draw,
+       |    CAST(len(regexp_split_to_array(text, $ws)) AS BIGINT) AS n_toks
+       |  FROM d2),
+       |per AS (SELECT source, sum(n_toks) AS src_toks FROM t GROUP BY source),
+       |tot AS (SELECT sum(src_toks) AS tot_toks FROM per),
+       |wt AS (SELECT source, src_toks, tot_toks,
+       |    pow(CAST(src_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE), 0.7) AS w
+       |  FROM per CROSS JOIN tot),
+       |sw AS (SELECT sum(w) AS sum_w FROM wt),
+       |budgets AS (SELECT source,
+       |    CAST(floor(round(0.5 * CAST(tot_toks AS DOUBLE) * w / sum_w, 6))
+       |      AS BIGINT) AS budget_toks
+       |  FROM wt CROSS JOIN sw),
+       |cs AS (SELECT source, doc_id, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY source
+       |      ORDER BY draw DESC, doc_id) AS cum_toks
+       |  FROM t)
+       |SELECT cs.doc_id, cs.source, cs.n_toks,
+       |  TRUE AS bin_cross_checked, TRUE AS bucket_starts_fresh
+       |FROM cs JOIN budgets ON cs.source = budgets.source
+       |WHERE cum_toks - n_toks < budget_toks
+       |ORDER BY cs.doc_id""".stripMargin
+  }
+
   /** Duplicated-span fraction per doc: stride-1 16-token windows that recur
     * verbatim in another document ([[Dedup.spanDupStats]]) — the
     * substring-level dedup signal doc-level near-dup misses. [SQL — same
@@ -2376,6 +2526,7 @@ object Pipelines {
     "dedup_clusters" -> dedupClusters,
     "dedup_best_of_cluster" -> dedupBestOfCluster,
     "dedup_keep_best" -> dedupKeepBest,
+    "corpus_build" -> corpusBuild,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "sim_brute_topk" -> simBruteTopK,
@@ -2429,6 +2580,7 @@ object Pipelines {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_best_of_cluster" -> dedupBestOfClusterSql,
     "dedup_keep_best" -> dedupKeepBestSql,
+    "corpus_build" -> corpusBuildSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_capped" -> dedupSimhashCappedSql,
     "dedup_delta_minhash" -> dedupDeltaMinhashSql,

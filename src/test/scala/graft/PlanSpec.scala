@@ -436,6 +436,19 @@ class PlanSpec extends AnyFunSuite {
       l.contains("LeftAnti")), p)
   }
 
+  test("corpus_build: the composed driver inherits every component's scale " +
+    "shape — no cross product, no single-partition exchange, windows " +
+    "cluster/source/bucket-partitioned, dims broadcast") {
+    val p = plan(Pipelines.queries("corpus_build")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the final stitched plan reads from the fill checkpoint onward: the
+    // pack/verdict windows partition by bucket, never one partition
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition(bucket#"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pack_bucketed_bpe: keyed cumsum windows stay partitioned — no " +
     "single-partition exchange anywhere; bucket-start dims broadcast") {
     val p = plan(Pipelines.queries("pack_bucketed_bpe")(spark, sf))
