@@ -397,6 +397,11 @@ object SignatureStore {
           .select(col("doc_id").as(idCol)).localCheckpoint()
         val survivors = b.join(broadcast(flagged), Seq(idCol), "left_anti")
           .localCheckpoint()
+        // CONTRACT: a pre-marker crash replays this epoch and re-invokes
+        // `out` with identical survivors — `out` must be idempotent under
+        // epoch re-delivery (marker-protected, like every sink in this
+        // engine). Pinned: StreamingSpec "screen out feeds a
+        // marker-protected downstream sink".
         out(survivors)
         val survSigs = sigsI
           .join(broadcast(flagged.select(col(idCol).as("id"))), Seq("id"),

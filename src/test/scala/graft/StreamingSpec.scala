@@ -1198,6 +1198,195 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigRows(sigN) == Seq(1L, 5L, 7L), sigRows(sigN).mkString(","))
   }
 
+  test("screen out feeds a marker-protected downstream sink: the pre-marker " +
+    "crash replay re-delivers survivors and the downstream store holds " +
+    "exactly one copy") {
+    // The executable form of screenSink's `out`-idempotence contract: `out`
+    // runs BEFORE the screen's own marker commits, so a crash in that
+    // window re-invokes `out` with identical survivors on replay. A
+    // marker-protected downstream (here: a SignatureStore.appender on its
+    // own store) absorbs the re-delivery; this pin makes the documented
+    // contract a test instead of a comment.
+    import graft.operators.SignatureStore
+    val screenDir = java.nio.file.Files.createTempDirectory("scrout_s").toString
+    val downDir = java.nio.file.Files.createTempDirectory("scrout_d").toString
+    SignatureStore.seed(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"), "doc_id", "text", screenDir)
+    val down = SignatureStore.appender(spark, downDir, "doc_id", "text",
+      streamTag = "dn")
+    val curEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    var crashArmed = true
+    val outCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    def mkScreen() = SignatureStore.screenSink(spark, screenDir, "doc_id",
+      "text", threshold = 0.4, streamTag = "sc") { df =>
+      outCalls.incrementAndGet()
+      down(df, curEpoch.get()) // downstream persists + its marker commits
+      if (crashArmed) { crashArmed = false
+        throw new RuntimeException("injected crash after out, before marker")
+      }
+    }
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // stored dup
+      (11L, "fresh unrelated words nobody wrote before today anywhere"))
+      .toDF("doc_id", "text")
+    curEpoch.set(0L)
+    intercept[RuntimeException] { mkScreen()(batch, 0L) }
+    // downstream committed its epoch; the screen's marker never did
+    assert(spark.read.parquet(s"$downDir/sigs").count() == 1)
+    assert(SignatureStore.read(spark, screenDir).count() == 1,
+      "the screen's own epoch must not have published")
+    // replay (fresh sink per restart): out re-delivers the SAME survivors;
+    // the downstream's marker makes the second delivery a no-op
+    mkScreen()(batch, 0L)
+    assert(outCalls.get() == 2, "the crash window must re-invoke out")
+    val downIds = spark.read.parquet(s"$downDir/sigs").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(downIds == Seq(11L),
+      s"downstream must hold exactly one copy of the survivor: $downIds")
+    assert(SignatureStore.read(spark, screenDir).count() == 2,
+      "the replayed screen epoch publishes once")
+    // a re-delivery AFTER the marker is a no-op end to end
+    mkScreen()(batch, 0L)
+    assert(outCalls.get() == 2, "post-marker replay must not re-invoke out")
+    assert(spark.read.parquet(s"$downDir/sigs").count() == 1)
+  }
+
+  test("full front door + refit hook in one foreachBatch: crash-replay " +
+    "across a refit boundary keeps stores bit-identical and the version " +
+    "monotone (replayed epoch <= published version refits nothing)") {
+    import graft.operators.{Dsir, FingerprintStore, SignatureStore}
+    import graft.streaming.{IngestGate, ModelRefit}
+    def w(v: String, i: Int) = f"$v${i % 80}%02d"
+    def doc(v: String, salt: Int) =
+      (0 until 24).map(i => w(v, salt + i)).mkString(" ")
+    def recrawl(v: String, salt: Int) =
+      (0 until 23).map(i => w(v, salt + i)).mkString(" ") + " " + w(v, salt + 40)
+    val ref = ((0 until 60).map(i => (i.toLong, doc("alpha", i), true)) ++
+        (0 until 60).map(i => (200L + i, doc("beta", i), false)))
+      .toDF("doc_id", "text", "is_target")
+    val epochs = Seq(
+      Seq((1L, doc("alpha", 4)), (3L, doc("beta", 7))),
+      Seq((4L, recrawl("alpha", 4)), (5L, doc("alpha", 30))),
+      Seq((7L, doc("alpha", 56)), (9L, recrawl("alpha", 30))))
+
+    def runScenario(tag: String, crashPlan: Set[String]):
+        (String, String, Int, Seq[Long]) = {
+      val inDir = java.nio.file.Files.createTempDirectory(s"rf_in_$tag").toFile
+      epochs.zipWithIndex.foreach { case (rows, i) =>
+        val f = new java.io.File(inDir, f"b$i%02d.json")
+        val js = rows.map { case (id, t) =>
+          s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n")
+        java.nio.file.Files.write(f.toPath, js.getBytes("UTF-8"))
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"rf_ck_$tag").toString
+      val fpDir = java.nio.file.Files.createTempDirectory(s"rf_fp_$tag").toString
+      val sigDir = java.nio.file.Files.createTempDirectory(s"rf_sg_$tag").toString
+      val verDir = java.nio.file.Files.createTempDirectory(s"rf_vs_$tag").toString
+      val vfs = new org.apache.hadoop.fs.Path(verDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // durable version store: one atomically-renamed file per version,
+      // payload = the model string (count of stored sigs at fit time)
+      def save(m: String, v: Long): Unit = {
+        val tmp = new org.apache.hadoop.fs.Path(s"$verDir/.v$v.tmp")
+        val out = vfs.create(tmp, true)
+        out.write(m.getBytes("UTF-8")); out.close()
+        require(vfs.rename(tmp, new org.apache.hadoop.fs.Path(s"$verDir/v$v")))
+      }
+      def loadLatest(): Option[(Long, String)] = {
+        val vs = vfs.listStatus(new org.apache.hadoop.fs.Path(verDir))
+          .map(_.getPath.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+        if (vs.isEmpty) None
+        else {
+          val v = vs.max
+          val in = vfs.open(new org.apache.hadoop.fs.Path(s"$verDir/v$v"))
+          val buf = new Array[Byte](256)
+          val n = in.read(buf); in.close()
+          Some((v, new String(buf, 0, n, "UTF-8")))
+        }
+      }
+      val fits = new java.util.concurrent.atomic.AtomicInteger(0)
+      val versionsSeen = scala.collection.mutable.ArrayBuffer[Long]()
+      val crashed = scala.collection.mutable.Set[String]()
+      def crashPoint(p: String): Unit =
+        if (crashPlan.contains(p) && crashed.add(p))
+          throw new RuntimeException(s"injected crash at $p")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 8) {
+        attempts += 1
+        // fresh EVERYTHING per restart, the recovered-driver discipline:
+        // gate stats, sinks' heal sweeps, and a refit hook resumed from the
+        // durable version store (never a refit-from-scratch)
+        val gate = new IngestGate(
+          Dsir.bucketStats(ref, "doc_id", "text", col("is_target")),
+          minAffinity = 2.0)
+        val refit = new ModelRefit[String](s"door_refit_$tag", refitEvery = 2,
+          Some(ModelRefit.Store(save, () => loadLatest())))((s, v) => {
+          fits.incrementAndGet()
+          s"v$v:" + SignatureStore.read(s, sigDir).count()
+        })
+        val curEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val screen = SignatureStore.screenSink(spark, sigDir, "doc_id",
+          "text", threshold = 0.45, streamTag = "rf") { _ => () }
+        val fpSink = FingerprintStore.dedupSink(spark, fpDir, "doc_id",
+          "text", streamTag = "rf") { df =>
+          screen(df, curEpoch.get())
+        }
+        val sink = gate.sinkEpoch("doc_id", "text")(
+          { (df, e) =>
+            curEpoch.set(e); fpSink(df, e)
+            // refit hook AFTER the epoch's rows land (the class contract);
+            // awaitRefits only to make the crash window deterministic here
+            refit.onEpoch(spark, e)
+            refit.awaitRefits()
+            versionsSeen.synchronized { versionsSeen += refit.currentVersion }
+            crashPoint(s"post-refit-$e") })(
+          (_, _) => ())
+        val query = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .json(inDir.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(sink)
+          .start()
+        try { query.processAllAvailable(); done = true }
+        catch { case _: Throwable => () }
+        finally { try query.stop() catch { case _: Throwable => () } }
+      }
+      assert(done, s"$tag: stream never completed after $attempts attempts")
+      (fpDir, sigDir, fits.get(), versionsSeen.toSeq)
+    }
+
+    // crash AFTER epoch 2's refit published and persisted: the replayed
+    // epoch re-runs the whole chain with every store marker present and an
+    // epoch tag <= the resumed published version
+    val (fpC, sigC, fitsC, versC) = runScenario("crash", Set("post-refit-2"))
+    val (fpN, sigN, fitsN, versN) = runScenario("clean", Set.empty)
+
+    def sigRows(d: String) = SignatureStore.read(spark, d)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    def fpRows(d: String) = spark.read.parquet(s"$d/fps")
+      .select("fp").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sigRows(sigC) == sigRows(sigN) && fpRows(fpC) == fpRows(fpN),
+      "stores must match the uncrashed run bit-for-bit across the replay")
+    // refit boundaries at epochs 0 and 2 -> exactly two fits, crash or not:
+    // the replayed epoch 2 (<= resumed version 2) must refit NOTHING
+    assert(fitsN == 2, s"clean run must fit v0 and v2, got $fitsN")
+    assert(fitsC == 2,
+      s"the replayed boundary epoch must not refit (monotonicity): $fitsC")
+    // version tags never regress in either run
+    assert(versN == versN.sorted && versC == versC.sorted,
+      s"published version must be monotone: $versC / $versN")
+    assert(versC.last == 2L && versN.last == 2L)
+  }
+
   test("streaming quantiles track exact batch quantiles within the GK rank bound") {
     import graft.streaming.StreamingQuantiles
     implicit val sqlCtx = spark.sqlContext
