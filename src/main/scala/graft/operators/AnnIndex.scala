@@ -235,8 +235,12 @@ object AnnIndex {
     * job: when its centroids wander far from the index's, rebuild with a new
     * variant token. */
   def ivfAppender(spark: SparkSession, indexDir: String, idCol: String,
-                  vecCol: String): (DataFrame, Long) => Unit = {
+                  vecCol: String,
+                  autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
+                  autoCompactFactor: Int = AutoCompact.DefaultFactor):
+      (DataFrame, Long) => Unit = {
     val cents = loadCentroids(spark, indexDir)
+    val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
     (batch: DataFrame, epoch: Long) => {
       val marker = new Path(s"$indexDir/_ingested_epoch_$epoch")
       val fs = marker.getFileSystem(
@@ -251,6 +255,9 @@ object AnnIndex {
           .write.mode("append").partitionBy("list_id")
           .parquet(s"$indexDir/lists")
         fs.create(marker, true).close()
+        // epoch fully committed: the between-epochs single-writer window
+        auto.tick(listFileCount(spark, indexDir), cents.length)(
+          compact(spark, indexDir))
       }
     }
   }
@@ -266,9 +273,13 @@ object AnnIndex {
     * Codes drift as the data does — when [[graft.streaming.StreamOps.StreamingKMeans]]
     * reports centroid wander, rebuild under a new variant token. */
   def ivfPqAppender(spark: SparkSession, indexDir: String, idCol: String,
-                    vecCol: String): (DataFrame, Long) => Unit = {
+                    vecCol: String,
+                    autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
+                    autoCompactFactor: Int = AutoCompact.DefaultFactor):
+      (DataFrame, Long) => Unit = {
     val cents = loadCentroids(spark, indexDir)
     val cb = loadCodebook(spark, indexDir)
+    val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
     (batch: DataFrame, epoch: Long) => {
       val marker = new Path(s"$indexDir/_ingested_epoch_$epoch")
       val fs = marker.getFileSystem(
@@ -285,6 +296,9 @@ object AnnIndex {
           .write.mode("append").partitionBy("list_id")
           .parquet(s"$indexDir/lists")
         fs.create(marker, true).close()
+        // epoch fully committed: the between-epochs single-writer window
+        auto.tick(listFileCount(spark, indexDir), cents.length)(
+          compact(spark, indexDir))
       }
     }
   }

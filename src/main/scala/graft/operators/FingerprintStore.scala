@@ -148,7 +148,9 @@ object FingerprintStore {
     * both its epoch numbering and its tag, which is exactly when the marker
     * must suppress the replay). */
   def dedupSink(spark: SparkSession, dir: String, idCol: String,
-                textCol: String, streamTag: String = "stream")
+                textCol: String, streamTag: String = "stream",
+                autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
+                autoCompactFactor: Int = AutoCompact.DefaultFactor)
                (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
     // The Bloom list is loaded once per sink start, BROADCAST to executors
     // (a closure-captured filter would re-serialize with every task), and
@@ -156,6 +158,11 @@ object FingerprintStore {
     val sc = spark.sparkContext
     var blooms: Seq[BloomFilter] = loadBlooms(spark, dir)
     var bloomBc = sc.broadcast(blooms.toArray)
+    // auto-compaction keys on the Bloom-sidecar count here: every committed
+    // non-empty epoch adds one sidecar, each costs a probe per lookup, and
+    // compact() merges them to one (the fps tiny files fold in the same
+    // pass) — so sidecars, not fps files, are this store's growth telemetry
+    val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
     (batch: DataFrame, epoch: Long) => {
       val fs = new Path(dir).getFileSystem(
         batch.sparkSession.sparkContext.hadoopConfiguration)
@@ -221,6 +228,17 @@ object FingerprintStore {
           old.unpersist()
         }
         fs.create(marker, true).close()
+        // epoch fully committed: the between-epochs single-writer window
+        auto.tick(bloomCount(spark, dir), 1) {
+          compact(spark, dir)
+          // the store's content is unchanged but its sidecars merged: swap
+          // the in-memory list for the merged one (holding the old
+          // per-epoch filters would be correct but never reclaim memory)
+          blooms = loadBlooms(spark, dir)
+          val old = bloomBc
+          bloomBc = sc.broadcast(blooms.toArray)
+          old.unpersist()
+        }
       }
     }
   }

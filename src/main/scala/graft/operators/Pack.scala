@@ -212,11 +212,15 @@ object Pack {
     * other two stores. */
   def shardAppender(spark: SparkSession, dir: String, orderCol: String,
                     tokCol: String, budget: Long, binsPerShard: Long,
-                    streamTag: String = "stream"): (DataFrame, Long) => Unit = {
+                    streamTag: String = "stream",
+                    autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
+                    autoCompactFactor: Int = AutoCompact.DefaultFactor):
+      (DataFrame, Long) => Unit = {
     require(budget > 0 && binsPerShard > 0)
     // restart heal: committed epochs finish publishing, uncommitted staging
     // is discarded (its epoch will replay in full)
     healStaging(spark, dir, streamTag)
+    val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
     var total = storedTokenTotal(spark, dir)
     (batch: DataFrame, epoch: Long) => {
       val marker = new Path(s"$dir/_packed_${streamTag}_epoch_$epoch")
@@ -243,6 +247,9 @@ object Pack {
         // the marker IS the commit point: everything after it is replay-safe
         writeTokenMarker(spark, dir, s"_packed_${streamTag}_epoch_$epoch", total)
         publishStage(fs, dir, stage)
+        // epoch fully committed: the between-epochs single-writer window
+        auto.tick(shardFileCount(spark, dir), shardDirCount(spark, dir))(
+          compactShards(spark, dir))
       }
     }
   }
@@ -344,6 +351,15 @@ object Pack {
       }
     fs.delete(prev, true)
     fs.delete(tmp, true)
+  }
+
+  /** Live `shard=` dir count (the [[AutoCompact]] bound's denominator). */
+  def shardDirCount(spark: SparkSession, dir: String): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    fs.listStatus(root).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("shard="))
   }
 
   /** Data-file count across shard dirs (compaction telemetry, the

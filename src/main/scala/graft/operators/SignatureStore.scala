@@ -284,10 +284,13 @@ object SignatureStore {
     * stream per store, the maintainer contract of the other stores. */
   def appender(spark: SparkSession, dir: String, idCol: String,
                textCol: String, numHashes: Int = 32, shingleSize: Int = 3,
-               bands: Int = 8,
-               streamTag: String = "stream"): (DataFrame, Long) => Unit = {
+               bands: Int = 8, streamTag: String = "stream",
+               autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
+               autoCompactFactor: Int = AutoCompact.DefaultFactor):
+      (DataFrame, Long) => Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     healStaging(fsOf(spark, dir), dir, "sigapp", streamTag)
+    val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
     (batch: DataFrame, epoch: Long) => {
       val fs = fsOf(batch.sparkSession, dir)
       checkParams(fs, dir, numHashes, shingleSize, bands)
@@ -303,6 +306,9 @@ object SignatureStore {
         writeParams(fs, dir, numHashes, shingleSize, bands)
         fs.create(marker, true).close()
         publishStage(fs, dir, stage)
+        // epoch fully committed: the between-epochs single-writer window
+        auto.tick(fileCount(spark, dir), partitionDirCount(spark, dir))(
+          compact(spark, dir))
       }
     }
   }
@@ -376,10 +382,13 @@ object SignatureStore {
   def screenSink(spark: SparkSession, dir: String, idCol: String,
                  textCol: String, threshold: Double = 0.5,
                  numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-                 streamTag: String = "stream")
+                 streamTag: String = "stream",
+                 autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
+                 autoCompactFactor: Int = AutoCompact.DefaultFactor)
                 (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     healStaging(fsOf(spark, dir), dir, "sigscr", streamTag)
+    val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
     (batch: DataFrame, epoch: Long) => {
       val fs = fsOf(batch.sparkSession, dir)
       checkParams(fs, dir, numHashes, shingleSize, bands)
@@ -410,6 +419,9 @@ object SignatureStore {
         writeParams(fs, dir, numHashes, shingleSize, bands)
         fs.create(marker, true).close()
         publishStage(fs, dir, stage)
+        // epoch fully committed: the between-epochs single-writer window
+        auto.tick(fileCount(spark, dir), partitionDirCount(spark, dir))(
+          compact(spark, dir))
       }
     }
   }
@@ -451,6 +463,20 @@ object SignatureStore {
       throw new IllegalStateException(s"compact: cannot publish $tmp")
     }
     fs.delete(prev, true)
+  }
+
+  /** Live partition-dir count across both tables — the [[AutoCompact]]
+    * bound's denominator: a healthy compacted store holds ~1 file per
+    * partition dir, so `fileCount > k × partitionDirCount` means ≈k
+    * epoch-appended files per partition. */
+  def partitionDirCount(spark: SparkSession, dir: String): Int = {
+    val fs = fsOf(spark, dir)
+    Seq("sigs" -> "shard=", "bands" -> "bucket=").map { case (sub, pre) =>
+      val root = new Path(s"$dir/$sub")
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith(pre))
+    }.sum
   }
 
   /** Data-file count across both partitioned tables (compaction

@@ -301,6 +301,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(SignatureStore.read(spark, dir).count() == 5)
   }
 
+  test("signature store: auto-compaction keeps a long appender run under " +
+    "the file-count bound with no manual call; markers and content intact") {
+    import graft.operators.SignatureStore
+    val autoDir = java.nio.file.Files.createTempDirectory("sigauto").toString
+    val offDir = java.nio.file.Files.createTempDirectory("sigoff").toString
+    // identical text every epoch (distinct ids): every epoch's band rows
+    // land in the SAME 8 bucket dirs, the worst-case small-file pile-up a
+    // continuous crawl of templated pages produces
+    val text = "completely different content about spark engines and scale"
+    def run(dir: String, every: Int): Unit = {
+      val app = SignatureStore.appender(spark, dir, "doc_id", "text",
+        streamTag = "ac", autoCompactEvery = every, autoCompactFactor = 1)
+      (1 to 16).foreach { e =>
+        app(Seq((100L + e, text)).toDF("doc_id", "text"), e.toLong)
+      }
+    }
+    run(autoDir, 4) // check every 4 committed epochs, bound 1 file/partition
+    run(offDir, 0) // hook disabled: the old manual-maintenance behavior
+    val filesAuto = SignatureStore.fileCount(spark, autoDir)
+    val filesOff = SignatureStore.fileCount(spark, offDir)
+    val partsAuto = SignatureStore.partitionDirCount(spark, autoDir)
+    // epoch 16 is a check boundary and the bound was exceeded, so the run
+    // ends freshly compacted: exactly one file per live partition —
+    // while the disabled run piled ~9 files per epoch into ~24 partitions
+    assert(filesAuto == partsAuto, s"auto: $filesAuto files, $partsAuto parts")
+    assert(filesOff > 3 * filesAuto, s"off=$filesOff auto=$filesAuto")
+    // content identical to the never-compacted store
+    def ids(d: String) = SignatureStore.read(spark, d).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(autoDir) == ids(offDir) && ids(autoDir).size == 16)
+    // markers survive the auto-compactions: a replayed epoch is a no-op
+    val app2 = SignatureStore.appender(spark, autoDir, "doc_id", "text",
+      streamTag = "ac", autoCompactEvery = 4, autoCompactFactor = 1)
+    app2(Seq((105L, text)).toDF("doc_id", "text"), 5L)
+    assert(ids(autoDir).size == 16, "replayed epoch must not re-append")
+    // and the compacted store still probes correctly
+    val hits = SignatureStore.probeStored(spark, autoDir,
+      Dedup.minHashSignatures(Seq((999L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", 32, 3), 32, 8, 0.3).collect()
+    assert(hits.length == 1 && hits.head.getLong(1) == 16L,
+      hits.mkString(","))
+  }
+
   test("signature store: a pre-index store (sigs, no bands) fails loudly on " +
     "probe and migrates via backfillBands — including its 2-field _params") {
     import graft.operators.SignatureStore
