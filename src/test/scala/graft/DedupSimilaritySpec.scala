@@ -149,7 +149,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pruned.exists(_._1 == 100L) && pruned.exists(_._1 == 101L) &&
       !pruned.exists(_._1 == 102L), pruned.toString)
     // plan pin: with checkpoints off, the probe's plan must show BOTH store
-    // scans statically partition-pruned — bands by bucket, sigs by shard
+    // scans statically partition-pruned — bands by bucket, sigs by shard.
+    // Empirical twin: graft.BenchScreen / BENCH_screen.json measures this
+    // pruning's payoff — the SAME probe batch against a store and a 10×
+    // store costs ~the same wall time (ratio 1.05) while the batch touches
+    // a fraction of the 256 buckets / 64 shards, degrading only when the
+    // batch saturates every partition (ratio 1.7 at 200 docs — the
+    // NumBuckets/NumShards-must-grow-with-store sizing rule).
     val p = {
       val df = SignatureStore.probeStored(spark, dir, sigsI, 32, 8, 0.3,
         eager = false)
