@@ -246,7 +246,14 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBlockDf: Int = Int.MaxValue): DataFrame = {
-    val sigs = simHash(docs, idCol, textCol)
+    // When capping, checkpoint the SIGNATURES (1 narrow row per doc) rather
+    // than the exploded blocks (4 rows per doc): the hot-bucket census and
+    // the anti-join input each re-derive blocks from the checkpoint with one
+    // cheap codegen'd posexplode, and the expensive tokenize+64-vote simHash
+    // pass still runs exactly once.
+    val sigs0 = simHash(docs, idCol, textCol)
+    val sigs =
+      if (maxBlockDf == Int.MaxValue) sigs0 else sigs0.localCheckpoint()
     val blocks0 = sigs.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(blk =>
           shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*))
@@ -254,10 +261,10 @@ object Dedup {
     val blocks =
       if (maxBlockDf == Int.MaxValue) blocks0
       else {
-        val b0 = blocks0.localCheckpoint() // one signature pass, reused 2×
-        val hot = b0.groupBy("blk", "blk_val").agg(count(lit(1)).as("df"))
+        val hot = blocks0.groupBy("blk", "blk_val").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxBlockDf)
-        b0.join(hot.select("blk", "blk_val"), Seq("blk", "blk_val"), "left_anti")
+        blocks0.join(hot.select("blk", "blk_val"), Seq("blk", "blk_val"),
+          "left_anti")
       }
     val a = blocks.select(col("blk"), col("blk_val"),
       col("id").as("id_a"), col("simhash").as("sig_a"))
