@@ -371,6 +371,77 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
   }
 
+  /** Duplicated-span REMOVAL — the cleaning pass [[spanDupStats]] only
+    * measures: every stride-1 `window`-token run that occurs more than once
+    * in the corpus is dropped from every occurrence EXCEPT the globally
+    * first (ordered by (id, pos)), and each document's text is reassembled
+    * from its surviving tokens (Lee et al. 2022's exact-substring
+    * deduplication, with hashed fixed-length windows as the distributed
+    * surrogate for the paper's single-machine suffix array — same surrogate
+    * [[spanDupStats]] documents).
+    *
+    * A token is removed iff it is covered by at least one non-first
+    * duplicated window occurrence, so overlapping duplicate runs longer
+    * than `window` are excised whole, and the keep-first rule preserves one
+    * copy of every span corpus-wide (doc-internal repeats count too: the
+    * second occurrence inside the same document is removed).
+    *
+    * Output: (id, n_toks, n_removed, text_kept), one row per input doc —
+    * `text_kept` is the space-joined surviving tokens ('' if everything was
+    * removed).
+    *
+    * Scale shape — linear, no pair joins, four narrow corpus-sized
+    * shuffles: (1) the per-doc lead() window building (id, pos, wh) rows
+    * (20 bytes/token, the [[spanDupStats]] budget); (2) the global
+    * first-occurrence reduction `groupBy(wh).agg(min(struct(id,pos)))` — an
+    * AGGREGATE, not a rank window, so a boilerplate span duplicated across
+    * millions of documents is absorbed by map-side partial combine instead
+    * of landing on one hot wh partition; (3) the 1:1 wins⋈firsts join back
+    * on wh (AQE handles residual key skew); (4) the coverage join on
+    * (id, pos) + per-doc running-max window + reassembly groupBy, the last
+    * two sharing the id-hash partitioning. Tokens re-tokenize for the
+    * coverage pass (a shuffle-free codegen scan) rather than riding the
+    * window shuffle as strings. [SQL — windows compared as strings, the
+    * dedup_ngram_jaccard hash-vs-string precedent]. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            window: Int = 16): DataFrame = {
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    def toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(TextFns.normTokens(TextFns.cleanText(col(textCol),
+          removePunctuation = true))).as(Seq("pos", "tok")))
+    val leadCols =
+      (1 until window).map(i => lead(col("h"), i).over(byDoc).as(s"h$i"))
+    // (id, pos, wh) per full-window start — checkpointed once, narrow rows.
+    val wins = toks
+      .select(col("id"), col("pos"), xxhash64(col("tok")).as("h"))
+      .select(col("id") +: col("pos") +: col("h").as("h0") +: leadCols: _*)
+      .filter(col(s"h${window - 1}").isNotNull) // tail positions: no full window
+      .select(col("id"), col("pos"),
+        xxhash64((0 until window).map(i => col(s"h$i")): _*).as("wh"))
+      .localCheckpoint()
+    val firsts = wins.groupBy("wh")
+      .agg(min(struct(col("id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("wh", "first")
+    val starts = wins.join(firsts, Seq("wh"))
+      .filter(struct(col("id"), col("pos")) =!= col("first"))
+      .select(col("id"), col("pos"), lit(1).as("rm_start"))
+    val covered = toks
+      .join(starts, Seq("id", "pos"), "left")
+      .withColumn("removed",
+        max(coalesce(col("rm_start"), lit(0)))
+          .over(byDoc.rowsBetween(-(window - 1), 0)))
+    covered.groupBy("id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("removed")).cast("long").as("n_removed"),
+        array_join(transform(
+          sort_array(collect_list(when(col("removed") === 0,
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("text_kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH bucketing (see
     * [[Similarity.signBits]]): candidates share a sign-LSH bucket, verified by
     * exact cosine ≥ threshold. Linear candidate generation — no full cross join. */

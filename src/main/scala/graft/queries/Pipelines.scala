@@ -499,6 +499,41 @@ object Pipelines {
        |  round(CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / t.n_windows, 6) AS dup_frac
        |FROM tot t LEFT JOIN nd USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Duplicated-span removal: drop every non-first occurrence of a
+    * corpus-duplicated 16-token window and reassemble each document from
+    * its surviving tokens ([[Dedup.removeDuplicatedSpans]]) — the cleaning
+    * pass `dedup_span_fraction` only measures. [SQL — windows compared as
+    * strings; the oracle replays keep-first, running-max coverage, and the
+    * ORDER BY pos string_agg reassembly]. */
+  val dedupSpanRemoval: Q = (s, dir) =>
+    Dedup.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        window = 16)
+      .select(col("id").as("doc_id"), col("n_toks"), col("n_removed"),
+        col("text_kept"))
+      .orderBy("doc_id")
+
+  val dedupSpanRemovalSql: String =
+    s"""WITH $toksCte,
+       |toks AS (SELECT doc_id, i, w[i] AS tok
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toksraw) q),
+       |wins AS (SELECT doc_id, i, array_to_string(w[i:i+15], ' ') AS win
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 14)) AS i
+       |        FROM toksraw WHERE len(w) >= 16) q),
+       |ranked AS (SELECT doc_id, i,
+       |    row_number() OVER (PARTITION BY win ORDER BY doc_id, i) AS rn,
+       |    count(*) OVER (PARTITION BY win) AS cnt
+       |  FROM wins),
+       |starts AS (SELECT doc_id, i FROM ranked WHERE cnt >= 2 AND rn >= 2),
+       |cov AS (SELECT t.doc_id, t.i, t.tok,
+       |    max(CASE WHEN s.i IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY t.doc_id ORDER BY t.i
+       |            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS removed
+       |  FROM toks t LEFT JOIN starts s ON t.doc_id = s.doc_id AND t.i = s.i)
+       |SELECT doc_id, count(*) AS n_toks, CAST(sum(removed) AS BIGINT) AS n_removed,
+       |  COALESCE(string_agg(CASE WHEN removed = 0 THEN tok END, ' ' ORDER BY i), '')
+       |    AS text_kept
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Shared token-list CTE text for the xxhash64-based dedup oracles (same
     * clean/split chain as [[dedupNgramJaccardSql]]), over table/CTE `src`. */
   private def toksCteFrom(src: String): String = {
@@ -2513,6 +2548,7 @@ object Pipelines {
     "sketch_heavy_hitters" -> sketchHeavyHitters,
     "sketch_distinct" -> sketchDistinct,
     "dedup_span_fraction" -> dedupSpanFraction,
+    "dedup_span_removal" -> dedupSpanRemoval,
     "mix_weights" -> mixWeights,
     "mix_sample" -> mixSample,
     "mix_token_fill" -> mixTokenFill,
@@ -2571,6 +2607,7 @@ object Pipelines {
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "sketch_distinct" -> sketchDistinctSql,
     "dedup_span_fraction" -> dedupSpanFractionSql,
+    "dedup_span_removal" -> dedupSpanRemovalSql,
     "mix_weights" -> mixWeightsSql,
     "mix_sample" -> mixSampleSql,
     "mix_token_fill" -> mixTokenFillSql,

@@ -459,4 +459,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(bucket#"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("dedup_span_removal: every window is doc-partitioned (lead chain and " +
+    "coverage max alike), joins are keyed — no cross product, no " +
+    "single-partition exchange") {
+    val p = plan(Pipelines.queries("dedup_span_removal")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition(id#"), p)
+    // the keep-first reduction is an AGGREGATE on wh (map-side combinable),
+    // never a rank window over wh (one hot boilerplate span = one hot
+    // partition at 100 TB)
+    assert(!p.contains("windowspecdefinition(wh#"), p)
+  }
 }
