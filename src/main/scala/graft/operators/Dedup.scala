@@ -246,14 +246,17 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBlockDf: Int = Int.MaxValue): DataFrame = {
-    // When capping, checkpoint the SIGNATURES (1 narrow row per doc) rather
-    // than the exploded blocks (4 rows per doc): the hot-bucket census and
-    // the anti-join input each re-derive blocks from the checkpoint with one
+    // Checkpoint the SIGNATURES (1 narrow row per doc) rather than the
+    // exploded blocks (4 rows per doc): every consumer — the a/b sides of
+    // the bucket self-join and, when capping, the hot-bucket census and the
+    // anti-join input — re-derives blocks from the checkpoint with one
     // cheap codegen'd posexplode, and the expensive tokenize+64-vote simHash
-    // pass still runs exactly once.
-    val sigs0 = simHash(docs, idCol, textCol)
-    val sigs =
-      if (maxBlockDf == Int.MaxValue) sigs0 else sigs0.localCheckpoint()
+    // pass runs exactly once. (The uncapped self-join gets NO exchange reuse
+    // from Catalyst — zero ReusedExchange, one 64-vote aggregate tower per
+    // join side. Locally that second tower is masked by the warm page cache
+    // — sf10 wall flat within noise — but at 100 TB a second full tokenize
+    // scan is real cost; the checkpoint rows are 16 bytes/doc.)
+    val sigs = simHash(docs, idCol, textCol).localCheckpoint()
     val blocks0 = sigs.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(blk =>
           shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*))
