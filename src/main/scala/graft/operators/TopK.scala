@@ -87,4 +87,77 @@ object TopK {
       .select(col("qid"), col("hit.cids").as("cid"), col("hit.coss").as("cos"),
         (col("pos") + 1).cast("int").as("rk"))
   }
+
+  /** Bounded buffer for [[TopKStrAgg]]: parallel arrays sorted by
+    * (score desc, item asc), ≤ k rows. */
+  case class StrBuf(items: Array[String], scores: Array[Double])
+
+  /** [[TopKAgg]] with a STRING item and (score desc, item asc) order — the
+    * per-document term-ranking variant (tf-idf top terms): the window it
+    * replaces shuffled every scored (doc, term) row to sort each doc's whole
+    * vocabulary; this ships ≤ k terms per doc per map partition. */
+  class TopKStrAgg(k: Int)
+      extends Aggregator[(Long, String, Double), StrBuf, (Array[String], Array[Double])] {
+    require(k >= 1)
+
+    def zero: StrBuf = StrBuf(Array.empty[String], Array.emptyDoubleArray)
+
+    private def ahead(s1: Double, w1: String, s2: Double, w2: String): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && w1.compareTo(w2) < 0)
+    }
+
+    private def insert(b: StrBuf, w: String, s: Double): StrBuf = {
+      val len = b.items.length
+      if (len == k && !ahead(s, w, b.scores(len - 1), b.items(len - 1))) return b
+      var pos = 0
+      while (pos < len && !ahead(s, w, b.scores(pos), b.items(pos))) pos += 1
+      val nlen = math.min(len + 1, k)
+      val items = new Array[String](nlen)
+      val scores = new Array[Double](nlen)
+      System.arraycopy(b.items, 0, items, 0, pos)
+      System.arraycopy(b.scores, 0, scores, 0, pos)
+      items(pos) = w; scores(pos) = s
+      val tail = nlen - pos - 1
+      System.arraycopy(b.items, pos, items, pos + 1, tail)
+      System.arraycopy(b.scores, pos, scores, pos + 1, tail)
+      StrBuf(items, scores)
+    }
+
+    def reduce(b: StrBuf, row: (Long, String, Double)): StrBuf =
+      insert(b, row._2, row._3)
+
+    def merge(a: StrBuf, b: StrBuf): StrBuf = {
+      var r = a
+      var i = 0
+      while (i < b.items.length) { r = insert(r, b.items(i), b.scores(i)); i += 1 }
+      r
+    }
+
+    def finish(b: StrBuf): (Array[String], Array[Double]) = (b.items, b.scores)
+
+    def bufferEncoder: Encoder[StrBuf] = Encoders.product[StrBuf]
+    def outputEncoder: Encoder[(Array[String], Array[Double])] =
+      Encoders.product[(Array[String], Array[Double])]
+  }
+
+  /** Rank scored (key, item, score) rows to the top k per key.
+    * Output: (key, item, score, rk), rk 1..k in (score desc, item asc) order
+    * — row-identical to `row_number().over(partitionBy(key)
+    * .orderBy(score.desc, item))` + `filter(rk <= k)`. */
+  def topKPerKeyStr(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("key").cast("long"), col("item").cast("string"),
+        col("score").cast("double"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKStrAgg(k).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(col("key"), col("top._1").as("items"), col("top._2").as("scores"))
+      .select(col("key"), posexplode(arrays_zip(col("items"), col("scores")))
+        .as(Seq("pos", "hit")))
+      .select(col("key"), col("hit.items").as("item"),
+        col("hit.scores").as("score"), (col("pos") + 1).cast("int").as("rk"))
+  }
 }

@@ -1653,9 +1653,11 @@ object Pipelines {
     * engines compute bit-identical scores (ln() is libm-dependent, NOT
     * guaranteed correctly rounded, and would poison the hash compare at
     * rounding boundaries; the surrogate is order-isomorphic to +idf for
-    * ranking). The per-doc rank is a window PARTITIONED BY doc_id —
-    * high-cardinality partitioning, each partition one doc's vocabulary, so
-    * it scales where a global window would not. [SQL] */
+    * ranking). The per-doc rank is [[graft.operators.TopK.topKPerKeyStr]] —
+    * a bounded (≤ 5 terms) aggregator with map-side partial combine, so the
+    * rank stage ships at most 5 terms per doc per map partition instead of
+    * shuffling every doc's whole scored vocabulary into a sort-based window
+    * (row-identical ordering contract: score desc, word asc). [SQL] */
   val textTfidf: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val words = docs.select(col("doc_id"),
@@ -1666,15 +1668,12 @@ object Pipelines {
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("word")).crossJoin(broadcast(total))
-      .withColumn("score",
-        col("tf").cast("double") * (col("n_docs").cast("double") + 1.0) /
-          (col("df").cast("double") + 1.0))
-    scored.withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("word"))))
-      .filter(col("rk") <= 5)
-      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("word"),
-        round(col("score"), 6).as("tfidf"))
+      .select(col("doc_id").as("key"), col("word").as("item"),
+        (col("tf").cast("double") * (col("n_docs").cast("double") + 1.0) /
+          (col("df").cast("double") + 1.0)).as("score"))
+    graft.operators.TopK.topKPerKeyStr(scored, 5)
+      .select(col("key").as("doc_id"), col("rk").cast("long").as("rk"),
+        col("item").as("word"), round(col("score"), 6).as("tfidf"))
       .orderBy("doc_id", "rk")
   }
 

@@ -105,6 +105,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("topKPerKeyStr is row-identical to the rank window it replaces " +
+    "(ties broken by item asc), for any data and partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    forSamples2(
+        Gen.listOfN(40, Gen.zip(Gen.choose(0L, 4L),
+          Gen.zip(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(3)),
+            Gen.choose(0, 5).map(_.toDouble)))),
+        Gen.choose(1, 5), n = 6) { (rows0, nPart) =>
+      if (rows0.nonEmpty) {
+        // duplicate scores on purpose (small int range) to exercise ties
+        val df = rows0.map { case (k, (w, s)) => (k, w, s) }
+          .toDF("key", "item", "score").repartition(nPart)
+          .groupBy("key", "item").agg(max("score").as("score")) // unique items
+        val viaAgg = graft.operators.TopK.topKPerKeyStr(df, 3)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+            r.getInt(3))).sortBy(t => (t._1, t._4)).toList
+        val viaWin = df.withColumn("rk", row_number().over(
+            Window.partitionBy("key").orderBy(col("score").desc, col("item"))))
+          .filter(col("rk") <= 3)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+            r.getInt(3))).sortBy(t => (t._1, t._4)).toList
+        assert(viaAgg == viaWin)
+      }
+    }
+  }
+
   // ---- CMS / shuffle / gate invariants -------------------------------------
 
   private val vocabGen: Gen[List[(String, Long)]] =
