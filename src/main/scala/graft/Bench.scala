@@ -82,15 +82,19 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$extra"failed":$fs,"sf":"$sfDir"}"""
     }
     // The file is the durable, machine-readable record: EVERY query, full
-    // precision, BOTH raw passes alongside the min-of-pairs map.
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    val pairsJson = pass1.keys.map { k =>
-      s"\"" + k + s"\":[${pass1(k)},${pass2.getOrElse(k, -1.0)}]"
-    }.mkString("{", ",", "}")
-    java.nio.file.Files.write(out,
-      (render(results, _.toString, s""""pairs":$pairsJson,""") + "\n")
-        .getBytes("UTF-8"))
+    // precision, BOTH raw passes alongside the min-of-pairs map. A
+    // SPARK_GRAFT_QUERIES subset run (the dev loop) must NOT clobber it with
+    // a partial map — it only writes when an explicit output is named.
+    val outOverride = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    if (subset.isEmpty || outOverride.isDefined) {
+      val out = java.nio.file.Paths.get(outOverride.getOrElse("bench_out.json"))
+      val pairsJson = pass1.keys.map { k =>
+        s"\"" + k + s"\":[${pass1(k)},${pass2.getOrElse(k, -1.0)}]"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(out,
+        (render(results, _.toString, s""""pairs":$pairsJson,""") + "\n")
+          .getBytes("UTF-8"))
+    }
     // The stdout copy must survive a LAST-2000-CHARS tail: the driver keeps
     // only the tail of stdout, and a 104-entry ms-precision line is ~2.6 KB —
     // r2/r3/r5/r6 all lost the line head → parsed:null. So stdout carries the

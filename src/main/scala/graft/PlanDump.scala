@@ -1,5 +1,11 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Dev-loop plan inspector: print a declared query's physical plan (plus a
+  * ReusedExchange count — the quick tell for self-joins silently recomputing
+  * a shared subtree). `runMain graft.PlanDump <query> <sfDir>`. The durable
+  * plan contracts live in PlanSpec; this is for poking at one query fast. */
 object PlanDump {
   def main(a: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
