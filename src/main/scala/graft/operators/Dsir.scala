@@ -67,6 +67,29 @@ object Dsir {
         sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct"),
         sum(when(!col("is_target"), col("c")).otherwise(0L)).as("cr"))
 
+  /** [[bucketStats]] over a pre-projected (idCol, is_target, toks) token
+    * frame ([[Quality.tokensWith]]) — the shared-tokenize entry for callers
+    * that feed the SAME checkpointed pass to stats-building and scoring
+    * (`gate_admission`: one corpus scan, not one per consumer). Counts rows
+    * per (bucket, is_target) directly — the per-doc grouping [[bucketStats]]
+    * routes through is a no-op under the outer sum, and integer counts make
+    * the collapse exact. Same empty-token equivalence as
+    * [[affinityAgainstTokens]]: only whitespace-only docs differ pre-filter,
+    * and those produce no bigram on either path. */
+  def bucketStatsFromTokens(toks: DataFrame, idCol: String,
+                            buckets: Int = 256): DataFrame = {
+    requirePow2(buckets)
+    toks
+      .select(col("is_target"),
+        explode_outer(TextFns.shinglesFromTokens(col("toks"), 2)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("is_target"),
+        pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+  }
+
   /** Affinity of `docs` against PRECOMPUTED [[bucketStats]] — the
     * streaming/ingest scoring path: the batch is scanned once for counting
     * and once for scoring, the stats ride as a broadcast, nothing

@@ -26,11 +26,19 @@ object Quality {
     * affinity and quality signals) should `localCheckpoint` the result so the
     * scan+regex chain runs once, not once per consumer. */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
+    tokensWith(docs, idCol, textCol)
+
+  /** [[tokens]] carrying extra projected columns through the tokenize pass —
+    * for callers that checkpoint ONE (id, extras, toks) frame and fan it out
+    * to consumers needing different slices (e.g. `gate_admission`: the same
+    * pass feeds target-flagged bucket stats AND the gate's scoring). */
+  def tokensWith(docs: DataFrame, idCol: String, textCol: String,
+                 extra: (String, Column)*): DataFrame =
+    docs.select(col(idCol) +: extra.map { case (n, c) => c.as(n) } :+
         TextFns.normTokens(TextFns.cleanText(col(textCol), removePunctuation = true))
-          .as("toks0"))
-      .select(col(idCol),
-        filter(col("toks0"), t => length(t) > 0).as("toks"))
+          .as("toks0"): _*)
+      .select(col(idCol) +: extra.map { case (n, _) => col(n) } :+
+        filter(col("toks0"), t => length(t) > 0).as("toks"): _*)
 
   /** (idCol, n_tokens, mean_word_len, top_unigram_ratio, dup_2gram_ratio,
     * dup_3gram_ratio) — one row per input document, empty docs all-zero. */

@@ -2199,9 +2199,16 @@ object Pipelines {
   val gateAdmission: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val isTgt = col("source").isin("src0", "src1")
-    val stats = graft.operators.Dsir.bucketStats(docs, "doc_id", "text", isTgt)
+    // ONE tokenize pass (the most expensive per-byte work in the chain)
+    // feeds BOTH the historical bucket stats and the gate's scoring of the
+    // non-target pool — the regex chain previously ran once per consumer.
+    val toksAll = graft.operators.Quality
+      .tokensWith(docs, "doc_id", "text", "is_target" -> isTgt)
+      .localCheckpoint()
+    val stats = graft.operators.Dsir.bucketStatsFromTokens(toksAll, "doc_id")
     new graft.streaming.IngestGate(stats, minAffinity = 1.0)
-      .gate(docs.filter(!isTgt), "doc_id", "text")
+      .gateFromTokens(docs.filter(!isTgt),
+        toksAll.filter(!col("is_target")).select("doc_id", "toks"), "doc_id")
       .select("doc_id", "affinity", "quality_ok", "admitted")
       .orderBy("doc_id")
   }

@@ -45,6 +45,27 @@ final class IngestGate(stats: DataFrame, minAffinity: Double,
   def gate(batch: DataFrame, idCol: String, textCol: String): DataFrame =
     gateImpl(batch, idCol, textCol)._1
 
+  /** [[gate]] over a CALLER-tokenized (idCol, toks) frame
+    * ([[Quality.tokens]] shape, checkpointed by the caller) — the
+    * shared-scan entry for jobs whose one tokenize pass already feeds other
+    * consumers (the batch `gate_admission` builds the bucket stats and the
+    * gate's scoring from the SAME pass; a streaming deployment scoring
+    * against precomputed stats has no second consumer and uses [[gate]]).
+    * The caller owns the checkpoint's lifecycle. */
+  def gateFromTokens(batch: DataFrame, toks: DataFrame,
+                     idCol: String): DataFrame = {
+    val aff = Dsir.affinityAgainstTokens(toks, idCol, statsPinned, buckets)
+      .select(col("id").as(idCol), col("affinity"))
+    val sig = Quality.signalsFromTokens(toks, idCol)
+      .select(col(idCol), Quality.okCol(thresholds).as("quality_ok"))
+    batch
+      .join(aff, Seq(idCol), "left")
+      .join(sig, Seq(idCol), "left")
+      .withColumn("admitted",
+        coalesce(col("affinity") >= minAffinity, lit(false)) &&
+          coalesce(col("quality_ok"), lit(false)))
+  }
+
   /** [[gate]] plus a release handle that unpersists the batch's tokenize
     * checkpoint once every consumer is done with the gated frame. The
     * public [[gate]] leaves release to GC + ContextCleaner (fine for
@@ -53,17 +74,7 @@ final class IngestGate(stats: DataFrame, minAffinity: Double,
   private def gateImpl(batch: DataFrame, idCol: String,
                        textCol: String): (DataFrame, () => Unit) = {
     val toks = Quality.tokens(batch, idCol, textCol).localCheckpoint()
-    val aff = Dsir.affinityAgainstTokens(toks, idCol, statsPinned, buckets)
-      .select(col("id").as(idCol), col("affinity"))
-    val sig = Quality.signalsFromTokens(toks, idCol)
-      .select(col(idCol), Quality.okCol(thresholds).as("quality_ok"))
-    val gated = batch
-      .join(aff, Seq(idCol), "left")
-      .join(sig, Seq(idCol), "left")
-      .withColumn("admitted",
-        coalesce(col("affinity") >= minAffinity, lit(false)) &&
-          coalesce(col("quality_ok"), lit(false)))
-    (gated, () => IngestGate.unpersistLeaves(toks))
+    (gateFromTokens(batch, toks, idCol), () => IngestGate.unpersistLeaves(toks))
   }
 
   /** `writeStream.foreachBatch` adapter: admitted rows (original columns)

@@ -377,15 +377,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("tf-idf: tf aggregation is partial+final; rank window is doc-partitioned and group-limited") {
+  test("tf-idf: tf aggregation is partial+final; per-doc rank is a bounded TopK " +
+    "aggregate with map-side partial, not a sort window") {
     val p = plan(Pipelines.textTfidf(spark, sf))
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
-    // the window must be partitioned by doc_id (never a global single-partition window)
-    assert(p.contains("windowspecdefinition(doc_id#"), p)
-    // and the rk<=5 filter must push into the window as a partial group limit,
-    // so each map task forwards ≤5 rows per doc instead of the full vocabulary
-    assert(p.linesIterator.exists(l =>
-      l.contains("WindowGroupLimit") && l.contains("Partial")), p)
+    // the per-doc rank ships ≤5 (item, score) pairs per doc per map task:
+    // a partial TopK aggregate BELOW the key exchange, final above it —
+    // never a sort-based window over each doc's whole scored vocabulary
+    assert(p.contains("partial_topkstragg"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("WindowGroupLimit"), p)
+    // the only SinglePartition exchange is the broadcast n_docs count;
+    // the only global sort is the presentation ORDER BY
+    assert(p.linesIterator.count(_.contains("SinglePartition")) <= 1, p)
+    assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) <= 1, p)
   }
 
   test("minhash delta: banded bucket join only — never a base x incoming cross product") {
