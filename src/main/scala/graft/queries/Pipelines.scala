@@ -1695,6 +1695,62 @@ object Pipelines {
        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
   }
 
+  // ---- BM25 retrieval -------------------------------------------------------
+
+  /** The planted probe-query set for [[bm25TopK]] — engine-neutral literals
+    * over the synthetic corpus vocabulary; the SQL twin replays the same
+    * VALUES verbatim. */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark join window", 2L -> "customer order data",
+    3L -> "hash table scan", 4L -> "batch merge filter")
+
+  /** BM25 top-5 retrieval over the corpus for four planted probe queries
+    * ([[graft.operators.Bm25]] — the decontamination-triage / corpus-probe
+    * operator): broadcast inverted-index probe, rational-surrogate idf,
+    * order-pinned score fold, bounded per-query TopK aggregate. Arithmetic
+    * and divergences documented on the operator. [SQL] */
+  val bm25TopK: Q = (s, dir) =>
+    graft.operators.Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Queries, k = 5)
+      .orderBy("qid", "rk")
+
+  /** DuckDB twin of [[bm25TopK]] — the identical tf/df/length/scalar chain,
+    * the same idf and norm expression trees, `list_reduce` over
+    * `list(contrib ORDER BY word)` for the order-pinned fold, and ranking on
+    * the rounded score with doc-id tie-break. */
+  val bm25TopKSql: String = {
+    val clean = Duck.clean("text", punct = true)
+    val qvals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(qid, qtext) AS (VALUES $qvals),
+       |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS word FROM q),
+       |w AS (SELECT doc_id, unnest(string_split($clean, ' ')) AS word
+       |  FROM documents),
+       |w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, count(*) AS dlen FROM w2 GROUP BY 1),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |nt AS (SELECT count(*) AS n_tok FROM w2),
+       |c0 AS (SELECT qid, t.doc_id, t.word,
+       |    (CAST(n_docs - df AS DOUBLE) * 2.0 + 1.0)
+       |      / (CAST(df AS DOUBLE) * 2.0 + 1.0) AS idf,
+       |    1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dlen AS DOUBLE)
+       |      / (CAST(n_tok AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS nrm,
+       |    CAST(t.tf AS DOUBLE) AS tfd
+       |  FROM tf t JOIN qt USING (word) JOIN dfreq USING (word)
+       |    JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN nd CROSS JOIN nt),
+       |c1 AS (SELECT qid, doc_id, word,
+       |    idf * (tfd * (1.2 + 1.0)) / (tfd + nrm) AS contrib FROM c0),
+       |pq AS (SELECT qid, doc_id,
+       |    round(list_reduce(list(contrib ORDER BY word), (a, x) -> a + x), 6)
+       |      AS bm25
+       |  FROM c1 GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, bm25, row_number() OVER (
+       |    PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rk FROM pq)
+       |SELECT CAST(qid AS BIGINT) AS qid, doc_id, bm25, CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
+
   // ---- Bigram LM fluency score ----------------------------------------------
 
   /** CCNet-style LM fluency filtering, exactly oracled: train an add-one-
@@ -2546,6 +2602,7 @@ object Pipelines {
     "decontam_overlap" -> decontamOverlap,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
+    "text_bm25_topk" -> bm25TopK,
     "bpe_tokenize" -> bpeTokenize,
     "lm_fluency" -> lmFluency,
     "text_unigram_score" -> textUnigramScore,
@@ -2605,6 +2662,7 @@ object Pipelines {
     "decontam_overlap" -> decontamOverlapSql,
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,
+    "text_bm25_topk" -> bm25TopKSql,
     "bpe_tokenize" -> bpeTokenizeSql,
     "lm_fluency" -> lmFluencySql,
     "text_unigram_score" -> textUnigramScoreSql,

@@ -393,6 +393,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) <= 1, p)
   }
 
+  test("bm25: broadcast inverted-index probe; per-query rank is a bounded TopK " +
+    "aggregate; the only nested-loop joins are the broadcast scalar singletons") {
+    val p = plan(Pipelines.queries("text_bm25_topk")(spark, sf))
+    // tf aggregation partial+final; the query-term probe prunes postings
+    // via a broadcast hash join on word (inverted-index shape, never a
+    // corpus x queries product)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin [word#")), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // ≤ 2 nested-loop joins, both Cross over broadcast 1-row scalars
+    // (N·avgdl frame and its internal 1x1 cross)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2, p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross")), p)
+    // per-query rank: partial TopK below the key exchange, no sort window
+    assert(p.contains("partial_topkagg"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    // single-partition exchanges only for the two corpus scalars
+    assert(p.linesIterator.count(_.contains("SinglePartition")) <= 2, p)
+    assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) <= 1, p)
+  }
+
   test("minhash delta: banded bucket join only — never a base x incoming cross product") {
     val p = plan(Pipelines.queries("dedup_delta_minhash")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
