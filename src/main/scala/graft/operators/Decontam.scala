@@ -41,4 +41,46 @@ object Decontam {
       .agg(countDistinct("sh").as("hits"),
         countDistinct("eval_id").as("eval_docs"))
   }
+
+  /** FUZZY decontamination: flag training docs that are MinHash
+    * near-duplicates (signature-estimated Jaccard ≥ `threshold`) of any eval
+    * doc — the companion [[overlap]] can't be: a leaked benchmark item with a
+    * pasted answer suffix or light paraphrase slips past exact full-text
+    * fingerprints and thins exact n-gram collisions, but keeps most of its
+    * shingle set, which is exactly what the banded signature join measures
+    * (the [[Dedup.minHashDelta]] machinery pointed at an eval set).
+    *
+    * Scale shape — STRONGER than the snapshot delta: the eval side is small
+    * by contract, so BOTH probe structures broadcast — the banded eval index
+    * for candidate generation and the eval signature table for verification.
+    * The corpus side is shingled/hashed once (the one unavoidable shuffle:
+    * the per-(doc, k) min aggregation, map-side combinable) and its banded
+    * rows stream through a broadcast hash join; no corpus-sized side is ever
+    * re-keyed for the eval probe, and nothing is train × eval all-pairs.
+    * Returns one row per flagged training doc:
+    * (idCol, n_eval_hits, max_est). */
+  def fuzzy(train: DataFrame, evalSet: DataFrame, idCol: String,
+            textCol: String, numHashes: Int = 32, bands: Int = 8,
+            shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sigsT = Dedup.minHashSignatures(train, idCol, textCol, numHashes,
+      shingleSize).localCheckpoint()
+    val sigsE = Dedup.minHashSignatures(evalSet, idCol, textCol, numHashes,
+      shingleSize).localCheckpoint()
+    val cands = Dedup.bandedSigs(sigsT, "id_tr", numHashes, bands)
+      .join(broadcast(Dedup.bandedSigs(sigsE, "id_ev", numHashes, bands)),
+        Seq("band_id", "band_hash"))
+      .select("id_tr", "id_ev").distinct()
+    cands
+      .join(sigsT.select(col("id").as("id_tr"), col("sig").as("sig_tr")),
+        Seq("id_tr"))
+      .join(broadcast(sigsE.select(col("id").as("id_ev"),
+        col("sig").as("sig_ev"))), Seq("id_ev"))
+      .select(col("id_tr"),
+        (size(filter(zip_with(col("sig_tr"), col("sig_ev"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_tr").as(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        round(max("est_jaccard"), 6).as("max_est"))
+  }
 }

@@ -1606,6 +1606,74 @@ object Pipelines {
        |FROM tr t JOIN ev e ON e.sh = t.sh
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** FUZZY decontamination ([[graft.operators.Decontam.fuzzy]]): the planted
+    * eval set is every 97th long-enough doc with a pasted " answer key alpha"
+    * suffix (ids offset by 10^7) — the realistic leak shape: the suffixed
+    * copy's full-text fingerprint differs from its training source, but its
+    * shingle set barely moves, so the MinHash screen flags the source at
+    * est ≈ 1 where an exact-hash scrub would pass it. Both eval probe
+    * structures (band index + signature table) ride as broadcasts; the
+    * corpus is hashed once. [SQL] */
+  val decontamFuzzy: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evalSet = docs
+      .filter(pmod(col("doc_id"), lit(97L)) === 5L && length(col("text")) > 200)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" answer key alpha")).as("text"))
+    graft.operators.Decontam.fuzzy(docs, evalSet, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[decontamFuzzy]]: the [[dedupDeltaMinhashSql]] signature
+    * machinery over the train ∪ planted-eval corpus; candidates are
+    * train-side × eval-side band-VALUE matches (band-hash collisions are the
+    * only divergence from Spark's xxhash64 bucket key, astronomically
+    * unlikely), verified by per-k signature agreement / 32. */
+  val decontamFuzzySql: String = {
+    val kseeds = Duck.stagedSql(
+      "SELECT CAST(unnest(range(0, 32)) AS HUGEINT) AS k",
+      Duck.xxhashIntStages("k", "42", "seedk", "i"))
+    val khash = Duck.stagedSql(
+      "SELECT s.doc_id, s.h0, ks.k, ks.seedk FROM sh0 s CROSS JOIN kseeds ks",
+      Duck.xxhashLongStages("h0", "seedk", "hk", "k"))
+    s"""WITH RECURSIVE
+       |corpus AS (
+       |  SELECT doc_id, text, 'tr' AS side FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id, text || ' answer key alpha' AS text,
+       |    'ev' AS side
+       |  FROM documents WHERE doc_id % 97 = 5 AND length(text) > 200),
+       |${toksCteFrom("corpus")},
+       |shing AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+       |        FROM toksraw WHERE len(w) >= 3) q),
+       |strs AS (SELECT sh AS sid, sh AS s, CAST(42 AS HUGEINT) AS seed
+       |  FROM (SELECT DISTINCT sh FROM shing)),
+       |${Duck.xxh64StrCtes("strs")},
+       |sh0 AS (SELECT g.doc_id, x.h AS h0 FROM shing g JOIN xstr x ON x.sid = g.sh),
+       |kseeds AS ($kseeds),
+       |khash AS (SELECT doc_id, k, hk FROM ($khash)),
+       |sig AS (SELECT doc_id, k, min(${Duck.toSigned("hk")}) AS mh
+       |  FROM khash GROUP BY doc_id, k),
+       |bands AS (SELECT doc_id, k // 4 AS band_id, list(mh ORDER BY k) AS band
+       |  FROM sig GROUP BY doc_id, k // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_tr, b.doc_id AS id_ev
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band = b.band
+       |  JOIN corpus ca ON ca.doc_id = a.doc_id AND ca.side = 'tr'
+       |  JOIN corpus cb ON cb.doc_id = b.doc_id AND cb.side = 'ev'),
+       |est AS (SELECT c.id_tr, c.id_ev,
+       |    CAST(count(*) FILTER (sa.mh = sb.mh) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_tr
+       |  JOIN sig sb ON sb.doc_id = c.id_ev AND sb.k = sa.k
+       |  GROUP BY c.id_tr, c.id_ev)
+       |SELECT id_tr AS doc_id, count(*) AS n_eval_hits,
+       |  round(max(est_jaccard), 6) AS max_est
+       |FROM est WHERE est_jaccard >= 0.5
+       |GROUP BY id_tr ORDER BY doc_id""".stripMargin
+  }
+
   /** PII scrub over deterministically planted contacts: the synthetic corpus
     * carries no natural PII, so the query plants one email/IPv4/phone per doc
     * from its id (the plantedClusters device) and then runs the real
@@ -2600,6 +2668,7 @@ object Pipelines {
     "layout_zorder" -> layoutZorder,
     "table_stats" -> tableStats,
     "decontam_overlap" -> decontamOverlap,
+    "decontam_fuzzy" -> decontamFuzzy,
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
     "text_bm25_topk" -> bm25TopK,
@@ -2660,6 +2729,7 @@ object Pipelines {
     "layout_zorder" -> layoutZorderSql,
     "table_stats" -> tableStatsSql,
     "decontam_overlap" -> decontamOverlapSql,
+    "decontam_fuzzy" -> decontamFuzzySql,
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,
     "text_bm25_topk" -> bm25TopKSql,

@@ -426,6 +426,22 @@ class PlanSpec extends AnyFunSuite {
         l.contains("band_hash")), p)
   }
 
+  test("fuzzy decontam: BOTH eval probes are broadcast hash joins — the corpus " +
+    "side is never re-keyed for the eval set") {
+    val p = plan(Pipelines.queries("decontam_fuzzy")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate generation: train bands stream through a BROADCAST of the
+    // eval band index keyed (band_id, band_hash)
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("band_hash")), p)
+    // verification: the eval signature table is the second broadcast (the
+    // one id-keyed shuffle join allowed is candidates x train sigs)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("band_hash")), p)
+  }
+
   test("best-of-cluster: rank window is cluster-partitioned, no cross product") {
     val p = plan(Pipelines.queries("dedup_best_of_cluster")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
