@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -19,6 +19,9 @@ import graft.functions.TextFns
   * partition — never a window over every scored posting). The only
   * corpus-sized shuffle is the (doc, word) tf aggregation, which is
   * partial+final. At 100 TB: one scan, one narrow shuffle, broadcast probes.
+  * For REPEATED probes against a static corpus, [[Bm25Store]] persists the
+  * postings/df/scalars so each probe skips the tokenize+aggregate passes
+  * entirely.
   *
   * Oracle-exact arithmetic: idf is the rational surrogate
   * (2·(N−df)+1)/(2·df+1) — the BM25 idf ratio (N−df+0.5)/(df+0.5) cleared of
@@ -37,43 +40,40 @@ import graft.functions.TextFns
   */
 object Bm25 {
 
-  /** Top-k docs per query. `queries`: (qid, qtext) literal pairs — qtext is
-    * whitespace-tokenized verbatim (callers pass pre-normalized text).
-    * Output: (qid, doc_id, bm25, rk), rk 1..k in (bm25 desc, doc_id asc)
-    * order; docs sharing no term with a query never appear. */
-  def topK(docs: DataFrame, idCol: String, textCol: String,
-           queries: Seq[(Long, String)], k: Int = 5,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val k1c = lit(k1); val bc = lit(b)
-    val words = docs.select(col(idCol).as("doc_id"),
+  /** One tokenize pass: (doc_id, word) rows, empty tokens dropped — the
+    * shared dialect of the inline probe and the [[Bm25Store]] seed. */
+  private[operators] def docWords(docs: DataFrame, idCol: String,
+                                  textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(TextFns.words(TextFns.cleanText(col(textCol),
           removePunctuation = true))).as("word"))
       .filter(length(col("word")) > 0)
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val dlen = words.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-    // the two corpus scalars: N (all docs, empty included) and token total
-    val scal = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(words.agg(count(lit(1)).as("n_tok")))
-    val qterms = queries.toDF("qid", "qtext")
+
+  /** The query-term probe frame: (qid, word), whitespace-split verbatim. */
+  private[operators] def qtermsOf(spark: SparkSession,
+                                  queries: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    queries.toDF("qid", "qtext")
       .select(col("qid"), explode(split(col("qtext"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
       .distinct()
-    // inverted-index probe: broadcast query terms prune the postings FIRST,
-    // so the df/dlen joins and everything downstream see only matched rows
-    val c0 = tf.join(broadcast(qterms), Seq("word"))
-      .join(dfreq, Seq("word"))
-      .join(dlen, Seq("doc_id"))
-      .crossJoin(broadcast(scal))
-      .select(col("qid"), col("doc_id"), col("word"),
-        (((col("n_docs") - col("df")).cast("double") * 2.0 + 1.0) /
-          (col("df").cast("double") * 2.0 + 1.0)).as("idf"),
-        (k1c * ((lit(1.0) - bc) + bc *
-          (col("dlen").cast("double") /
-            (col("n_tok").cast("double") / col("n_docs").cast("double")))))
-          .as("nrm"),
-        col("tf").cast("double").as("tfd"))
+  }
+
+  /** Shared scoring tail over the matched-postings frame
+    * (qid, doc_id, word, tf, df, dlen, n_docs, n_tok) — the IDENTICAL
+    * expression trees for the inline and stored paths, so both hash-match
+    * the one DuckDB twin. */
+  private[operators] def rank(matched: DataFrame, k: Int, k1: Double,
+                              b: Double): DataFrame = {
+    val k1c = lit(k1); val bc = lit(b)
+    val c0 = matched.select(col("qid"), col("doc_id"), col("word"),
+      (((col("n_docs") - col("df")).cast("double") * 2.0 + 1.0) /
+        (col("df").cast("double") * 2.0 + 1.0)).as("idf"),
+      (k1c * ((lit(1.0) - bc) + bc *
+        (col("dlen").cast("double") /
+          (col("n_tok").cast("double") / col("n_docs").cast("double")))))
+        .as("nrm"),
+      col("tf").cast("double").as("tfd"))
     val c1 = c0.select(col("qid"), col("doc_id"), col("word"),
       (col("idf") * (col("tfd") * (k1c + lit(1.0))) /
         (col("tfd") + col("nrm"))).as("contrib"))
@@ -85,5 +85,29 @@ object Bm25 {
         perQd.select(col("qid"), col("doc_id").as("cid"), col("bm25").as("cos")), k)
       .select(col("qid"), col("cid").as("doc_id"), col("cos").as("bm25"),
         col("rk").cast("long").as("rk"))
+  }
+
+  /** Top-k docs per query. `queries`: (qid, qtext) literal pairs — qtext is
+    * whitespace-tokenized verbatim (callers pass pre-normalized text).
+    * Output: (qid, doc_id, bm25, rk), rk 1..k in (bm25 desc, doc_id asc)
+    * order; docs sharing no term with a query never appear. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: Seq[(Long, String)], k: Int = 5,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docWords(docs, idCol, textCol)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dlen = words.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    // the two corpus scalars: N (all docs, empty included) and token total
+    val scal = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(words.agg(count(lit(1)).as("n_tok")))
+    // inverted-index probe: broadcast query terms prune the postings FIRST,
+    // so the df/dlen joins and everything downstream see only matched rows
+    val matched = tf.join(broadcast(qtermsOf(spark, queries)), Seq("word"))
+      .join(dfreq, Seq("word"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(scal))
+    rank(matched, k, k1, b)
   }
 }

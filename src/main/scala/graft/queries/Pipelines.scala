@@ -1889,6 +1889,21 @@ object Pipelines {
        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   }
 
+  /** [[bm25TopK]] through the PERSISTED postings index
+    * ([[graft.operators.Bm25Store]]) — the repeated-probe shape: the store
+    * is a content-keyed build-once artifact (like the ANN indexes and the
+    * signature store), and the probe reads only the query terms' hash
+    * buckets (both store scans statically partition-pruned, plan-pinned).
+    * Same scoring tail as the inline path, so the SAME DuckDB twin
+    * hash-oracles both. [SQL] */
+  val bm25Stored: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sd = graft.operators.Bm25Store.storeDir(docs,
+      s"$dir/documents.parquet", "doc_id", "text")
+    graft.operators.Bm25Store.probeStored(s, sd, Bm25Queries, k = 5)
+      .orderBy("qid", "rk")
+  }
+
   // ---- Bigram LM fluency score ----------------------------------------------
 
   /** CCNet-style LM fluency filtering, exactly oracled: train an add-one-
@@ -2742,6 +2757,7 @@ object Pipelines {
     "text_pii" -> textPii,
     "text_tfidf" -> textTfidf,
     "text_bm25_topk" -> bm25TopK,
+    "text_bm25_stored" -> bm25Stored,
     "bpe_tokenize" -> bpeTokenize,
     "lm_fluency" -> lmFluency,
     "text_unigram_score" -> textUnigramScore,
@@ -2804,6 +2820,7 @@ object Pipelines {
     "text_pii" -> textPiiSql,
     "text_tfidf" -> textTfidfSql,
     "text_bm25_topk" -> bm25TopKSql,
+    "text_bm25_stored" -> bm25TopKSql,
     "bpe_tokenize" -> bpeTokenizeSql,
     "lm_fluency" -> lmFluencySql,
     "text_unigram_score" -> textUnigramScoreSql,

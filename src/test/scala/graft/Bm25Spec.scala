@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Bm25
+import graft.operators.{Bm25, Bm25Store}
 
 /** Behavioral pins for the BM25 retrieval operator (scores themselves are
   * hash-oracled by `text_bm25_topk`; these pin the ranking semantics on a
@@ -41,6 +41,43 @@ class Bm25Spec extends AnyFunSuite {
     assert(out.take(2).map(_.getLong(1)).toSet == Set(2L, 5L))
     // doc 3's lone `join` in a long commons-padded doc ranks last
     assert(out.last.getLong(1) == 3L)
+  }
+
+  test("stored probe equals the inline probe exactly; both store scans are " +
+    "partition-pruned to the query terms' buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25store").toString
+    val qs = Seq(10L -> "spark join window", 20L -> "cats")
+    Bm25Store.seed(corpus, "doc_id", "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val inline = rows(Bm25.topK(corpus, "doc_id", "text", qs, k = 3))
+    val stored = rows(Bm25Store.probeStored(spark, dir, qs, k = 3))
+    assert(stored == inline, s"stored=$stored inline=$inline")
+    // the probe's plan must show BOTH store scans statically pruned by wb
+    val p = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out)(
+        Bm25Store.probeStored(spark, dir, qs, k = 3).explain("formatted"))
+      out.toString
+    }
+    assert("PartitionFilters: \\[[^\\n]*wb".r.findFirstIn(p).isDefined, p)
+    assert(p.linesIterator.count(l =>
+      l.contains("PartitionFilters") && l.contains("wb")) >= 2, p)
+  }
+
+  test("a layout/tokenizer mismatch fails loudly, never silent zero matches") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25bad").toString
+    Bm25Store.seed(corpus, "doc_id", "text", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_params")
+    val out = fs.create(p, true)
+    out.write("bm25_v0,other_tokenizer,64".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      Bm25Store.probeStored(spark, dir, Seq(1L -> "spark"), k = 3)
+    }
+    assert(e.getMessage.contains("layout"), e.getMessage)
   }
 
   test("term saturation: repeating one term cannot outrank matching two") {
