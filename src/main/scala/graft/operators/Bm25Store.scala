@@ -4,11 +4,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persisted BM25 postings index — the build-once artifact that makes
-  * repeated corpus probes (per-crawl decontamination triage, recurring
+/** Persisted BM25 postings index — the build-once-probe-many artifact that
+  * makes repeated corpus probes (per-crawl decontamination triage, recurring
   * quality audits) cost O(matched postings) instead of re-tokenizing and
   * re-aggregating the corpus per query batch (the [[SignatureStore]] /
-  * [[AnnIndex]] story applied to [[Bm25]]).
+  * [[AnnIndex]] story applied to [[Bm25]]) — and, since the corpus a crawl
+  * pipeline probes GROWS, an INCREMENTAL store: [[appender]] folds each new
+  * crawl batch's postings in under the engine's exactly-once epoch protocol,
+  * so the index keeps pace with ingest without ever rebuilding from scratch.
   *
   * Layout under `dir`:
   *  - `postings/wb=K/` — (word, doc_id, tf, dlen) rows, partitioned by
@@ -16,26 +19,40 @@ import org.apache.spark.sql.functions._
   *    row (the classic impact-ordered-postings trick): a probe never joins
   *    the corpus-sized doc-length table — everything per-posting is in the
   *    pruned partitions it reads.
-  *  - `df/wb=K/` — (word, df), same bucketing.
-  *  - `_scalars` — "nDocs,nTok" (the two corpus constants).
-  *  - `_params` — layout/tokenizer contract token; probes check it loudly
-  *    (the [[SignatureStore]] checkParams lesson: a dialect mismatch must
-  *    never degrade to silent zero matches).
+  *  - `df/wb=K/` — (word, df) PARTIAL counts, same bucketing: the seed and
+  *    each appended epoch contribute their own rows, and probes/compaction
+  *    sum per word (document frequency is additive over disjoint doc sets —
+  *    the append contract is NEW doc ids only, the other stores' contract).
+  *  - `scalars/` — one tiny "nDocs,nTok" delta file per seed/epoch (the two
+  *    corpus constants, also additive); probes sum the ledger, [[compact]]
+  *    folds it back to one line.
+  *  - `_params` — layout/tokenizer contract token; probes and appenders
+  *    check it loudly (the [[SignatureStore]] checkParams lesson: a dialect
+  *    mismatch must never degrade to silent zero matches).
   *
   * Probe shape at 100 TB: the query terms' buckets are computed up front
   * (bounded collect over the literal query terms), BOTH store scans carry
-  * a static `wb IN (...)` partition filter (pinned in PlanSpec), the term
-  * probe and df table ride as broadcasts, and the scoring tail is the
+  * a static `wb IN (...)` partition filter (pinned in Bm25Spec), the term
+  * probe and summed df rows ride as broadcasts, and the scoring tail is the
   * shared [[Bm25.rank]] — identical expression trees, so the stored path
-  * hash-matches the same DuckDB twin as the inline one. */
+  * (seeded OR incrementally appended) hash-matches the same DuckDB twin as
+  * the inline one (`text_bm25_stored` / `text_bm25_appended`).
+  *
+  * Maintenance contract (shared with the other persisted stores): ONE
+  * appender stream per store; epochs are exactly-once under at-least-once
+  * re-delivery (stage → marker → publish, numeric-suffix-scoped staging
+  * heal); compaction runs between epochs under the single-writer contract
+  * — manually or via the [[AutoCompact]] hook — with the whole-table
+  * aside-publish-heal swap, reads healing a mid-compact crash window. */
 object Bm25Store {
 
   /** Word-hash partition fan-out. Fixed for the store's lifetime (it is
     * part of the layout contract recorded in `_params`). */
   val Buckets = 64
 
-  /** The layout/tokenizer contract this code writes and expects. */
-  private val ParamsToken = s"bm25_v1,clean_punct_ws,$Buckets"
+  /** The layout/tokenizer contract this code writes and expects. v2: df is
+    * a partial-count table (sum per word), scalars are a delta ledger. */
+  private val ParamsToken = s"bm25_v2,clean_punct_ws,$Buckets"
 
   private def bucketCol(w: Column): Column =
     pmod(xxhash64(w), lit(Buckets.toLong))
@@ -57,30 +74,39 @@ object Bm25Store {
     } finally in.close()
   }
 
-  /** Seed the store from a static corpus: ONE tokenize pass feeds the tf
-    * aggregation; dlen and df both derive from tf (no second corpus scan);
-    * the only extra pass is the doc count (an id-column scan). Not
-    * marker-protected — run through [[storeDir]] (atomic build-aside) or
-    * re-run whole on failure. */
-  def seed(docs: DataFrame, idCol: String, textCol: String,
-           dir: String): Unit = {
-    val spark = docs.sparkSession
-    val fs = fsOf(spark, dir)
+  // ------------------------------------------------------------- epoch parts
+
+  /** (postings rows, df partial rows, nDocs, nTok) for one doc batch — the
+    * shared per-batch build used by [[seed]] and every appended epoch: ONE
+    * tokenize pass feeds the tf aggregation; dlen and df both derive from
+    * tf (no second scan); the only extra pass is the doc count (an
+    * id-column scan — ALL docs, empty included: the BM25 N). */
+  private def batchParts(docs: DataFrame, idCol: String, textCol: String):
+      (DataFrame, DataFrame, Long, Long) = {
     val tf = Bm25.docWords(docs, idCol, textCol)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
-    tf.join(dlen, Seq("doc_id"))
+    val postings = tf.join(dlen, Seq("doc_id"))
       .withColumn("wb", bucketCol(col("word")))
-      .write.mode("overwrite").partitionBy("wb")
+    val dfPart = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("wb", bucketCol(col("word")))
+    val nTokRow = tf.agg(sum("tf")).collect()(0)
+    val nTok = if (nTokRow.isNullAt(0)) 0L else nTokRow.getLong(0)
+    (postings, dfPart, docs.count(), nTok)
+  }
+
+  /** Seed the store from a static base corpus. Not marker-protected — run
+    * through [[storeDir]] (atomic build-aside) or re-run whole on failure. */
+  def seed(docs: DataFrame, idCol: String, textCol: String,
+           dir: String): Unit = {
+    val spark = docs.sparkSession
+    val fs = fsOf(spark, dir)
+    val (postings, dfPart, nDocs, nTok) = batchParts(docs, idCol, textCol)
+    postings.write.mode("overwrite").partitionBy("wb")
       .parquet(s"$dir/postings")
-    tf.groupBy("word").agg(count(lit(1)).as("df"))
-      .withColumn("wb", bucketCol(col("word")))
-      .write.mode("overwrite").partitionBy("wb")
-      .parquet(s"$dir/df")
-    val nTok = tf.agg(sum("tf")).collect()(0).getLong(0)
-    val nDocs = docs.count() // ALL docs, empty included — the BM25 N
-    writeText(fs, new Path(s"$dir/_scalars"), s"$nDocs,$nTok")
+    dfPart.write.mode("overwrite").partitionBy("wb").parquet(s"$dir/df")
+    writeText(fs, new Path(s"$dir/scalars/base"), s"$nDocs,$nTok")
     writeText(fs, new Path(s"$dir/_params"), ParamsToken)
   }
 
@@ -93,18 +119,36 @@ object Bm25Store {
         "postings from a different tokenizer/layout never match silently")
   }
 
+  /** Sum the scalar-delta ledger: (nDocs, nTok) over the `scalars` files.
+    * Bounded
+    * by epochs-since-compact ([[compact]] folds the ledger to one file). */
+  private def readScalars(fs: FileSystem, dir: String): (Long, Long) = {
+    healCompactAside(fs, dir, "scalars")
+    val root = new Path(s"$dir/scalars")
+    if (!fs.exists(root)) (0L, 0L)
+    else fs.listStatus(root).map(_.getPath).filterNot(_.getName.startsWith("."))
+      .map { p =>
+        val Array(d, t) = readText(fs, p).split(",").map(_.toLong)
+        (d, t)
+      }.foldLeft((0L, 0L)) { case ((d0, t0), (d, t)) => (d0 + d, t0 + t) }
+  }
+
+  // ------------------------------------------------------------------ probe
+
   /** Probe the store: same output contract as [[Bm25.topK]] —
     * (qid, doc_id, bm25, rk 1..k). The probe reads ONLY the partitions the
     * query terms' buckets name (bounded collect over the literal terms),
-    * broadcasts the term list and the matched df rows, and runs the shared
-    * scoring tail. */
+    * broadcasts the term list and the per-word-SUMMED df rows (partial
+    * counts from seed + appended epochs), and runs the shared scoring
+    * tail. */
   def probeStored(spark: SparkSession, dir: String,
                   queries: Seq[(Long, String)], k: Int = 5,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val fs = fsOf(spark, dir)
     checkParams(fs, dir)
-    val Array(nDocs, nTok) =
-      readText(fs, new Path(s"$dir/_scalars")).split(",").map(_.toLong)
+    val (nDocs, nTok) = readScalars(fs, dir)
+    healCompactAside(fs, dir, "postings")
+    healCompactAside(fs, dir, "df")
     val qterms = Bm25.qtermsOf(spark, queries).localCheckpoint()
     // bounded: one row per distinct query-term bucket (≤ Buckets, and ≤ the
     // literal term count the caller typed)
@@ -116,12 +160,194 @@ object Bm25Store {
     val dfreq = spark.read.parquet(s"$dir/df")
       .filter(col("wb").isin(wbs: _*))
       .join(broadcast(qterms.select("word").distinct()), Seq("word"))
-      .select("word", "df")
+      .groupBy("word").agg(sum("df").as("df"))
     val matched = post.join(broadcast(dfreq), Seq("word"))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("n_tok", lit(nTok))
     Bm25.rank(matched, k, k1, b)
   }
+
+  // ------------------------------------------------------------- incremental
+
+  private def markerPath(dir: String, tag: String, epoch: Long): String =
+    s"$dir/_bm25app_${tag}_epoch_$epoch"
+
+  private def stagePath(dir: String, tag: String, epoch: Long): String =
+    s"$dir/.bm25app_stage_${tag}_$epoch"
+
+  /** Move a committed staging dir's files into the store's partitioned
+    * tables and its scalar delta into the ledger, then drop the staging
+    * dir. Idempotent: per-file atomic renames; already-moved files are
+    * simply absent on a re-sweep. */
+  private def publishStage(fs: FileSystem, dir: String, stage: Path,
+                           tag: String, epoch: Long): Unit = {
+    if (!fs.exists(stage)) return
+    Seq("postings", "df").foreach { sub =>
+      val subDir = new Path(stage, sub)
+      if (fs.exists(subDir))
+        fs.listStatus(subDir).map(_.getPath)
+          .filter(_.getName.startsWith("wb=")).foreach { pd =>
+            val dest = new Path(s"$dir/$sub/${pd.getName}")
+            fs.mkdirs(dest)
+            fs.listStatus(pd).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet")).foreach { f =>
+                require(fs.rename(f, new Path(dest, f.getName)),
+                  s"Bm25Store: cannot publish $f")
+              }
+          }
+    }
+    val delta = new Path(stage, "scalars_delta")
+    if (fs.exists(delta)) {
+      fs.mkdirs(new Path(s"$dir/scalars"))
+      require(fs.rename(delta, new Path(s"$dir/scalars/${tag}_$epoch")),
+        s"Bm25Store: cannot publish $delta")
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Crash-recovery sweep over leftover staging dirs of `tag`: a stage
+    * whose epoch marker exists is committed — finish its publish; one
+    * without a marker is a pre-commit orphan — discard it (its epoch
+    * replays whole). Only purely-numeric epoch suffixes match, so a tag
+    * that prefixes another tag can never claim (and destroy) the longer
+    * tag's staging. */
+  private def healStaging(fs: FileSystem, dir: String, tag: String): Unit = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) return
+    val prefix = s".bm25app_stage_${tag}_"
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).foreach { stage =>
+        val epoch = stage.getName.drop(prefix.length)
+        if (epoch.nonEmpty && epoch.forall(_.isDigit)) {
+          if (fs.exists(new Path(markerPath(dir, tag, epoch.toLong))))
+            publishStage(fs, dir, stage, tag, epoch.toLong)
+          else fs.delete(stage, true)
+        }
+      }
+  }
+
+  /** foreachBatch sink extending the store with each crawl epoch's docs:
+    * the batch's postings, df partials, and scalar delta stage, commit
+    * (marker), and publish. Exactly-once under at-least-once re-delivery;
+    * a RESTARTED appender heals pending publishes and resumes. Append
+    * contract: NEW doc ids only (df/scalars additivity needs disjoint doc
+    * sets — the same contract as the signature/fingerprint appenders).
+    * Single appender stream per store. */
+  def appender(spark: SparkSession, dir: String, idCol: String,
+               textCol: String, streamTag: String = "stream",
+               autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
+               autoCompactFactor: Int = AutoCompact.DefaultFactor):
+      (DataFrame, Long) => Unit = {
+    healStaging(fsOf(spark, dir), dir, streamTag)
+    val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
+    (batch: DataFrame, epoch: Long) => {
+      val fs = fsOf(batch.sparkSession, dir)
+      checkParams(fs, dir)
+      val marker = new Path(markerPath(dir, streamTag, epoch))
+      if (fs.exists(marker)) {
+        healStaging(fs, dir, streamTag)
+      } else if (!batch.isEmpty) {
+        val stage = new Path(stagePath(dir, streamTag, epoch))
+        fs.delete(stage, true)
+        val (postings, dfPart, nDocs, nTok) =
+          batchParts(batch, idCol, textCol)
+        postings.write.partitionBy("wb").parquet(s"$stage/postings")
+        dfPart.write.partitionBy("wb").parquet(s"$stage/df")
+        writeText(fs, new Path(stage, "scalars_delta"), s"$nDocs,$nTok")
+        fs.create(marker, true).close()
+        publishStage(fs, dir, stage, streamTag, epoch)
+        // epoch fully committed: the between-epochs single-writer window
+        auto.tick(fileCount(spark, dir), partitionDirCount(spark, dir))(
+          compact(spark, dir))
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- compaction
+
+  private def healCompactAside(fs: FileSystem, dir: String,
+                               sub: String): Unit = {
+    val root = new Path(s"$dir/$sub")
+    val prev = new Path(s"$dir/.${sub}_precompact")
+    if (!fs.exists(root) && fs.exists(prev))
+      require(fs.rename(prev, root), s"Bm25Store: cannot heal $prev")
+  }
+
+  private def swapIn(fs: FileSystem, dir: String, sub: String,
+                     tmp: Path): Unit = {
+    val root = new Path(s"$dir/$sub")
+    val prev = new Path(s"$dir/.${sub}_precompact")
+    require(fs.rename(root, prev), s"compact: cannot move $root aside")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(prev, root)
+      throw new IllegalStateException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(prev, true)
+  }
+
+  /** Compact the store: fold each `postings/wb=` partition back toward one
+    * file, MERGE df partials per word, and fold the scalar ledger to one
+    * line — each sub-table via the whole-table aside-publish-heal swap
+    * ([[SignatureStore.compact]] protocol; reads heal the crash window).
+    * Markers and staging dirs are untouched — epoch idempotence survives.
+    * Single-writer: run between epochs of a live sink (the [[AutoCompact]]
+    * hook's window), never racing an in-flight one. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    Seq("postings", "df", "scalars").foreach(healCompactAside(fs, dir, _))
+    if (fs.exists(new Path(s"$dir/postings"))) {
+      val tmp = new Path(s"$dir/.postings_compact.tmp")
+      fs.delete(tmp, true)
+      spark.read.parquet(s"$dir/postings").repartition(col("wb"))
+        .write.partitionBy("wb").parquet(tmp.toString)
+      swapIn(fs, dir, "postings", tmp)
+    }
+    if (fs.exists(new Path(s"$dir/df"))) {
+      val tmp = new Path(s"$dir/.df_compact.tmp")
+      fs.delete(tmp, true)
+      spark.read.parquet(s"$dir/df")
+        .groupBy("wb", "word").agg(sum("df").as("df"))
+        .repartition(col("wb"))
+        .write.partitionBy("wb").parquet(tmp.toString)
+      swapIn(fs, dir, "df", tmp)
+    }
+    if (fs.exists(new Path(s"$dir/scalars"))) {
+      val (nDocs, nTok) = readScalars(fs, dir)
+      val tmp = new Path(s"$dir/.scalars_compact.tmp")
+      fs.delete(tmp, true)
+      writeText(fs, new Path(tmp, "base"), s"$nDocs,$nTok")
+      swapIn(fs, dir, "scalars", tmp)
+    }
+  }
+
+  /** Live `wb=` partition-dir count across postings + df — the
+    * [[AutoCompact]] bound's denominator. */
+  def partitionDirCount(spark: SparkSession, dir: String): Int = {
+    val fs = fsOf(spark, dir)
+    Seq("postings", "df").map { sub =>
+      val root = new Path(s"$dir/$sub")
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("wb="))
+    }.sum
+  }
+
+  /** Data-file count across both partitioned tables (compaction
+    * telemetry). */
+  def fileCount(spark: SparkSession, dir: String): Int = {
+    val fs = fsOf(spark, dir)
+    Seq("postings", "df").map { sub =>
+      val root = new Path(s"$dir/$sub")
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("wb="))
+        .map(sd => fs.listStatus(sd.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")))
+        .sum
+    }.sum
+  }
+
+  // ------------------------------------------------------------ cached builds
 
   /** Build (or reuse) a persisted store for a static corpus; returns its
     * dir — the [[SignatureStore.storeDir]] content-digest contract:
@@ -129,17 +355,45 @@ object Bm25Store {
     * (seed into a dot-temp, rename), every session sharing the cache root
     * reuses one build. */
   def storeDir(docs: DataFrame, corpusPath: String, idCol: String,
-               textCol: String, variant: String = ""): String = {
-    val spark = docs.sparkSession
-    val digest = AdaptCache.digestOf(Seq("bm25store_v1", corpusPath,
-      AdaptCache.corpusToken(spark, corpusPath), idCol, textCol, variant))
-    val dir = new Path(AdaptCache.cacheRoot(spark), s"bm25_store_$digest")
+               textCol: String, variant: String = ""): String =
+    cachedBuild(docs.sparkSession, corpusPath,
+        s"$idCol|$textCol|$variant", "bm25_store") {
+      tmp => seed(docs, idCol, textCol, tmp)
+    }
+
+  /** Build (or reuse) a store grown INCREMENTALLY from `parts` — seed from
+    * the first slice, then one appended epoch per remaining slice, with the
+    * LAST epoch deliberately re-delivered (the at-least-once replay the
+    * exactly-once protocol must absorb). Content-keyed like [[storeDir]];
+    * backs `text_bm25_appended`, whose probe must hash-match the
+    * whole-corpus DuckDB twin — incremental build ≡ batch build ≡ oracle. */
+  def appendedStoreDir(parts: Seq[DataFrame], corpusPath: String,
+                       idCol: String, textCol: String,
+                       variant: String = ""): String = {
+    require(parts.nonEmpty, "appendedStoreDir needs at least one slice")
+    cachedBuild(parts.head.sparkSession, corpusPath,
+        s"$idCol|$textCol|$variant", "bm25_store_app") { tmp =>
+      seed(parts.head, idCol, textCol, tmp)
+      val app = appender(parts.head.sparkSession, tmp, idCol, textCol,
+        autoCompactEvery = 0)
+      parts.tail.zipWithIndex.foreach { case (p, e) => app(p, e.toLong) }
+      if (parts.tail.nonEmpty)                    // replayed delivery: no-op
+        app(parts.last, (parts.size - 2).toLong)
+    }
+  }
+
+  private def cachedBuild(spark: SparkSession, corpusPath: String,
+                          variant: String, prefix: String)(
+                          build: String => Unit): String = {
+    val digest = AdaptCache.digestOf(Seq(s"${prefix}_v2", corpusPath,
+      AdaptCache.corpusToken(spark, corpusPath), variant))
+    val dir = new Path(AdaptCache.cacheRoot(spark), s"${prefix}_$digest")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) AdaptCache.synchronized {
       if (!fs.exists(dir)) {
-        val tmp = new Path(dir.getParent, s".bm25_store_$digest.tmp")
+        val tmp = new Path(dir.getParent, s".${prefix}_$digest.tmp")
         fs.delete(tmp, true)
-        seed(docs, idCol, textCol, tmp.toString)
+        build(tmp.toString)
         if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost a race: reuse
       }
     }

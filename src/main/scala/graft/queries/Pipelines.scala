@@ -1904,6 +1904,27 @@ object Pipelines {
       .orderBy("qid", "rk")
   }
 
+  /** [[bm25Stored]] through the INCREMENTAL path — the growing-corpus shape
+    * a crawl pipeline actually runs: the store seeds from half the corpus,
+    * then two appended epochs (exactly-once stage→marker→publish, with the
+    * last epoch deliberately RE-DELIVERED — the at-least-once replay the
+    * protocol must absorb as a no-op), and the probe still hash-matches the
+    * whole-corpus DuckDB twin: incremental build ≡ batch build ≡ oracle.
+    * df partials sum per word, the scalar ledger sums per epoch — both
+    * additive because appended doc sets are disjoint (the append
+    * contract). [SQL] */
+  val bm25Appended: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val parts = Seq(
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+      docs.filter(pmod(col("doc_id"), lit(4L)) === 1L),
+      docs.filter(pmod(col("doc_id"), lit(4L)) === 3L))
+    val sd = graft.operators.Bm25Store.appendedStoreDir(parts,
+      s"$dir/documents.parquet", "doc_id", "text")
+    graft.operators.Bm25Store.probeStored(s, sd, Bm25Queries, k = 5)
+      .orderBy("qid", "rk")
+  }
+
   // ---- Bigram LM fluency score ----------------------------------------------
 
   /** CCNet-style LM fluency filtering, exactly oracled: train an add-one-
@@ -1922,11 +1943,17 @@ object Pipelines {
     * documents the same direction as perplexity would (higher = more
     * predictable text) without libm logs, which are not correctly-rounded
     * portable. [SQL] */
-  val lmFluency: Q = (s, dir) => {
+  val lmFluency: Q = (s, dir) => lmScored(s, dir)
+    .select("doc_id", "n_trans", "lm_score").orderBy("doc_id")
+
+  /** The shared trained-bigram-LM scoring chain behind [[lmFluency]] and
+    * [[pplBuckets]]: (doc_id, lang, n_trans, lm_score) unordered, every doc
+    * present (transition-less docs score 0.0). */
+  private def lmScored(s: SparkSession, dir: String): DataFrame = {
     val arr0 = TextFns.normTokens(TextFns.cleanText(col("text"),
       removePunctuation = true))
     // project the array ONCE (HOF lambdas re-evaluate their input per element)
-    val docsArr = Tables.documents(s, dir).select(col("doc_id"),
+    val docsArr = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       filter(arr0, w => length(w) > 0).as("arr"))
     val nArr = size(col("arr"))
     val big = docsArr
@@ -1950,22 +1977,57 @@ object Pipelines {
       count(lit(1)).as("n_trans"),
       aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
         lit(0.0), (acc, x) => acc + x.getField("p")).as("sump"))
-    docsArr.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    docsArr.select("doc_id", "lang").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
         coalesce(col("n_trans"), lit(0L)).as("n_trans"),
         round(when(col("n_trans").isNull, 0.0)
           .otherwise(col("sump") / col("n_trans")), 6).as("lm_score"))
-      .orderBy("doc_id")
+  }
+
+  /** CCNet-style fluency bucketing (Wenzek et al. 2020 §4.3): per LANGUAGE,
+    * rank documents by the trained bigram-LM score ([[lmScored]] — rounded
+    * score, doc_id tie-break, so the order is engine-portable) and cut the
+    * ranking into exact terciles — `tail` (least fluent third), `middle`,
+    * `head` — the split CCNet keeps/downsamples/drops. Bucket assignment is
+    * pure integer arithmetic on the rank (`1 + (rn−1)·3 div n`), NOT a
+    * percentile estimate, so the oracle compares exact BIGINTs.
+    *
+    * Scale shape: the per-language sort window is partitioned (never
+    * global) — the [[qualityQuantiles]] contract: a skewed-language corpus
+    * range-partitions the (lang, score) sort; per-bucket stats are plain
+    * combinable aggregates. [SQL] */
+  val pplBuckets: Q = (s, dir) => {
+    val scored = lmScored(s, dir)
+    val w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+    val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    scored.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), Seq("lang"))
+      // rank cast BEFORE the ×3: an int32 row_number × 3 overflows past
+      // ~715M docs per language — real at corpus scale
+      .withColumn("bucket", expr("1 + CAST(rn - 1 AS BIGINT) * 3 DIV n"))
+      .groupBy("lang", "bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_trans").as("sum_trans"),
+        min("lm_score").as("min_score"),
+        max("lm_score").as("max_score"))
+      .select(col("lang"), col("bucket").cast("long").as("bucket"),
+        when(col("bucket") === 1, "tail").when(col("bucket") === 2, "middle")
+          .otherwise("head").as("bucket_label"),
+        col("n_docs"), col("sum_trans"), col("min_score"), col("max_score"))
+      .orderBy("lang", "bucket")
   }
 
   /** DuckDB twin of [[lmFluency]] — the identical count/ratio/ordered-fold
     * chain (list_reduce over `list(p ORDER BY pos)`). */
-  val lmFluencySql: String = {
+  /** Shared CTE prefix for the bigram-LM twins: everything through the
+    * per-doc `scored` frame (doc_id, lang, n_trans, lm_score) — the SQL
+    * mirror of [[lmScored]]. */
+  private def lmScoreCtes: String = {
     val clean = Duck.clean("text", punct = true)
     val ws = """'\s+'"""
     val zipped = "CASE WHEN len(arr)<2 THEN [] ELSE " +
       "list_zip(arr[1:len(arr)-1], arr[2:len(arr)]) END"
-    s"""WITH base AS (SELECT doc_id,
+    s"""base AS (SELECT doc_id, lang,
        |    list_filter(string_split(regexp_replace(trim($clean), $ws, ' ', 'g'), ' '),
        |      w -> length(w) > 0) AS arr
        |  FROM documents),
@@ -1981,11 +2043,34 @@ object Pipelines {
        |  FROM big b JOIN bc USING (prev, cur) JOIN pc USING (prev) CROSS JOIN vv),
        |pd AS (SELECT doc_id, count(*) AS n_trans,
        |    list_reduce(list(p ORDER BY pos), (acc, x) -> acc + x) AS sump
-       |  FROM sc GROUP BY doc_id)
-       |SELECT d.doc_id, CAST(COALESCE(n_trans, 0) AS BIGINT) AS n_trans,
-       |  round(CASE WHEN n_trans IS NULL THEN 0.0 ELSE sump / n_trans END, 6) AS lm_score
-       |FROM base d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+       |  FROM sc GROUP BY doc_id),
+       |scored AS (SELECT d.doc_id, d.lang,
+       |    CAST(COALESCE(n_trans, 0) AS BIGINT) AS n_trans,
+       |    round(CASE WHEN n_trans IS NULL THEN 0.0 ELSE sump / n_trans END, 6)
+       |      AS lm_score
+       |  FROM base d LEFT JOIN pd USING (doc_id))""".stripMargin
   }
+
+  val lmFluencySql: String =
+    s"""WITH $lmScoreCtes
+       |SELECT doc_id, n_trans, lm_score FROM scored ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[pplBuckets]] — the identical rank (rounded score,
+    * doc_id tie-break) and integer-division tercile cut. */
+  val pplBucketsSql: String =
+    s"""WITH $lmScoreCtes,
+       |r AS (SELECT lang, n_trans, lm_score,
+       |    row_number() OVER (PARTITION BY lang ORDER BY lm_score, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM scored),
+       |b AS (SELECT lang, n_trans, lm_score,
+       |    1 + ((rn - 1) * 3) // n AS bucket FROM r)
+       |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       |  CASE bucket WHEN 1 THEN 'tail' WHEN 2 THEN 'middle' ELSE 'head' END
+       |    AS bucket_label,
+       |  count(*) AS n_docs, CAST(sum(n_trans) AS BIGINT) AS sum_trans,
+       |  min(lm_score) AS min_score, max(lm_score) AS max_score
+       |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
   // ---- Learned BPE tokenizer ------------------------------------------------
 
@@ -2516,6 +2601,99 @@ object Pipelines {
        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  /** Deterministic SKEWED planted-cluster corpus for the semantic-mixing
+    * query: the same 20 well-separated centers as [[plantedClusters]], but
+    * per-center membership 6 + (center % 4)·10 (sizes 6/16/26/36 incl. the
+    * center row) — a balanced planting would make every temperature weight
+    * collapse to 1/k and the mixing math would never be exercised. The copy
+    * arithmetic (copy_id = center·1000 + j, ids offset by 1e7) is exactly
+    * SQL-replayable, which is what lets [[mixClusterWeights]]' oracle be
+    * EXACT rather than a recall verdict. */
+  private val plantedSkewMemo = new graft.SessionMemo[DataFrame]
+  private def plantedClustersSkewed(s: SparkSession, dir: String): DataFrame =
+    plantedSkewMemo.getOrBuild(s, dir) {
+      val centers = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val copies = centers
+        .crossJoin(broadcast(s.range(1, 36).select(col("id").as("j"))))
+        .filter(col("j") <= lit(5L) + pmod(col("vec_id"), lit(4L)) * 10L)
+        .select((col("vec_id") * 1000 + col("j")).as("copy_id"),
+          col("embedding"))
+        .select((col("copy_id") + 10000000L).as("vec_id"),
+          graft.functions.VecFns.addPseudoNoise(col("embedding"),
+            col("copy_id"), lit(0.15)).as("embedding"))
+      centers.unionByName(copies).localCheckpoint()
+    }
+
+  /** Semantic cluster-balanced mixture weights — the embedding-space twin of
+    * [[mixWeights]] (per-SOURCE mixing): cluster the corpus by embedding
+    * (k-means, the IVF coarse trainer), then compute each semantic cluster's
+    * document share and its TEMPERATURE-scaled sampling weight
+    * w_c ∝ √n_c (the α=0.5 multinomial smoothing of Lample & Conneau 2019
+    * §3.1 — upweights rare topics without letting a huge cluster dominate).
+    * √ is IEEE-correctly-rounded (unlike log/exp), and the 20-term
+    * normalizer is an order-pinned fold, so the weight chain hash-matches.
+    *
+    * The oracle is EXACT, not a recall verdict: on the skewed planting the
+    * trained clustering must recover the planted partition as a bijection —
+    * pinned by `n_clusters` (k-means clusters per planted center) = 1 and
+    * `pure` (no k-means cluster spans two centers) = TRUE — and then every
+    * count, share, and weight is SQL arithmetic over the planted sizes.
+    * Scale shape: centroids are model-sized driver state broadcast into a
+    * codegen'd expression; assignment + counts are one combinable agg pass;
+    * nothing all-pairs. [SQL] */
+  val mixClusterWeights: Q = (s, dir) => {
+    val corpus = plantedClustersSkewed(s, dir)
+    val cents = graft.ml.KMeansQuantizer.fit(corpus, "vec_id", "embedding",
+      k = 20, iters = 3, seed = 42L)
+    val assigned = corpus.select(
+        element_at(graft.expressions.NearestCentroids.column(
+          col("embedding").cast("array<double>"), cents, 1), 1).as("cl"),
+        when(col("vec_id") < 10000000L, col("vec_id"))
+          .otherwise(expr("CAST((vec_id - 10000000) DIV 1000 AS BIGINT)"))
+          .as("center_id"))
+    val perPair = assigned.groupBy("cl", "center_id")
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val clPure = perPair.groupBy("cl")
+      .agg(countDistinct("center_id").as("nc"))
+      .agg(max("nc").as("max_centers_per_cluster"))
+    val byCenter = perPair.groupBy("center_id").agg(
+      sum("n").as("n_docs"), countDistinct("cl").as("n_clusters"))
+    val tot = byCenter.agg(sum("n_docs").as("total"))
+    val z = byCenter.agg(aggregate(
+      sort_array(collect_list(struct(col("center_id"),
+        sqrt(col("n_docs").cast("double")).as("sq")))),
+      lit(0.0), (a, x) => a + x.getField("sq")).as("zsum"))
+    byCenter.crossJoin(broadcast(tot)).crossJoin(broadcast(z))
+      .crossJoin(broadcast(clPure))
+      .select(col("center_id"), col("n_docs"), col("n_clusters"),
+        (col("max_centers_per_cluster") === 1).as("pure"),
+        round(col("n_docs").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        round(sqrt(col("n_docs").cast("double")) / col("zsum"), 6)
+          .as("mix_weight"))
+      .orderBy("center_id")
+  }
+
+  /** DuckDB twin of [[mixClusterWeights]]: the planted sizes in closed form,
+    * the same √-temperature chain, the bijection pins as literals — any
+    * clustering failure breaks them (or the counts) and the hash catches
+    * it. */
+  val mixClusterWeightsSql: String =
+    s"""WITH c AS (SELECT vec_id AS center_id FROM embeddings WHERE vec_id < 20),
+       |n AS (SELECT center_id,
+       |    CAST(6 + (center_id % 4) * 10 AS BIGINT) AS n_docs FROM c),
+       |tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM n),
+       |sq AS (SELECT center_id, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS sq
+       |  FROM n),
+       |z AS (SELECT list_reduce(list(sq ORDER BY center_id), (a, x) -> a + x)
+       |    AS zsum FROM sq)
+       |SELECT center_id, n_docs, CAST(1 AS BIGINT) AS n_clusters, TRUE AS pure,
+       |  round(CAST(n_docs AS DOUBLE) / total, 6) AS share,
+       |  round(sq / zsum, 6) AS mix_weight
+       |FROM sq CROSS JOIN tot CROSS JOIN z ORDER BY center_id""".stripMargin
+
   /** End-to-end training-data preparation — the full prep DAG as ONE query,
     * proving the operator suite composes: Gopher/C4 quality gate → near-dup
     * drop (cluster non-canonicals keep only the min-id representative) →
@@ -2758,8 +2936,10 @@ object Pipelines {
     "text_tfidf" -> textTfidf,
     "text_bm25_topk" -> bm25TopK,
     "text_bm25_stored" -> bm25Stored,
+    "text_bm25_appended" -> bm25Appended,
     "bpe_tokenize" -> bpeTokenize,
     "lm_fluency" -> lmFluency,
+    "quality_ppl_buckets" -> pplBuckets,
     "text_unigram_score" -> textUnigramScore,
     "dsir_select" -> dsirSelect,
     "gate_admission" -> gateAdmission,
@@ -2768,6 +2948,7 @@ object Pipelines {
     "dedup_span_fraction" -> dedupSpanFraction,
     "dedup_span_removal" -> dedupSpanRemoval,
     "mix_weights" -> mixWeights,
+    "mix_cluster_weights" -> mixClusterWeights,
     "mix_sample" -> mixSample,
     "mix_token_fill" -> mixTokenFill,
     "dedup_exact" -> dedupExact,
@@ -2821,8 +3002,10 @@ object Pipelines {
     "text_tfidf" -> textTfidfSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_stored" -> bm25TopKSql,
+    "text_bm25_appended" -> bm25TopKSql,
     "bpe_tokenize" -> bpeTokenizeSql,
     "lm_fluency" -> lmFluencySql,
+    "quality_ppl_buckets" -> pplBucketsSql,
     "text_unigram_score" -> textUnigramScoreSql,
     "dsir_select" -> dsirSelectSql,
     "gate_admission" -> gateAdmissionSql,
@@ -2831,6 +3014,7 @@ object Pipelines {
     "dedup_span_fraction" -> dedupSpanFractionSql,
     "dedup_span_removal" -> dedupSpanRemovalSql,
     "mix_weights" -> mixWeightsSql,
+    "mix_cluster_weights" -> mixClusterWeightsSql,
     "mix_sample" -> mixSampleSql,
     "mix_token_fill" -> mixTokenFillSql,
     "dedup_exact" -> dedupExactSql,

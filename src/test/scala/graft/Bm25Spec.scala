@@ -80,6 +80,121 @@ class Bm25Spec extends AnyFunSuite {
     assert(e.getMessage.contains("layout"), e.getMessage)
   }
 
+  test("incremental build ≡ batch build: seed + appended epochs (+ a replayed " +
+    "delivery) probe identically to a seeded-at-once store") {
+    val seedDir = java.nio.file.Files.createTempDirectory("bm25seed").toString
+    val appDir = java.nio.file.Files.createTempDirectory("bm25app").toString
+    val qs = Seq(1L -> "spark join window", 2L -> "cats")
+    Bm25Store.seed(corpus, "doc_id", "text", seedDir)
+    Bm25Store.seed(corpus.filter("doc_id <= 2"), "doc_id", "text", appDir)
+    val app = Bm25Store.appender(spark, appDir, "doc_id", "text",
+      autoCompactEvery = 0)
+    app(corpus.filter("doc_id IN (3, 4)"), 0L)
+    app(corpus.filter("doc_id IN (5, 6)"), 1L)
+    app(corpus.filter("doc_id IN (5, 6)"), 1L) // at-least-once replay: no-op
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(rows(Bm25Store.probeStored(spark, appDir, qs, k = 4)) ==
+      rows(Bm25Store.probeStored(spark, seedDir, qs, k = 4)))
+  }
+
+  test("appender crash windows: a committed-but-unpublished stage heals on " +
+    "restart; a pre-marker orphan is discarded and its epoch replays whole") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25crash").toString
+    val qs = Seq(1L -> "spark join window", 2L -> "cats")
+    Bm25Store.seed(corpus.filter("doc_id <= 2"), "doc_id", "text", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // orphan: staged rows but no marker — must be dropped, not published
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/.bm25app_stage_stream_7")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "postings"))
+    // committed: stage + marker but crash before publish — must be finished
+    val app0 = Bm25Store.appender(spark, dir, "doc_id", "text",
+      autoCompactEvery = 0)
+    app0(corpus.filter("doc_id IN (3, 4)"), 0L)
+    // fabricate epoch 1's post-marker pre-publish window for real: build the
+    // epoch's exact stage layout (seed a scratch store from just docs 5+6,
+    // whose postings/df/scalars ARE what writeStage produces for that batch),
+    // move it under the real store as the stage dir, write the epoch marker —
+    // the crash point is now "marker durable, publish not started"
+    val scratch = java.nio.file.Files.createTempDirectory("bm25tmp").toString
+    Bm25Store.seed(corpus.filter("doc_id IN (5, 6)"), "doc_id", "text", scratch)
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/.bm25app_stage_stream_1")
+    fs.mkdirs(stage)
+    Seq("postings", "df").foreach { sub =>
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/$sub"),
+        new org.apache.hadoop.fs.Path(stage, sub)))
+    }
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/scalars/base"),
+      new org.apache.hadoop.fs.Path(stage, "scalars_delta")))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_bm25app_stream_epoch_1"), true).close()
+    // restart: the heal sweep at appender construction finishes the publish;
+    // the re-delivered epoch is then a marker-guarded no-op
+    val app1 = Bm25Store.appender(spark, dir, "doc_id", "text",
+      autoCompactEvery = 0)
+    app1(corpus.filter("doc_id IN (5, 6)"), 1L)
+    assert(!fs.exists(stage), "committed stage must publish on restart")
+    assert(!fs.exists(orphan), "pre-marker orphan must be discarded")
+    val seedDir = java.nio.file.Files.createTempDirectory("bm25seed2").toString
+    Bm25Store.seed(corpus, "doc_id", "text", seedDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(rows(Bm25Store.probeStored(spark, dir, qs, k = 4)) ==
+      rows(Bm25Store.probeStored(spark, seedDir, qs, k = 4)))
+  }
+
+  test("compact folds epoch files and df partials; probes unchanged; a " +
+    "mid-compact crash window heals on the next read") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25cmp").toString
+    val qs = Seq(1L -> "spark join window", 2L -> "cats")
+    Bm25Store.seed(corpus.filter("doc_id <= 2"), "doc_id", "text", dir)
+    val app = Bm25Store.appender(spark, dir, "doc_id", "text",
+      autoCompactEvery = 0)
+    app(corpus.filter("doc_id IN (3, 4)"), 0L)
+    app(corpus.filter("doc_id IN (5, 6)"), 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val before = rows(Bm25Store.probeStored(spark, dir, qs, k = 4))
+    val filesBefore = Bm25Store.fileCount(spark, dir)
+    Bm25Store.compact(spark, dir)
+    assert(Bm25Store.fileCount(spark, dir) <= filesBefore)
+    assert(rows(Bm25Store.probeStored(spark, dir, qs, k = 4)) == before)
+    // mid-compact crash: table moved aside, rewrite not yet published
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/df"),
+      new org.apache.hadoop.fs.Path(s"$dir/.df_precompact")))
+    assert(rows(Bm25Store.probeStored(spark, dir, qs, k = 4)) == before)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/df")))
+  }
+
+  test("auto-compaction keeps a long-lived appender's file count bounded " +
+    "without any manual compact call") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25auto").toString
+    Bm25Store.seed(corpus.filter("doc_id = 1"), "doc_id", "text", dir)
+    val app = Bm25Store.appender(spark, dir, "doc_id", "text",
+      autoCompactEvery = 2, autoCompactFactor = 2)
+    (0 until 8).foreach { e =>
+      app(spark.createDataFrame(Seq(
+        (100L + e, s"epoch $e spark join window filler text")))
+        .toDF("doc_id", "text"), e.toLong)
+    }
+    // steady state: ≤ factor×parts at the last check, plus ≤ checkEvery
+    // epochs of ≤ 1-file-per-touched-partition slack before the next one
+    val parts = math.max(1, Bm25Store.partitionDirCount(spark, dir))
+    val bound = (2 + 2 + 1) * parts
+    assert(Bm25Store.fileCount(spark, dir) <= bound,
+      s"files=${Bm25Store.fileCount(spark, dir)} bound=$bound")
+    // scalar ledger still exact: 1 seed doc + 8 appended docs
+    val probe = Bm25Store.probeStored(spark, dir,
+      Seq(1L -> "spark"), k = 20)
+    assert(probe.count() >= 5) // seed doc + every appended doc mentions spark
+  }
+
   test("term saturation: repeating one term cannot outrank matching two") {
     val out = Bm25.topK(corpus, "doc_id", "text",
       Seq(1L -> "spark window"), k = 3).orderBy("rk").collect()

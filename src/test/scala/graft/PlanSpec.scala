@@ -517,4 +517,26 @@ class PlanSpec extends AnyFunSuite {
     // partition at 100 TB)
     assert(!p.contains("windowspecdefinition(wh#"), p)
   }
+
+  test("quality_ppl_buckets: the tercile rank window is LANGUAGE-partitioned " +
+    "(never global); per-language counts broadcast back") {
+    val p = plan(Pipelines.queries("quality_ppl_buckets")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(lang#"), p)
+    // no global rank: every windowspec in the plan carries the lang key
+    assert(!p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(lang#")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mix_cluster_weights: assignment+counts are partial+final aggregates; " +
+    "the only non-keyed joins are broadcast model-sized singletons") {
+    val p = plan(Pipelines.queries("mix_cluster_weights")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // centroid assignment is a codegen'd expression over the scan — the
+    // corpus is aggregated once, partial before the exchange, final after
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
 }

@@ -40,7 +40,9 @@ class ScalingSmokeSpec extends AnyFunSuite {
     "chunk_windows", "chunk_dedup", "dsir_select", "sketch_heavy_hitters",
     "gate_admission", "bpe_tokenize", "lm_fluency",
     "dedup_simhash_capped", "pack_bpe_sequences",
-    "text_bm25_topk", "decontam_fuzzy", "quality_classifier")
+    "text_bm25_topk", "decontam_fuzzy", "quality_classifier",
+    "dedup_span_removal", "quality_ppl_buckets", "mix_cluster_weights",
+    "text_bm25_appended")
 
   /** Steady-state timing, matching the bench contract (r6: untimed artifact
     * pass before anything is timed): the first run builds content-keyed

@@ -1598,4 +1598,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(driftBatch <= DriftAt + 3,
       s"DDM missed the drift window: first D in batch $driftBatch, expected in [$DriftAt, ${DriftAt + 3}]")
   }
+
+  test("crash replay: a checkpointed crawl stream maintains the BM25 postings " +
+    "store exactly-once — the final store probes identically to a " +
+    "batch-seeded twin of the whole corpus") {
+    import graft.operators.Bm25Store
+    def doc(v: String, salt: Int) =
+      (0 until 20).map(i => s"$v${(salt + i) % 13}").mkString(" ")
+    val epochs = Seq(
+      Seq((1L, doc("alpha", 0)), (2L, doc("beta", 3))),
+      Seq((3L, doc("alpha", 5)), (4L, doc("gamma", 1))),
+      Seq((5L, doc("beta", 8)), (6L, doc("alpha", 2))))
+    val seedDocs = Seq((100L, doc("alpha", 7)), (101L, doc("beta", 11)))
+    val qs = Seq(1L -> "alpha3 beta5", 2L -> "gamma2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    def runScenario(tag: String, crashPlan: Set[String]): String = {
+      val inDir = java.nio.file.Files.createTempDirectory(s"bm_in_$tag").toFile
+      epochs.zipWithIndex.foreach { case (rows, i) =>
+        val f = new java.io.File(inDir, f"b$i%02d.json")
+        val js = rows.map { case (id, t) =>
+          s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n")
+        java.nio.file.Files.write(f.toPath, js.getBytes("UTF-8"))
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"bm_ck_$tag").toString
+      val dir = java.nio.file.Files.createTempDirectory(s"bm_st_$tag").toString
+      Bm25Store.seed(seedDocs.toDF("doc_id", "text"), "doc_id", "text", dir)
+      val crashed = scala.collection.mutable.Set[String]()
+      def crashPoint(p: String): Unit =
+        if (crashPlan.contains(p) && crashed.add(p))
+          throw new RuntimeException(s"injected crash at $p")
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 8) {
+        attempts += 1
+        // fresh appender per restart: its construction runs the staging heal
+        // sweep, exactly like a recovered driver process
+        val app = Bm25Store.appender(spark, dir, "doc_id", "text",
+          autoCompactEvery = 0)
+        val query = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .json(inDir.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, e: Long) =>
+            crashPoint(s"entry-$e")      // nothing persisted: replay recomputes
+            app(df, e)
+            crashPoint(s"after-append-$e") // fully committed: replay is a no-op
+          }
+          .start()
+        try { query.processAllAvailable(); done = true }
+        catch { case _: Throwable => () }
+        finally { try query.stop() catch { case _: Throwable => () } }
+      }
+      assert(done, s"$tag: stream never completed after $attempts attempts")
+      dir
+    }
+
+    val crashDir = runScenario("crash", Set("entry-0", "after-append-1", "entry-2"))
+    val cleanDir = runScenario("clean", Set.empty)
+    val batchDir = java.nio.file.Files.createTempDirectory("bm_batch").toString
+    Bm25Store.seed((seedDocs ++ epochs.flatten).toDF("doc_id", "text"),
+      "doc_id", "text", batchDir)
+    def rows(d: String) = Bm25Store.probeStored(spark, d, qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val batch = rows(batchDir)
+    assert(rows(crashDir) == batch,
+      "crash-replayed incremental store must probe like the batch build")
+    assert(rows(cleanDir) == batch)
+    // and no posting may be stored twice across replays
+    val posts = spark.read.parquet(s"$crashDir/postings")
+      .select("doc_id", "word").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(posts.distinct.size == posts.size, "duplicated postings after replay")
+  }
 }
