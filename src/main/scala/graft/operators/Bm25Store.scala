@@ -277,6 +277,10 @@ object Bm25Store {
                      tmp: Path): Unit = {
     val root = new Path(s"$dir/$sub")
     val prev = new Path(s"$dir/.${sub}_precompact")
+    // a COMPLETED compact that crashed before deleting its aside leaves
+    // root AND prev: the aside is disposable (root is live), and renaming
+    // onto an existing dir would fail or nest — clear it first
+    fs.delete(prev, true)
     require(fs.rename(root, prev), s"compact: cannot move $root aside")
     if (!fs.rename(tmp, root)) {
       fs.rename(prev, root)

@@ -349,7 +349,18 @@ object Pipelines {
     * session memos all sibling queries share. [SQL — the cluster-rank spine
     * + staged-xxhash64 draw replay + per-source cumsum, pack verdicts
     * pinned TRUE]. */
-  val corpusBuild: Q = (s, dir) => {
+  val corpusBuild: Q = (s, dir) => corpusBuildImpl(s, dir, ccnet = false)
+
+  /** [[corpusBuild]] with the CCNet fluency stage composed in: before the
+    * budget fill, documents in their language's LEAST-fluent tercile (the
+    * [[pplBuckets]] `tail` bucket — CCNet's drop/downsample split) are
+    * dropped, so the token budgets and the pack run over the
+    * fluency-filtered corpus. Same output contract; the oracle replays the
+    * tercile keep-list in the same CTE spine. [SQL] */
+  val corpusBuildCcnet: Q = (s, dir) => corpusBuildImpl(s, dir, ccnet = true)
+
+  private def corpusBuildImpl(s: SparkSession, dir: String,
+                              ccnet: Boolean): DataFrame = {
     val docs = Tables.documents(s, dir)
     val q = textQuality(s, dir).select("doc_id", "n_tokens", "quality_ok")
     // near-dup drop list: every cluster member ranked below its best
@@ -361,10 +372,27 @@ object Pipelines {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") > 1)
       .select("doc_id")
-    val kept0 = docs
+    val kept1 = docs
       .join(q.filter(col("quality_ok")).select("doc_id"), Seq("doc_id"),
         "left_semi")
       .join(drops, Seq("doc_id"), "left_anti")
+    // CCNet stage: drop each language's least-fluent tercile (the
+    // [[pplBuckets]] tail) BEFORE budgets — the fill then spends its token
+    // budget on fluent text only
+    val kept2 =
+      if (!ccnet) kept1
+      else {
+        val fl = lmScored(s, dir)
+        val wl = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+        val counts = fl.groupBy("lang").agg(count(lit(1)).as("n"))
+        val fkeep = fl.withColumn("rn", row_number().over(wl))
+          .join(broadcast(counts), Seq("lang"))
+          .withColumn("bucket", expr("1 + CAST(rn - 1 AS BIGINT) * 3 DIV n"))
+          .filter(col("bucket") >= 2)
+          .select("doc_id")
+        kept1.join(fkeep, Seq("doc_id"), "left_semi")
+      }
+    val kept0 = kept2
       .select(col("doc_id"), col("source"), col("text"),
         TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
       .localCheckpoint() // feeds budgets + fill + the encode pass
@@ -438,15 +466,29 @@ object Pipelines {
   /** DuckDB twin of [[corpusBuild]]: the cluster-rank spine gates and
     * dedups, the staged-xxhash64 draw + per-source cumsum replays the fill
     * exactly; the two learned-count pack verdicts are pinned TRUE. */
-  val corpusBuildSql: String = {
+  val corpusBuildSql: String = corpusBuildSqlImpl(ccnet = false)
+  val corpusBuildCcnetSql: String = corpusBuildSqlImpl(ccnet = true)
+
+  private def corpusBuildSqlImpl(ccnet: Boolean): String = {
     val ws = """'\s+'"""
     val drawn = drawSelect("keep0", "doc_id", Seq("source", "text"), 13L)
+    val fluencyCtes = if (!ccnet) "" else
+      s"""$lmScoreCtes,
+         |fr AS (SELECT doc_id, lang, lm_score,
+         |    row_number() OVER (PARTITION BY lang ORDER BY lm_score, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored),
+         |fkeep AS (SELECT doc_id FROM fr WHERE 1 + ((rn - 1) * 3) // n >= 2),
+         |""".stripMargin
+    val fluencyClause = if (!ccnet) ""
+      else "\n    AND d.doc_id IN (SELECT doc_id FROM fkeep)"
     s"""WITH RECURSIVE $clusterRankCtes,
+       |$fluencyCtes
        |keep0 AS (
        |  SELECT d.doc_id, d.source, d.text
        |  FROM documents d JOIN q ON q.doc_id = d.doc_id
        |  WHERE q.quality_ok
-       |    AND d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)),
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)$fluencyClause),
        |d2 AS ($drawn),
        |t AS (SELECT source, doc_id, draw,
        |    CAST(len(regexp_split_to_array(text, $ws)) AS BIGINT) AS n_toks
@@ -1984,6 +2026,40 @@ object Pipelines {
           .otherwise(col("sump") / col("n_trans")), 6).as("lm_score"))
   }
 
+  /** [[lmFluency]] through the PERSISTED bigram-LM store
+    * ([[graft.operators.LmStore]]) — the repeated-scoring shape: the model
+    * counts build once (content-keyed cache), and scoring reads only the
+    * batch's prev-hash buckets with unseen transitions smoothing through
+    * left joins. Same fold, same rounding — the SAME DuckDB twin
+    * hash-oracles the store path. [SQL] */
+  val lmFluencyStored: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sd = graft.operators.LmStore.storeDir(docs,
+      s"$dir/documents.parquet", "doc_id", "text")
+    graft.operators.LmStore.scoreStored(s, sd, docs, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_trans"), col("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** [[lmFluencyStored]] through the INCREMENTAL path: the LM seeds from
+    * half the corpus, grows by two appended epochs (the last deliberately
+    * re-delivered — the at-least-once replay the exactly-once protocol
+    * must absorb), and scoring the full corpus still hash-matches the
+    * whole-corpus twin: count partials sum per key, vocab dedups at the
+    * probe — incremental model ≡ batch model ≡ oracle. [SQL] */
+  val lmFluencyAppended: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val parts = Seq(
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+      docs.filter(pmod(col("doc_id"), lit(4L)) === 1L),
+      docs.filter(pmod(col("doc_id"), lit(4L)) === 3L))
+    val sd = graft.operators.LmStore.appendedStoreDir(parts,
+      s"$dir/documents.parquet", "doc_id", "text")
+    graft.operators.LmStore.scoreStored(s, sd, docs, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_trans"), col("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style fluency bucketing (Wenzek et al. 2020 §4.3): per LANGUAGE,
     * rank documents by the trained bigram-LM score ([[lmScored]] — rounded
     * score, doc_id tie-break, so the order is engine-portable) and cut the
@@ -2939,6 +3015,8 @@ object Pipelines {
     "text_bm25_appended" -> bm25Appended,
     "bpe_tokenize" -> bpeTokenize,
     "lm_fluency" -> lmFluency,
+    "lm_fluency_stored" -> lmFluencyStored,
+    "lm_fluency_appended" -> lmFluencyAppended,
     "quality_ppl_buckets" -> pplBuckets,
     "text_unigram_score" -> textUnigramScore,
     "dsir_select" -> dsirSelect,
@@ -2949,6 +3027,7 @@ object Pipelines {
     "dedup_span_removal" -> dedupSpanRemoval,
     "mix_weights" -> mixWeights,
     "mix_cluster_weights" -> mixClusterWeights,
+    "corpus_build_ccnet" -> corpusBuildCcnet,
     "mix_sample" -> mixSample,
     "mix_token_fill" -> mixTokenFill,
     "dedup_exact" -> dedupExact,
@@ -3005,6 +3084,8 @@ object Pipelines {
     "text_bm25_appended" -> bm25TopKSql,
     "bpe_tokenize" -> bpeTokenizeSql,
     "lm_fluency" -> lmFluencySql,
+    "lm_fluency_stored" -> lmFluencySql,
+    "lm_fluency_appended" -> lmFluencySql,
     "quality_ppl_buckets" -> pplBucketsSql,
     "text_unigram_score" -> textUnigramScoreSql,
     "dsir_select" -> dsirSelectSql,
@@ -3015,6 +3096,7 @@ object Pipelines {
     "dedup_span_removal" -> dedupSpanRemovalSql,
     "mix_weights" -> mixWeightsSql,
     "mix_cluster_weights" -> mixClusterWeightsSql,
+    "corpus_build_ccnet" -> corpusBuildCcnetSql,
     "mix_sample" -> mixSampleSql,
     "mix_token_fill" -> mixTokenFillSql,
     "dedup_exact" -> dedupExactSql,

@@ -170,6 +170,12 @@ class Bm25Spec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(s"$dir/.df_precompact")))
     assert(rows(Bm25Store.probeStored(spark, dir, qs, k = 4)) == before)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/df")))
+    // post-publish crash: a COMPLETED compact's stale aside (root AND aside
+    // both present) must never block the next compact
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.postings_precompact"))
+    Bm25Store.compact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.postings_precompact")))
+    assert(rows(Bm25Store.probeStored(spark, dir, qs, k = 4)) == before)
   }
 
   test("auto-compaction keeps a long-lived appender's file count bounded " +
