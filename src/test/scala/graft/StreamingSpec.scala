@@ -1678,4 +1678,113 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(posts.distinct.size == posts.size, "duplicated postings after replay")
   }
+
+  test("crash replay: one crawl stream maintains fp store + BM25 postings + " +
+    "bigram LM in a single foreachBatch — a crash BETWEEN the two index " +
+    "appends replays without double-counting either") {
+    // The triple-store front door: byte-exact dedup gates the survivors, and
+    // the SAME survivor frame feeds both text-index appenders keyed by the
+    // SAME epoch. Crash points: before anything persisted; between the BM25
+    // append and the LM append (the torn-epoch window — BM25's marker is
+    // down, LM's is not); after everything. Final contract: both indexes
+    // equal batch-seeded twins of the accepted set, bit for bit.
+    import graft.operators.{Bm25Store, FingerprintStore, LmStore}
+    def doc(v: String, salt: Int) =
+      (0 until 20).map(i => s"$v${(salt + i) % 13}").mkString(" ")
+    val epochs = Seq(
+      Seq((1L, doc("alpha", 0)), (2L, doc("alpha", 0))),   // 2 = dup of 1
+      Seq((3L, doc("beta", 5)), (4L, doc("alpha", 0))),    // 4 = re-crawl dup
+      Seq((5L, doc("gamma", 2)), (6L, doc("beta", 9))))
+    val base = Seq((100L, doc("alpha", 7)), (101L, doc("beta", 11)))
+    val qs = Seq(1L -> "alpha3 beta5", 2L -> "gamma2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    def runScenario(tag: String, crashPlan: Set[String]):
+        (String, String, Set[Long]) = {
+      val inDir = java.nio.file.Files.createTempDirectory(s"tx_in_$tag").toFile
+      epochs.zipWithIndex.foreach { case (rows, i) =>
+        val f = new java.io.File(inDir, f"b$i%02d.json")
+        val js = rows.map { case (id, t) =>
+          s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n")
+        java.nio.file.Files.write(f.toPath, js.getBytes("UTF-8"))
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"tx_ck_$tag").toString
+      val fpDir = java.nio.file.Files.createTempDirectory(s"tx_fp_$tag").toString
+      val bmDir = java.nio.file.Files.createTempDirectory(s"tx_bm_$tag").toString
+      val lmDir = java.nio.file.Files.createTempDirectory(s"tx_lm_$tag").toString
+      Bm25Store.seed(base.toDF("doc_id", "text"), "doc_id", "text", bmDir)
+      LmStore.seed(base.toDF("doc_id", "text"), "doc_id", "text", lmDir)
+      val crashed = scala.collection.mutable.Set[String]()
+      def crashPoint(p: String): Unit =
+        if (crashPlan.contains(p) && crashed.add(p))
+          throw new RuntimeException(s"injected crash at $p")
+      val accepted = scala.collection.mutable.Set[Long]()
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 8) {
+        attempts += 1
+        // fresh sinks per restart: every store's heal sweep runs, exactly
+        // like a recovered driver
+        val curEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val bmApp = Bm25Store.appender(spark, bmDir, "doc_id", "text",
+          autoCompactEvery = 0)
+        val lmApp = LmStore.appender(spark, lmDir, "doc_id", "text",
+          autoCompactEvery = 0)
+        val fpSink = FingerprintStore.dedupSink(spark, fpDir, "doc_id",
+          "text", streamTag = "tx") { df =>
+          accepted ++= df.select("doc_id").collect().map(_.getLong(0))
+          bmApp(df, curEpoch.get())
+          crashPoint(s"between-indexes-${curEpoch.get()}")
+          lmApp(df, curEpoch.get())
+        }
+        val query = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .json(inDir.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, e: Long) =>
+            crashPoint(s"entry-$e")
+            curEpoch.set(e)
+            fpSink(df, e)
+            crashPoint(s"after-all-$e")
+          }
+          .start()
+        try { query.processAllAvailable(); done = true }
+        catch { case _: Throwable => () }
+        finally { try query.stop() catch { case _: Throwable => () } }
+      }
+      assert(done, s"$tag: stream never completed after $attempts attempts")
+      (bmDir, lmDir, accepted.toSet)
+    }
+
+    val (bmC, lmC, accC) = runScenario("crash", Set(
+      "entry-0",             // nothing persisted: epoch recomputes whole
+      "between-indexes-1",   // bm25 marker down, lm not: the torn epoch
+      "after-all-2"))        // everything committed: replay is a no-op
+    val (bmN, lmN, accN) = runScenario("clean", Set.empty)
+    assert(accC == accN, s"$accC vs $accN")
+    assert(accN == Set(1L, 3L, 5L, 6L), accN.toString) // dups 2,4 dropped
+    // both indexes must equal batch-seeded twins of base + accepted docs
+    val all = (base ++ epochs.flatten.filter(d => accN(d._1)))
+      .toDF("doc_id", "text")
+    val bmB = java.nio.file.Files.createTempDirectory("tx_bmb").toString
+    val lmB = java.nio.file.Files.createTempDirectory("tx_lmb").toString
+    Bm25Store.seed(all, "doc_id", "text", bmB)
+    LmStore.seed(all, "doc_id", "text", lmB)
+    def bmRows(d: String) = Bm25Store.probeStored(spark, d, qs, k = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    def lmRows(d: String) = LmStore.scoreStored(spark, d, all,
+        "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bmRows(bmC) == bmRows(bmB), "bm25: crashed run != batch twin")
+    assert(bmRows(bmN) == bmRows(bmB))
+    assert(lmRows(lmC) == lmRows(lmB), "lm: crashed run != batch twin")
+    assert(lmRows(lmN) == lmRows(lmB))
+  }
 }
