@@ -55,4 +55,32 @@ object Sample {
       .select(strataCols.map(col) ++
         Seq(col("cid").as(idCol), col("rk").cast("long").as("smp_rank")): _*)
   }
+
+  /** Weighted order sampling (Ohlsson's sequential Poisson sampling): keep
+    * the `n` docs per stratum with the SMALLEST u/w, where u = seeded draw +1
+    * and w ≥ 1 is the doc's weight — inclusion probability approaches the
+    * size-proportional n·w/Σw without any global pass over the weights, so
+    * big documents are favored exactly as a token-budgeted corpus sample
+    * wants. One hash + one division per row, then the same bounded [[TopK]]
+    * combine as [[stratifiedTopN]] — no corpus-wide window, no Σw broadcast,
+    * resample-stable under any cluster size.
+    *
+    * Float discipline: u = draw+1 ≤ 2^52 is exact in a double, w is an
+    * integer cast, and u/w is ONE correctly-rounded IEEE division — so the
+    * key, and hence the ranking, replays bit-identically in any engine
+    * (the DuckDB twin re-derives it from the staged-xxhash64 draw).
+    * Output: strataCols..., idCol, smp_rank (1-based). */
+  def weightedOrderSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                          weight: Column, n: Int, seed: Long = 0L): DataFrame = {
+    val strata = strataKey(strataCols)
+    val u = drawCol(col(idCol), seed).cast("double") + lit(1.0)
+    val key = -(u / greatest(weight, lit(1L)).cast("double"))
+    val scored = df.select(strata.as("qid"), col(idCol).cast("long").as("cid"),
+      key.as("cos"))
+    val top = TopK.topKPerQuery(scored, n)
+    val dims = df.select(strata.as("qid") +: strataCols.map(col): _*).distinct()
+    top.join(broadcast(dims), Seq("qid"))
+      .select(strataCols.map(col) ++
+        Seq(col("cid").as(idCol), col("rk").cast("long").as("smp_rank")): _*)
+  }
 }

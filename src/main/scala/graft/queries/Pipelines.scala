@@ -1484,6 +1484,97 @@ object Pipelines {
        |FROM r WHERE smp_rank <= 5 ORDER BY lang, source, smp_rank""".stripMargin
   }
 
+  /** Size-weighted corpus sample: 20 docs per source by sequential Poisson
+    * sampling ([[graft.operators.Sample.weightedOrderSample]]) with w =
+    * n_chars — big documents proportionally favored, as a token-budgeted
+    * sample wants. Same bounded-TopK combine as [[sampleStratified]]; the
+    * ranking key is one exact division of the seeded draw by the weight, so
+    * the πps-style sample replays bit-identically in SQL. [SQL]. */
+  val sampleWeighted: Q = (s, dir) =>
+    graft.operators.Sample.weightedOrderSample(Tables.documents(s, dir),
+        Seq("source"), "doc_id", greatest(col("n_chars"), lit(1L)), n = 20,
+        seed = 11L)
+      .orderBy("source", "smp_rank")
+
+  val sampleWeightedSql: String = {
+    val drawn = drawSelect("documents", "doc_id", Seq("source", "n_chars"), 11L)
+    s"""WITH d AS ($drawn),
+       |k AS (SELECT source, doc_id,
+       |    -(CAST(draw + 1 AS DOUBLE) /
+       |      CAST(greatest(n_chars, 1) AS DOUBLE)) AS wkey
+       |  FROM d),
+       |r AS (SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY wkey DESC, doc_id) AS smp_rank
+       |  FROM k)
+       |SELECT source, doc_id, CAST(smp_rank AS BIGINT) AS smp_rank
+       |FROM r WHERE smp_rank <= 20 ORDER BY source, smp_rank""".stripMargin
+  }
+
+  /** Corpus diversity report: per-source type-token ratios at the unigram and
+    * bigram level — the repetitiveness screen a corpus card reports (a
+    * template-heavy or boilerplate-dominated source shows a collapsed TTR
+    * long before eyeballing finds it). One tokenize pass is localCheckpointed
+    * and feeds the totals plus both distinct counts.
+    *
+    * Scale: totals are map-side-combinable; the distinct counts shuffle
+    * (source, token) pairs AFTER per-partition dedup inside the hash
+    * aggregate. At 100 TB swap `countDistinct` for `approx_count_distinct`
+    * (HLL, one pass, no exact shuffle) — kept exact here for the oracle;
+    * the sketch path is already proven by `sketch_distinct`. [SQL]. */
+  val corpusDiversity: Q = (s, dir) => {
+    val base = Tables.documents(s, dir).select(col("source"),
+      TextFns.words(TextFns.cleanText(col("text"), removePunctuation = true))
+        .as("toks"))
+    val withBi = base.select(col("source"), col("toks"),
+      TextFns.shinglesFromTokens(col("toks"), 2).as("bis")).localCheckpoint()
+    val totals = withBi.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("long").as("tot_toks"),
+      sum(size(col("bis"))).cast("long").as("tot_bigrams"))
+    val uToks = withBi.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy("source").agg(countDistinct("tok").as("uniq_toks"))
+    val uBis = withBi.select(col("source"), explode(col("bis")).as("bi"))
+      .groupBy("source").agg(countDistinct("bi").as("uniq_bigrams"))
+    totals.join(uToks, Seq("source"), "left").join(uBis, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        col("tot_toks"), coalesce(col("uniq_toks"), lit(0L)).as("uniq_toks"),
+        round(coalesce(col("uniq_toks"), lit(0L)).cast("double") /
+          col("tot_toks").cast("double"), 6).as("ttr"),
+        col("tot_bigrams"),
+        coalesce(col("uniq_bigrams"), lit(0L)).as("uniq_bigrams"),
+        when(col("tot_bigrams") === 0, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("uniq_bigrams"), lit(0L)).cast("double") /
+            col("tot_bigrams").cast("double"), 6)).as("bigram_ttr"))
+      .orderBy("source")
+  }
+
+  val corpusDiversitySql: String = {
+    val toks = "string_split(" + Duck.clean("text", punct = true) + ", ' ')"
+    s"""WITH base AS (SELECT source, $toks AS toks FROM documents),
+       |wb AS (SELECT source, toks,
+       |    [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS bis
+       |  FROM base),
+       |tot AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(toks)) AS BIGINT) AS tot_toks,
+       |    CAST(sum(len(bis)) AS BIGINT) AS tot_bigrams
+       |  FROM wb GROUP BY source),
+       |ut AS (SELECT source, count(DISTINCT tok) AS uniq_toks
+       |  FROM (SELECT source, unnest(toks) AS tok FROM wb) GROUP BY source),
+       |ub AS (SELECT source, count(DISTINCT bi) AS uniq_bigrams
+       |  FROM (SELECT source, unnest(bis) AS bi FROM wb) GROUP BY source)
+       |SELECT tot.source, n_docs, tot_toks,
+       |  CAST(coalesce(uniq_toks, 0) AS BIGINT) AS uniq_toks,
+       |  round(CAST(coalesce(uniq_toks, 0) AS DOUBLE) /
+       |    CAST(tot_toks AS DOUBLE), 6) AS ttr,
+       |  tot_bigrams, CAST(coalesce(uniq_bigrams, 0) AS BIGINT) AS uniq_bigrams,
+       |  CASE WHEN tot_bigrams = 0 THEN NULL
+       |    ELSE round(CAST(coalesce(uniq_bigrams, 0) AS DOUBLE) /
+       |      CAST(tot_bigrams AS DOUBLE), 6) END AS bigram_ttr
+       |FROM tot LEFT JOIN ut USING (source) LEFT JOIN ub USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** Temperature-weighted mixture SAMPLING — [[mixWeights]] decides the
     * target shares, this draws the actual mix: per-source token shares are
     * flattened with α = 0.7 (the mT5/XLM-R temperature convention — tail
@@ -3065,6 +3156,8 @@ object Pipelines {
     "chunk_windows" -> chunkWindows,
     "chunk_dedup" -> chunkDedup,
     "sample_stratified" -> sampleStratified,
+    "sample_weighted" -> sampleWeighted,
+    "corpus_diversity" -> corpusDiversity,
     "drift_ddm" -> driftDdm)
 
   val oracles: Map[String, String] = Map(
@@ -3134,6 +3227,8 @@ object Pipelines {
     "chunk_windows" -> chunkWindowsSql,
     "chunk_dedup" -> chunkDedupSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_weighted" -> sampleWeightedSql,
+    "corpus_diversity" -> corpusDiversitySql,
     "drift_ddm" -> Duck.ddmRecursive(
       s"SELECT CAST(batch_id AS BIGINT) AS ord, 1.0 - accuracy AS err " +
         s"FROM ${Corpus.accSub} a", "batch_id"))

