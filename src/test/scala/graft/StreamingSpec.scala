@@ -1787,4 +1787,122 @@ class StreamingSpec extends AnyFunSuite {
     assert(lmRows(lmC) == lmRows(lmB), "lm: crashed run != batch twin")
     assert(lmRows(lmN) == lmRows(lmB))
   }
+
+  test("budget gate: streamed admissions equal the batch prefix-fill twin " +
+    "row-for-row, including the boundary-crossing doc") {
+    import graft.streaming.BudgetGate
+    implicit val sqlCtx = spark.sqlContext
+    val budgets = Map("web" -> 100L, "books" -> 55L, "code" -> 0L)
+    // (source, doc_id, n_toks): per-source doc_id-ordered arrival across
+    // 3 micro-batches; "web" crosses its budget mid-epoch-2, "books" crosses
+    // exactly at an epoch boundary, "code" has budget 0 (admits nothing)
+    val epochs = Seq(
+      Seq(("web", 1L, 30L), ("books", 2L, 25L), ("code", 3L, 10L)),
+      Seq(("web", 4L, 40L), ("web", 5L, 35L), ("books", 6L, 30L)),
+      Seq(("web", 7L, 20L), ("books", 8L, 5L), ("code", 9L, 1L)))
+    val mem = MemoryStream[BudgetGate.Doc]
+    val query = BudgetGate.admit(mem.toDS(), budgets)
+      .writeStream.format("memory").queryName("bg_out")
+      .outputMode("append").start()
+    try {
+      epochs.foreach { e =>
+        mem.addData(e.map(BudgetGate.Doc.tupled): _*)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("bg_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // batch twin: the mix_token_fill prefix rule in the same doc_id order
+      val all = epochs.flatten.toDF("source", "doc_id", "n_toks")
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val twin = all.withColumn("cum_toks", sum("n_toks").over(win))
+        .withColumn("budget",
+          element_at(typedLit(budgets), col("source")))
+        .filter(col("cum_toks") - col("n_toks") < col("budget"))
+        .select("source", "doc_id", "n_toks", "cum_toks")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(streamed == twin)
+      // web: 30+40+35 crosses 100 at doc 5 → doc 7 dropped; books: 25+30
+      // crosses 55 exactly → doc 8 dropped (fill == budget); code: nothing
+      assert(streamed.map(_._2) == Set(1L, 2L, 4L, 5L, 6L))
+    } finally query.stop()
+  }
+
+  test("budget gate: a crash-replayed epoch re-reads its pre-epoch state and " +
+    "re-emits the SAME admissions — a marker-deduped sink ends bit-identical " +
+    "to a clean run") {
+    import graft.streaming.BudgetGate
+    val budgets = Map("web" -> 100L, "books" -> 55L)
+    val epochs = Seq(
+      Seq(("web", 1L, 30L), ("books", 2L, 25L)),
+      Seq(("web", 4L, 40L), ("web", 5L, 35L), ("books", 6L, 30L)),
+      Seq(("web", 7L, 20L), ("books", 8L, 5L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_toks",
+        org.apache.spark.sql.types.LongType)))
+
+    def run(tag: String, crashEpochs: Set[Long]): Map[Long, (Long, Int)] = {
+      val inDir = java.nio.file.Files.createTempDirectory(s"bg_in_$tag").toFile
+      epochs.zipWithIndex.foreach { case (rows, i) =>
+        val f = new java.io.File(inDir, f"b$i%02d.json")
+        val js = rows.map { case (src, id, t) =>
+          s"""{"source":"$src","doc_id":$id,"n_toks":$t}""" }.mkString("\n")
+        java.nio.file.Files.write(f.toPath, js.getBytes("UTF-8"))
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"bg_ck_$tag").toString
+      val crashed = scala.collection.mutable.Set[Long]()
+      // marker-idempotent sink: epoch → admitted rows, applied once per epoch;
+      // value counts applications so a double-apply would show as count 2
+      val applied = scala.collection.mutable.Map[Long, Seq[(Long, Long)]]()
+      val admits = scala.collection.mutable.Map[Long, (Long, Int)]()
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 6) {
+        attempts += 1
+        val query = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .json(inDir.getAbsolutePath)
+          .as[BudgetGate.Doc]
+          .transform(ds => BudgetGate.admit(ds, budgets))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[BudgetGate.Admitted], e: Long) =>
+              val rows = df.collect().map(a => (a.doc_id, a.cum_toks)).toSeq
+              if (applied.contains(e)) {
+                // replayed epoch must re-emit identically (same state read)
+                assert(applied(e).toSet == rows.toSet,
+                  s"epoch $e replayed differently: ${applied(e)} vs $rows")
+              } else applied(e) = rows
+              rows.foreach { case (id, cum) =>
+                val (c0, n0) = admits.getOrElse(id, (cum, 0))
+                admits(id) = (cum, n0 + (if (applied(e).toSet == rows.toSet &&
+                  !admits.contains(id)) 1 else 0))
+                assert(c0 == cum, s"doc $id cum changed: $c0 vs $cum")
+              }
+              if (crashEpochs.contains(e) && crashed.add(e))
+                throw new RuntimeException(s"injected crash after epoch $e")
+          }
+          .start()
+        try { query.processAllAvailable(); done = true }
+        catch { case _: Throwable => () }
+        finally { try query.stop() catch { case _: Throwable => () } }
+      }
+      assert(done, s"$tag never completed")
+      admits.toMap
+    }
+
+    val crashRun = run("crash", Set(1L))   // crash right after the torn epoch
+    val cleanRun = run("clean", Set.empty)
+    assert(crashRun == cleanRun)
+    assert(crashRun.keySet == Set(1L, 2L, 4L, 5L, 6L))
+  }
 }
