@@ -1,6 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming per-source token-budget admission gate — the arrival-order twin
@@ -60,5 +63,112 @@ object BudgetGate {
     docs.groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         gateGroup(budgets))
+  }
+
+  // ---- Durable form: the foreachBatch sink with a persisted fill store ----
+  //
+  // The front-door composition (crawl → byte-exact dedup → budget) runs the
+  // dedup as a foreachBatch sink, and a batch frame can't host
+  // flatMapGroupsWithState — so the durable gate keeps its own fill state the
+  // way every store in this engine does: an EPOCH-VERSIONED snapshot table
+  // plus idempotence markers.
+  //
+  //   dir/fill/epoch=E/   (source, filled) AFTER epoch E — one tiny file
+  //   dir/_budget_<tag>_epoch_E  commit marker
+  //
+  // Replay contract: epoch E's admissions are recomputed from the snapshot of
+  // the LATEST COMMITTED epoch < E — never from E's own snapshot — so a
+  // pre- or post-marker replay re-derives byte-identical admissions and
+  // re-invokes `out` with them (downstream sinks are marker-idempotent, the
+  // engine-wide contract). The snapshot write is overwrite-idempotent (the
+  // path is epoch-scoped and its content a pure function of predecessors +
+  // the replayed batch), so no staging dance is needed. Old snapshots are
+  // pruned keep-last-K on each commit (markers stay — they are the
+  // idempotence record); Structured Streaming never replays deeper than the
+  // last uncommitted epoch, so K=4 is generous.
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed epochs = marker files present for `tag`. */
+  private def committedEpochs(spark: SparkSession, dir: String,
+                              tag: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"_budget_${tag}_epoch_") =>
+        n.stripPrefix(s"_budget_${tag}_epoch_").toLong }
+      .toSeq.sorted
+  }
+
+  /** Fill snapshot in force BEFORE `epoch` (empty when none committed). */
+  def fillBefore(spark: SparkSession, dir: String, tag: String,
+                 epoch: Long): DataFrame = {
+    val prior = committedEpochs(spark, dir, tag).filter(_ < epoch)
+    prior.lastOption match {
+      case Some(e) => spark.read.parquet(s"$dir/fill/epoch=$e")
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("filled",
+              org.apache.spark.sql.types.LongType))))
+    }
+  }
+
+  /** Durable budget gate as a foreachBatch sink stage. `out` receives the
+    * admitted rows (original columns + cum_toks) BEFORE the commit marker is
+    * written — the same out-then-marker order as the other store sinks, so a
+    * crash between them replays `out` with identical rows. Budgets are a
+    * sources-sized map; docs missing from it get budget 0. */
+  def budgetSink(spark: SparkSession, dir: String, budgets: Map[String, Long],
+                 sourceCol: String, idCol: String, tokCol: String,
+                 streamTag: String = "stream", keepSnapshots: Int = 4)
+                (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(keepSnapshots >= 2, "replay needs at least the prior snapshot")
+    (batch: DataFrame, epoch: Long) => {
+      val f = fs(spark, dir)
+      val marker = new Path(s"$dir/_budget_${streamTag}_epoch_$epoch")
+      val replay = f.exists(marker)
+      val pre = fillBefore(spark, dir, streamTag, epoch)
+        .withColumnRenamed("source", sourceCol)
+      val win = Window.partitionBy(sourceCol).orderBy(idCol)
+      val budgetOf = element_at(typedLit(budgets), col(sourceCol))
+      val admitted = batch
+        .withColumn("__cum_in_batch", sum(col(tokCol)).over(win))
+        .join(broadcast(pre.withColumnRenamed("filled", "__filled")),
+          Seq(sourceCol), "left")
+        .withColumn("__fill_before",
+          coalesce(col("__filled"), lit(0L)) + col("__cum_in_batch") -
+            col(tokCol))
+        .filter(col("__fill_before") < coalesce(budgetOf, lit(0L)))
+        .withColumn("cum_toks", col("__fill_before") + col(tokCol))
+        .drop("__cum_in_batch", "__filled", "__fill_before")
+        .localCheckpoint()
+      if (!replay) {
+        val adds = admitted.groupBy(col(sourceCol).as("source"))
+          .agg(sum(col(tokCol)).as("added"))
+        val next = pre.withColumnRenamed(sourceCol, "source")
+          .join(adds, Seq("source"), "full_outer")
+          .select(col("source"),
+            (coalesce(col("filled"), lit(0L)) +
+              coalesce(col("added"), lit(0L))).as("filled"))
+        next.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/fill/epoch=$epoch")
+      }
+      out(admitted)
+      if (!replay) {
+        f.create(marker, true).close()
+        // prune: cumulative snapshots make old epochs garbage once outside
+        // any possible replay window; markers stay
+        val committed = committedEpochs(spark, dir, streamTag)
+        committed.dropRight(keepSnapshots).foreach { e =>
+          f.delete(new Path(s"$dir/fill/epoch=$e"), true)
+        }
+      }
+    }
   }
 }

@@ -1905,4 +1905,204 @@ class StreamingSpec extends AnyFunSuite {
     assert(crashRun == cleanRun)
     assert(crashRun.keySet == Set(1L, 2L, 4L, 5L, 6L))
   }
+
+  test("durable budget gate: crash windows replay byte-identical admissions, " +
+    "the fill store matches the streaming twin, and snapshots stay pruned") {
+    import graft.streaming.BudgetGate
+    val budgets = Map("web" -> 100L, "books" -> 55L)
+    val epochs = Seq(
+      Seq(("web", 1L, 30L), ("books", 2L, 25L)),
+      Seq(("web", 4L, 40L), ("web", 5L, 35L), ("books", 6L, 30L)),
+      Seq(("web", 7L, 20L), ("books", 8L, 5L)),
+      Seq(("web", 9L, 1L)),
+      Seq(("books", 10L, 1L)),
+      Seq(("web", 11L, 2L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_toks",
+        org.apache.spark.sql.types.LongType)))
+
+    def run(tag: String, crashEpochs: Set[Long]):
+        (Set[(Long, Long)], String) = {
+      val inDir = java.nio.file.Files.createTempDirectory(s"bs_in_$tag").toFile
+      epochs.zipWithIndex.foreach { case (rows, i) =>
+        val f = new java.io.File(inDir, f"b$i%02d.json")
+        val js = rows.map { case (src, id, t) =>
+          s"""{"source":"$src","doc_id":$id,"n_toks":$t}""" }.mkString("\n")
+        java.nio.file.Files.write(f.toPath, js.getBytes("UTF-8"))
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"bs_ck_$tag").toString
+      val bDir = java.nio.file.Files.createTempDirectory(s"bs_st_$tag").toString
+      val crashed = scala.collection.mutable.Set[Long]()
+      // marker-idempotent downstream: epoch-keyed apply-once
+      val applied = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 10) {
+        attempts += 1
+        val curEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val sink = BudgetGate.budgetSink(spark, bDir, budgets,
+          "source", "doc_id", "n_toks", streamTag = "bs") { adm =>
+          val rows = adm.collect()
+            .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_toks")))
+            .toSet
+          val e = curEpoch.get()
+          if (applied.contains(e))
+            assert(applied(e) == rows,
+              s"epoch $e replayed differently: ${applied(e)} vs $rows")
+          else applied(e) = rows
+          if (crashEpochs.contains(e) && crashed.add(e))
+            throw new RuntimeException(s"crash inside out at epoch $e")
+        }
+        val query = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .json(inDir.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, e: Long) =>
+            curEpoch.set(e)
+            sink(df, e)
+            if (crashEpochs.contains(-e) && crashed.add(-e))
+              throw new RuntimeException(s"crash after commit of epoch $e")
+          }
+          .start()
+        try { query.processAllAvailable(); done = true }
+        catch { case _: Throwable => () }
+        finally { try query.stop() catch { case _: Throwable => () } }
+      }
+      assert(done, s"$tag never completed after $attempts attempts")
+      (applied.values.flatten.toSet, bDir)
+    }
+
+    // crash inside out (pre-marker) at epoch 1, and post-commit at epoch 2
+    val (admC, dirC) = run("crash", Set(1L, -2L))
+    val (admN, dirN) = run("clean", Set.empty)
+    assert(admC == admN)
+    assert(admC.map(_._1) == Set(1L, 2L, 4L, 5L, 6L))
+
+    // fill store equals the streaming flatMapGroupsWithState twin's final fill
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[BudgetGate.Doc]
+    val q = BudgetGate.admit(mem.toDS(), budgets)
+      .writeStream.format("memory").queryName("bs_twin")
+      .outputMode("append").start()
+    try {
+      epochs.foreach { e =>
+        mem.addData(e.map(BudgetGate.Doc.tupled): _*); q.processAllAvailable()
+      }
+      val twinFill = spark.table("bs_twin")
+        .groupBy("source").agg(org.apache.spark.sql.functions.sum("n_toks"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for (d <- Seq(dirC, dirN)) {
+        val last = new java.io.File(s"$d/fill").listFiles()
+          .map(_.getName).filter(_.startsWith("epoch=")).map(_.drop(6).toLong)
+          .max
+        val stored = spark.read.parquet(s"$d/fill/epoch=$last")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(stored == twinFill, s"$d fill $stored vs twin $twinFill")
+        // prune bound: at most keepSnapshots snapshot dirs remain
+        val snaps = new java.io.File(s"$d/fill").listFiles()
+          .count(_.getName.startsWith("epoch="))
+        assert(snaps <= 4, s"$d holds $snaps snapshots")
+      }
+    } finally q.stop()
+  }
+
+  test("front door chain: byte-exact dedup gate feeds the durable budget " +
+    "gate in one foreachBatch — crashes inside and between the two commits " +
+    "replay to the same admitted set, budget never spent on a dup") {
+    import graft.streaming.BudgetGate
+    import graft.operators.FingerprintStore
+    val budgets = Map("web" -> 60L)
+    def txt(v: String) = (0 until 25).map(i => s"$v$i").mkString(" ")
+    // (doc_id, text, n_toks): 2 dups of 1 (same epoch), 4 re-crawls 1 (later
+    // epoch); budget 60 fills mid-epoch-2 (doc 5 crosses, doc 6 rejected)
+    val epochs = Seq(
+      Seq((1L, txt("a"), 30L), (2L, txt("a"), 30L)),
+      Seq((3L, txt("b"), 25L), (4L, txt("a"), 30L)),
+      Seq((5L, txt("c"), 25L), (6L, txt("d"), 5L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_toks",
+        org.apache.spark.sql.types.LongType)))
+
+    def run(tag: String, crashPlan: Set[String]): Set[(Long, Long)] = {
+      val inDir = java.nio.file.Files.createTempDirectory(s"fd_in_$tag").toFile
+      epochs.zipWithIndex.foreach { case (rows, i) =>
+        val f = new java.io.File(inDir, f"b$i%02d.json")
+        val js = rows.map { case (id, t, n) =>
+          s"""{"doc_id":$id,"text":"$t","n_toks":$n}""" }.mkString("\n")
+        java.nio.file.Files.write(f.toPath, js.getBytes("UTF-8"))
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"fd_ck_$tag").toString
+      val fpDir = java.nio.file.Files.createTempDirectory(s"fd_fp_$tag").toString
+      val bDir = java.nio.file.Files.createTempDirectory(s"fd_bs_$tag").toString
+      val crashed = scala.collection.mutable.Set[String]()
+      def crashPoint(pt: String): Unit =
+        if (crashPlan.contains(pt) && crashed.add(pt))
+          throw new RuntimeException(s"injected crash at $pt")
+      val applied = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 10) {
+        attempts += 1
+        val curEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val bSink = BudgetGate.budgetSink(spark, bDir, budgets,
+          "source", "doc_id", "n_toks", streamTag = "fd") { adm =>
+          val e = curEpoch.get()
+          val rows = adm.collect()
+            .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_toks")))
+            .toSet
+          if (applied.contains(e))
+            // a replay after the fp store already persisted this epoch
+            // delivers an EMPTY survivor frame (the fp gate drops the
+            // epoch's own fps) — the engine contract is that downstream
+            // application is marker-idempotent, which this map models
+            assert(rows.isEmpty || rows == applied(e),
+              s"epoch $e replayed differently: ${applied(e)} vs $rows")
+          else applied(e) = rows
+          crashPoint(s"inside-budget-out-$e")
+        }
+        val fpSink = FingerprintStore.dedupSink(spark, fpDir, "doc_id",
+          "text", streamTag = "fd") { survivors =>
+          bSink(survivors.withColumn("source",
+            org.apache.spark.sql.functions.lit("web")), curEpoch.get())
+          crashPoint(s"between-commits-${curEpoch.get()}")
+        }
+        val query = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .json(inDir.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, e: Long) =>
+            curEpoch.set(e)
+            fpSink(df, e)
+            crashPoint(s"after-all-$e")
+          }
+          .start()
+        try { query.processAllAvailable(); done = true }
+        catch { case _: Throwable => () }
+        finally { try query.stop() catch { case _: Throwable => () } }
+      }
+      assert(done, s"$tag never completed after $attempts attempts")
+      applied.values.flatten.toSet
+    }
+
+    val admC = run("crash", Set(
+      "inside-budget-out-0",   // budget snapshot down, no markers
+      "between-commits-1",     // budget committed, fp store torn
+      "after-all-2"))          // everything committed: replay is a no-op
+    val admN = run("clean", Set.empty)
+    assert(admC == admN)
+    // dups 2 and 4 never reached the budget (cum would show it): 30+25+25
+    assert(admC == Set((1L, 30L), (3L, 55L), (5L, 80L)))
+  }
 }
