@@ -390,12 +390,23 @@ object Pack {
     * and cluster sizes — xxhash64 arithmetic, no rand(). [SQL oracle:
     * row_number over the replayed draw]. */
   def shuffleOrder(df: DataFrame, idCol: String, nShards: Int,
-                   seed: Long): DataFrame = {
+                   seed: Long): DataFrame =
+    shuffleOrderWithin(df, idCol, nShards, seed, Seq.empty)
+
+  /** [[shuffleOrder]] with the permutation scoped WITHIN `within` columns —
+    * shards and positions are per-(within, shard), so a phased consumer
+    * (e.g. a curriculum) reads each group's shards as an independent seeded
+    * permutation. Same one-hash-keyed-shuffle shape; the extra columns ride
+    * the window partition key. */
+  def shuffleOrderWithin(df: DataFrame, idCol: String, nShards: Int,
+                         seed: Long, within: Seq[String]): DataFrame = {
     require(nShards > 0)
-    val w = Window.partitionBy("shard").orderBy(col("draw").desc, col(idCol))
-    df.select(col(idCol), Sample.drawCol(col(idCol), seed).as("draw"))
+    val w = Window.partitionBy((within :+ "shard").map(col): _*)
+      .orderBy(col("draw").desc, col(idCol))
+    df.select((within :+ idCol).map(col) :+
+        Sample.drawCol(col(idCol), seed).as("draw"): _*)
       .withColumn("shard", pmod(col("draw"), lit(nShards.toLong)))
-      .select(col(idCol), col("shard"),
-        row_number().over(w).cast("long").as("shard_pos"))
+      .select((within :+ idCol).map(col) ++ Seq(col("shard"),
+        row_number().over(w).cast("long").as("shard_pos")): _*)
   }
 }

@@ -2239,6 +2239,54 @@ object Pipelines {
        |  min(lm_score) AS min_score, max(lm_score) AS max_score
        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
+  /** Curriculum-ordered training export: phase 1 = the most fluent tercile
+    * of each language (the CCNet head), phase 3 = the tail — easy-first
+    * curriculum ordering by the trained bigram-LM score — and within each
+    * phase a seeded shard permutation
+    * ([[graft.operators.Pack.shuffleOrderWithin]]), so a trainer consuming
+    * phases in order and shards round-robin sees fluent text first with a
+    * deterministic shuffle inside every phase. The tercile is the
+    * [[pplBuckets]] integer-division rank cut (phase = 4 − bucket); the
+    * shard draw is the staged-xxhash64 permutation — everything replays as
+    * exact BIGINTs.
+    *
+    * Scale shape: both windows are partitioned (lang for the rank; phase ×
+    * shard for the position) — never global; size nShards to executor
+    * memory exactly as [[graft.operators.Pack.shuffleOrder]]. [SQL]. */
+  val exportCurriculum: Q = (s, dir) => {
+    val scored = lmScored(s, dir)
+    val w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+    val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    val phased = scored.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), Seq("lang"))
+      .withColumn("phase",
+        lit(4L) - expr("1 + CAST(rn - 1 AS BIGINT) * 3 DIV n"))
+      .select("doc_id", "phase")
+    graft.operators.Pack
+      .shuffleOrderWithin(phased, "doc_id", nShards = 8, seed = 19L,
+        within = Seq("phase"))
+      .select(col("doc_id"), col("phase").cast("long").as("phase"),
+        col("shard").cast("long").as("shard"), col("shard_pos"))
+      .orderBy("doc_id")
+  }
+
+  val exportCurriculumSql: String = {
+    val drawn = drawSelect("b", "doc_id", Seq("phase"), 19L)
+    s"""WITH $lmScoreCtes,
+       |r AS (SELECT doc_id, lang, lm_score,
+       |    row_number() OVER (PARTITION BY lang ORDER BY lm_score, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM scored),
+       |b AS (SELECT doc_id, 4 - (1 + ((rn - 1) * 3) // n) AS phase FROM r),
+       |d AS ($drawn),
+       |sh AS (SELECT doc_id, phase, draw, draw % 8 AS shard FROM d)
+       |SELECT doc_id, CAST(phase AS BIGINT) AS phase,
+       |  CAST(shard AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY phase, shard
+       |    ORDER BY draw DESC, doc_id) AS BIGINT) AS shard_pos
+       |FROM sh ORDER BY doc_id""".stripMargin
+  }
+
   // ---- Learned BPE tokenizer ------------------------------------------------
 
   private val bpeMemo = new graft.SessionMemo[graft.functions.Bpe.Model]()
@@ -3109,6 +3157,7 @@ object Pipelines {
     "lm_fluency_stored" -> lmFluencyStored,
     "lm_fluency_appended" -> lmFluencyAppended,
     "quality_ppl_buckets" -> pplBuckets,
+    "export_curriculum" -> exportCurriculum,
     "text_unigram_score" -> textUnigramScore,
     "dsir_select" -> dsirSelect,
     "gate_admission" -> gateAdmission,
@@ -3180,6 +3229,7 @@ object Pipelines {
     "lm_fluency_stored" -> lmFluencySql,
     "lm_fluency_appended" -> lmFluencySql,
     "quality_ppl_buckets" -> pplBucketsSql,
+    "export_curriculum" -> exportCurriculumSql,
     "text_unigram_score" -> textUnigramScoreSql,
     "dsir_select" -> dsirSelectSql,
     "gate_admission" -> gateAdmissionSql,

@@ -274,4 +274,24 @@ class PackSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 200,
       "crash-healed compact must restore the aside shard")
   }
+
+  test("shuffleOrderWithin scopes the permutation per group: dense positions " +
+    "inside each (group, shard), and the ungrouped form is the empty-within case") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, i % 3)).toDF("doc_id", "grp")
+    val out = Pack.shuffleOrderWithin(df, "doc_id", nShards = 4, seed = 7L,
+      within = Seq("grp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).distinct.length == 300)
+    out.groupBy(t => (t._1, t._3)).foreach { case ((g, sh), rows) =>
+      val pos = rows.map(_._4).sorted.toSeq
+      assert(pos == (1L to rows.length.toLong),
+        s"group $g shard $sh positions not dense: $pos")
+    }
+    // same doc, same draw → same shard regardless of grouping; and the
+    // plain shuffleOrder is exactly within=Nil
+    val plain = Pack.shuffleOrder(df.select("doc_id"), "doc_id", 4, 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (_, id, sh, _) => assert(plain(id) == sh) }
+  }
 }
