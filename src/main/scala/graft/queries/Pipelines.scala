@@ -63,6 +63,35 @@ object Pipelines {
         numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Cross-source contamination matrix: the [[dedupMinhashLsh]] verified
+    * near-dup pairs rolled up by UNORDERED source pair — how much of source
+    * A duplicates source B, the provenance-overlap table that decides dedup
+    * precedence (and surfaces a source that is largely a re-scrape of
+    * another) on a corpus card. min/max of the estimated Jaccard ride along
+    * (order-free aggregates — never an avg of floats, whose summation order
+    * isn't engine-portable).
+    *
+    * Scale: the source lookup is an id-keyed join of the (id, source) dim
+    * against the PAIRS frame (pairs ≪ corpus after banding); deliberately
+    * NOT broadcast — the dim is corpus-sized at 100 TB. The rollup output is
+    * |sources|² at most. [SQL — the LSH spine spliced as a subquery]. */
+  val dedupCrossSourceMatrix: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
+    val dims = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(dims.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+        Seq("id_a"))
+      .join(dims.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+        Seq("id_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min("est_jaccard").as("min_est"), max("est_jaccard").as("max_est"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   /** SimHash near-dup pairs within hamming distance 3 (rows-only). */
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
@@ -676,6 +705,19 @@ object Pipelines {
        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** [[dedupCrossSourceMatrix]] twin: the whole LSH spine as a subquery,
+    * source lookup by id join, unordered-pair rollup with order-free
+    * min/max. */
+  val dedupCrossSourceMatrixSql: String =
+    s"""SELECT least(a.source, b.source) AS source_lo,
+       |  greatest(a.source, b.source) AS source_hi,
+       |  count(*) AS n_pairs,
+       |  min(p.est_jaccard) AS min_est, max(p.est_jaccard) AS max_est
+       |FROM ($dedupMinhashLshSql) p
+       |JOIN documents a ON a.doc_id = p.id_a
+       |JOIN documents b ON b.doc_id = p.id_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Cross-snapshot near-dup delta ([[Dedup.minHashDelta]]): yesterday's
     * snapshot = docs with doc_id % 4 != 0, today's crawl = the rest PLUS ten
@@ -3173,6 +3215,7 @@ object Pipelines {
     "dedup_exact" -> dedupExact,
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_cross_source_matrix" -> dedupCrossSourceMatrix,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_capped" -> dedupSimhashCapped,
     "dedup_delta_minhash" -> dedupDeltaMinhash,
@@ -3253,6 +3296,7 @@ object Pipelines {
     "dedup_simhash_capped" -> dedupSimhashCappedSql,
     "dedup_delta_minhash" -> dedupDeltaMinhashSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_cross_source_matrix" -> dedupCrossSourceMatrixSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_brute_topk" -> simBruteSql,
