@@ -103,4 +103,115 @@ object ImageCodec {
         col("n_samples").as("n_pixels"),
         round(col("sample_mean"), 6).as("gray_mean"),
         col("sample_max").cast("int").as("gray_max"))
+
+  // ---- Perceptual dedup (dHash) --------------------------------------------
+
+  /** Planted-near-dup offset (the [[graft.queries.Pipelines]] planted-corpus
+    * convention) and plant cadence: every 4th base image gets a re-encoded
+    * copy with ONE pixel perturbed — the "same image, re-processed" shape a
+    * perceptual dedup must catch and a byte hash cannot. */
+  val NearDupOffset = 10000000L
+
+  /** Like [[synthesizeImages]], plus for every source doc with
+    * `doc_id % plantEvery == 0` a second PNG under `doc_id + NearDupOffset`:
+    * identical pixels except index 0 becomes `(gray+1) mod 256`. Both the
+    * original render and the perturbation are closed-form — the oracle
+    * replays them. */
+  def synthesizeImagesNearDups(docs: DataFrame, plantEvery: Long = 4L): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val w = widthOf(id); val h = heightOf(id)
+        def render(perturb: Boolean): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = y.toLong * w + x
+              val v0 = gray(id, i)
+              val v = if (perturb && i == 0L) (v0 + 1) % 256 else v0
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val base = Row(id, id, "image", render(perturb = false), Row(w, h, 0, 0, "png"))
+        if (id % plantEvery == 0L)
+          Seq(base, Row(id + NearDupOffset, id + NearDupOffset, "image",
+            render(perturb = true), Row(w, h, 0, 0, "png")))
+        else Seq(base)
+      }
+    }
+    spark.createDataFrame(rdd, Media.mediaSchema)
+  }
+
+  /** dHash of a decoded grayscale image: pixels pool into an 8-row × 9-col
+    * grid by the multiplicative bucket map (`ci = y·8 div h`,
+    * `cj = x·9 div w`), cell value = integer-division mean, and bit
+    * `ci·8 + cj` is set iff `cell(ci, cj+1) > cell(ci, cj)` — 64 bits of
+    * horizontal gradient signs, the standard difference-hash. All integer
+    * arithmetic, so the hash replays exactly in SQL from the closed-form
+    * pixel source. */
+  def dHash(gray: Array[Int], w: Int, h: Int): Long = {
+    val sum = Array.ofDim[Long](8, 9)
+    val cnt = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val ci = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cj = x * 9 / w
+        sum(ci)(cj) += gray(y * w + x)
+        cnt(ci)(cj) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var ci = 0
+    while (ci < 8) {
+      var cj = 0
+      while (cj < 8) {
+        val a = sum(ci)(cj) / cnt(ci)(cj)
+        val b = sum(ci)(cj + 1) / cnt(ci)(cj + 1)
+        if (b > a) bits |= 1L << (ci * 8 + cj)
+        cj += 1
+      }
+      ci += 1
+    }
+    bits
+  }
+
+  /** Per-image perceptual signature via the REAL codec: decode the PNG
+    * bytes with ImageIO inside one mapPartitions (payloads never shuffle)
+    * and emit (id, simhash) rows shaped for
+    * [[graft.operators.Dedup.hammingPairsFromSigs]]. */
+  def dHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val w = img.getWidth; val h = img.getHeight
+        val g = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { g(y * w + x) = img.getRGB(x, y) & 0xFF; x += 1 }
+          y += 1
+        }
+        Row(id, dHash(g, w, h))
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("simhash", LongType, nullable = false))))
+  }
 }

@@ -257,6 +257,15 @@ object Dedup {
     // — sf10 wall flat within noise — but at 100 TB a second full tokenize
     // scan is real cost; the checkpoint rows are 16 bytes/doc.)
     val sigs = simHash(docs, idCol, textCol).localCheckpoint()
+    hammingPairsFromSigs(sigs, maxHamming, maxBlockDf)
+  }
+
+  /** Hamming-≤-k pairs from ANY 64-bit signature frame (`id`, `simhash`) via
+    * the 4×16-bit block bucket join — the candidate generator shared by text
+    * SimHash and the perceptual image dHash. By pigeonhole, hamming ≤ 3
+    * pairs share at least one exact block; never an all-pairs compare. */
+  def hammingPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+                           maxBlockDf: Int = Int.MaxValue): DataFrame = {
     val blocks0 = sigs.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(blk =>
           shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*))

@@ -96,12 +96,36 @@ object MultimodalQueries {
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 0))
       .orderBy("media_id")
 
+  /** Perceptual image dedup: every document in the 1-in-5 image subset
+    * renders a REAL PNG (every 4th of those also a planted near-dup copy —
+    * one pixel perturbed, id + 10^7, the re-processed-image shape a byte
+    * hash cannot catch), ImageIO decodes the bytes back, and the 64-bit
+    * dHash ([[graft.multimodal.ImageCodec.dHash]] — 8×9 integer-mean grid,
+    * horizontal gradient signs) feeds the SAME 4×16-bit-block hamming
+    * candidate generator as text SimHash
+    * ([[graft.operators.Dedup.hammingPairsFromSigs]]). Every planted pair
+    * must surface at hamming ≤ 1 (one perturbed pixel touches one grid cell
+    * = at most one sign bit). The DuckDB twin replays encode → decode →
+    * pool → hash → block join from the closed-form pixel source in pure
+    * integer arithmetic. */
+  val mmPhashDedup: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val sigs = graft.multimodal.ImageCodec.dHashes(
+      graft.multimodal.ImageCodec.synthesizeImagesNearDups(base,
+        plantEvery = 20L))
+    graft.operators.Dedup.hammingPairsFromSigs(sigs, maxHamming = 2)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_video_real" -> mmVideoReal,
     "mm_audio_real" -> mmAudioReal,
     "mm_decode_real" -> mmDecodeReal,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_feature_ann" -> mmFeatureAnn,
+    "mm_phash_dedup" -> mmPhashDedup,
     "mm_resize_frames" -> mmResizeFrames)
 
   /** The synthetic media table (Media.synthesize) as SQL — metadata is pure
@@ -294,11 +318,65 @@ object MultimodalQueries {
       |  CAST(max(v) AS INT) AS gray_max
       |FROM g GROUP BY doc_id, nf, w, h ORDER BY media_id""".stripMargin
 
+  /** DuckDB twin of [[mmPhashDedup]]: the full perceptual chain replayed
+    * from the closed-form pixel source — planted perturbation, 8×9
+    * integer-mean pooling (the multiplicative bucket map), gradient-sign
+    * bits packed into a HUGEINT then two's-complemented to the signed
+    * BIGINT Spark carries, the 4-block candidate join, and the
+    * bit_count(xor) verify. Everything integer. */
+  val mmPhashDedupSql: String = {
+    val signed = graft.queries.Duck.toSigned("dhu")
+    """WITH geom AS (SELECT doc_id,
+      |    CAST(doc_id % 4 AS INT) * 8 + 16 AS w,
+      |    CAST(doc_id % 3 AS INT) * 8 + 16 AS h
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |imgs AS (
+      |  SELECT doc_id AS img_id, doc_id, w, h, 0 AS perturb FROM geom
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS img_id, doc_id, w, h, 1 AS perturb
+      |  FROM geom WHERE doc_id % 20 = 0),
+      |px AS (SELECT img_id, doc_id, w, h, perturb,
+      |    unnest(range(0, w * h)) AS i FROM imgs),
+      |g AS (SELECT img_id, w, h, i,
+      |    CASE WHEN perturb = 1 AND i = 0
+      |      THEN (((((doc_id % 100000) * 1103515245 + i * 12345 + 6789)
+      |        % 2147483648) % 256) + 1) % 256
+      |      ELSE ((((doc_id % 100000) * 1103515245 + i * 12345 + 6789)
+      |        % 2147483648) % 256) END AS v
+      |  FROM px),
+      |cells AS (SELECT img_id,
+      |    (i // w) * 8 // h AS ci, (i % w) * 9 // w AS cj,
+      |    sum(v) // count(*) AS cv
+      |  FROM g GROUP BY img_id, ci, cj),
+      |bits AS (SELECT a.img_id, a.ci, a.cj,
+      |    CASE WHEN b.cv > a.cv THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON b.img_id = a.img_id AND b.ci = a.ci AND b.cj = a.cj + 1
+      |  WHERE a.cj < 8),
+      |dh AS (SELECT img_id, sum(CAST(bit AS HUGEINT) *
+      |    (CAST(1 AS HUGEINT) << CAST(ci * 8 + cj AS INT))) AS dhu
+      |  FROM bits GROUP BY img_id),
+      |""".stripMargin +
+    s"""sig AS (SELECT img_id AS id, dhu, $signed AS simhash FROM dh),
+       |blocks AS (SELECT id, simhash, blk,
+       |    CAST((dhu >> CAST(blk * 16 AS INT)) & 65535 AS BIGINT) AS blk_val
+       |  FROM sig, unnest([0, 1, 2, 3]) AS t(blk)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    a.simhash AS sig_a, b.simhash AS sig_b
+       |  FROM blocks a JOIN blocks b
+       |    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.id < b.id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "mm_video_real" -> mmVideoRealSql,
     "mm_audio_real" -> mmAudioRealSql,
     "mm_decode_real" -> mmDecodeRealSql,
     "mm_decode_stats" -> mmDecodeStatsSql,
     "mm_feature_ann" -> mmFeatureAnnSql,
+    "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_resize_frames" -> mmResizeFramesSql)
 }

@@ -142,4 +142,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.nonEmpty)
     f.foreach { r => assert(r.getLong(1) <= 3 && r.getInt(2) % 1000 == 0) }
   }
+
+  test("perceptual dHash: planted one-pixel near-dups collide at hamming <= 1 " +
+    "through the REAL png encode/decode round trip; dhash matches the " +
+    "closed-form twin computed straight from the pixel formula") {
+    import graft.multimodal.ImageCodec
+    val base = (0L until 40L).map(i => (i * 5L, "d")).toDF("doc_id", "text")
+    val media = ImageCodec.synthesizeImagesNearDups(base, plantEvery = 20L)
+    // real decode path → signature frame
+    val sigs = ImageCodec.dHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.size == 40 + 10) // 40 base + every-4th planted
+    // closed-form twin: dHash from the formula pixels, no codec involved
+    base.collect().map(_.getLong(0)).foreach { id =>
+      val w = ImageCodec.widthOf(id); val h = ImageCodec.heightOf(id)
+      val g = Array.tabulate(w * h)(i => ImageCodec.gray(id, i.toLong))
+      assert(sigs(id) == ImageCodec.dHash(g, w, h),
+        s"doc $id: codec-path dhash != formula dhash")
+    }
+    // every planted copy within hamming 1 of its source
+    sigs.keys.filter(_ >= ImageCodec.NearDupOffset).foreach { pid =>
+      val src = pid - ImageCodec.NearDupOffset
+      val d = java.lang.Long.bitCount(sigs(pid) ^ sigs(src))
+      assert(d <= 1, s"planted $pid vs $src hamming $d")
+    }
+    // and the pair generator surfaces them all
+    val sigDf = ImageCodec.dHashes(media)
+    val pairs = graft.operators.Dedup.hammingPairsFromSigs(sigDf, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sigs.keys.filter(_ >= ImageCodec.NearDupOffset).foreach { pid =>
+      assert(pairs.contains((pid - ImageCodec.NearDupOffset, pid)),
+        s"planted pair for $pid missing from hammingPairsFromSigs")
+    }
+  }
 }

@@ -539,4 +539,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
     assert(p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("sample_weighted: ranking is the bounded TopK aggregate — NO window " +
+    "over the corpus; the strata dim broadcasts back") {
+    val p = plan(Pipelines.queries("sample_weighted")(spark, sf))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus_diversity: one tokenize pass feeds totals and both distincts; " +
+    "source-keyed joins only, no cross product") {
+    val p = plan(Pipelines.queries("corpus_diversity")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // distinct counts are two-phase (partial_count(distinct ...) exchanges)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+  }
+
+  test("export_curriculum: both windows stay partitioned (lang rank, " +
+    "phase x shard position) — never a global window") {
+    val p = plan(Pipelines.queries("export_curriculum")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(") &&
+        !(l.contains("windowspecdefinition(lang#") ||
+          l.contains("windowspecdefinition(phase#"))), p)
+  }
+
+  test("dedup_cross_source_matrix: source lookups are id-keyed shuffle joins " +
+    "on the banded pairs frame — the corpus dim is NOT broadcast, and the " +
+    "pair generation inherits the banded bucket join (no cross product)") {
+    val p = plan(Pipelines.queries("dedup_cross_source_matrix")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
