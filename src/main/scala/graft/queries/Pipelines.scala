@@ -2343,12 +2343,11 @@ object Pipelines {
     * decode∘encode identity, and the merge-budget bound ride as booleans
     * pinned TRUE. Exact merge-sequence learnability is pinned in BpeSpec
     * (hand-computed merges, deterministic tie-breaks). [SQL] */
-  val bpeTokenize: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val model = bpeMemo.getOrBuild(s, s"bpe|$dir|50|2") {
-      graft.functions.Bpe.train(docs, "text", numMerges = 50, minCount = 2,
-        maxWords = 200000)
-    }
+  /** The shared [[bpeTokenize]] verdict tail over an already-obtained model
+    * — the in-memory and stored paths must produce identical frames, so the
+    * SAME DuckDB twin oracles both. */
+  private def bpeVerdicts(s: SparkSession, docs: DataFrame,
+                          model: graft.functions.Bpe.Model): DataFrame = {
     val bm = s.sparkContext.broadcast(model)
     val toks = docs.select(col("source"),
         explode(TextFns.normTokens(TextFns.cleanText(col("text"),
@@ -2364,6 +2363,28 @@ object Pipelines {
         (min(when(col("rt"), 1).otherwise(0)) === 1).as("roundtrip_exact"))
       .withColumn("merge_budget_held", lit(model.merges.length <= 50))
       .orderBy("source")
+  }
+
+  val bpeTokenize: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = bpeMemo.getOrBuild(s, s"bpe|$dir|50|2") {
+      graft.functions.Bpe.train(docs, "text", numMerges = 50, minCount = 2,
+        maxWords = 200000)
+    }
+    bpeVerdicts(s, docs, model)
+  }
+
+  /** [[bpeTokenize]] through the PERSISTED tokenizer
+    * ([[graft.operators.BpeStore]]): train-once-publish, then the model is
+    * LOADED FROM DISK (params checked loudly) and must reproduce the
+    * in-memory path bit-for-bit — same verdict frame, same DuckDB twin. The
+    * production shape: one versioned tokenizer artifact, every downstream
+    * job loads it instead of retraining. [SQL] */
+  val bpeTokenizeStored: Q = (s, dir) => {
+    val sd = graft.operators.BpeStore.storeDir(s, s"$dir/documents.parquet",
+      "text", numMerges = 50, minCount = 2L, maxWords = 200000)
+    val model = graft.operators.BpeStore.load(s, sd, 50, 2L)
+    bpeVerdicts(s, Tables.documents(s, dir), model)
   }
 
   /** DuckDB twin of [[bpeTokenize]]: the clean/normTokens chain replayed
@@ -3195,6 +3216,7 @@ object Pipelines {
     "text_bm25_stored" -> bm25Stored,
     "text_bm25_appended" -> bm25Appended,
     "bpe_tokenize" -> bpeTokenize,
+    "bpe_tokenize_stored" -> bpeTokenizeStored,
     "lm_fluency" -> lmFluency,
     "lm_fluency_stored" -> lmFluencyStored,
     "lm_fluency_appended" -> lmFluencyAppended,
@@ -3268,6 +3290,7 @@ object Pipelines {
     "text_bm25_stored" -> bm25TopKSql,
     "text_bm25_appended" -> bm25TopKSql,
     "bpe_tokenize" -> bpeTokenizeSql,
+    "bpe_tokenize_stored" -> bpeTokenizeSql,
     "lm_fluency" -> lmFluencySql,
     "lm_fluency_stored" -> lmFluencySql,
     "lm_fluency_appended" -> lmFluencySql,

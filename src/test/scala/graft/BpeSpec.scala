@@ -71,4 +71,34 @@ class BpeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("BpeStore: save/load round-trips the exact merge table; markerless " +
+    "and params-mismatched stores refuse loudly; a torn save heals on retry") {
+    import graft.operators.BpeStore
+    val docs = Seq((1L, "low lower lowest low low"), (2L, "new newer newest"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 12, minCount = 1)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_store").toString
+    BpeStore.save(spark, model, dir, numMerges = 12, minCount = 1L)
+    val loaded = BpeStore.load(spark, dir, 12, 1L)
+    assert(loaded.merges.toSeq == model.merges.toSeq)
+    // encode parity through the loaded model
+    assert(loaded.encodeWord("lowest") == model.encodeWord("lowest"))
+    // params mismatch is loud
+    val e1 = intercept[IllegalArgumentException] {
+      BpeStore.load(spark, dir, 13, 1L)
+    }
+    assert(e1.getMessage.contains("params mismatch"))
+    // markerless dir is loud
+    val torn = java.nio.file.Files.createTempDirectory("bpe_torn").toString
+    new java.io.File(torn, ".staging_merges").mkdirs() // a torn save remnant
+    val e2 = intercept[IllegalArgumentException] {
+      BpeStore.load(spark, torn, 12, 1L)
+    }
+    assert(e2.getMessage.contains("no publish marker"))
+    // a re-save over the torn dir heals the remnant and publishes
+    BpeStore.save(spark, model, torn, 12, 1L)
+    assert(BpeStore.load(spark, torn, 12, 1L).merges.toSeq == model.merges.toSeq)
+    assert(!new java.io.File(torn, ".staging_merges").exists())
+  }
 }
