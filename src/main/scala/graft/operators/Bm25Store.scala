@@ -154,11 +154,18 @@ object Bm25Store {
     // literal term count the caller typed)
     val wbs = qterms.select(bucketCol(col("word")).as("wb")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    // the term list itself is bounded by the literal query text, so it also
+    // rides as an IN predicate INTO the scans — parquet dictionary/row-group
+    // stats prune within the touched buckets (compact() sorts by word), so
+    // probe cost tracks the terms' postings, not the buckets' total rows
+    val qwords = qterms.select("word").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val scanFilter = col("wb").isin(wbs: _*) && col("word").isin(qwords: _*)
     val post = spark.read.parquet(s"$dir/postings")
-      .filter(col("wb").isin(wbs: _*))
+      .filter(scanFilter)
       .join(broadcast(qterms), Seq("word"))
     val dfreq = spark.read.parquet(s"$dir/df")
-      .filter(col("wb").isin(wbs: _*))
+      .filter(scanFilter)
       .join(broadcast(qterms.select("word").distinct()), Seq("word"))
       .groupBy("word").agg(sum("df").as("df"))
     val matched = post.join(broadcast(dfreq), Seq("word"))
@@ -303,7 +310,8 @@ object Bm25Store {
       val tmp = new Path(s"$dir/.postings_compact.tmp")
       fs.delete(tmp, true)
       spark.read.parquet(s"$dir/postings").repartition(col("wb"))
-        .write.partitionBy("wb").parquet(tmp.toString)
+        .sortWithinPartitions("word")  // word-sorted row groups: the probe's
+        .write.partitionBy("wb").parquet(tmp.toString)  // IN pushdown prunes
       swapIn(fs, dir, "postings", tmp)
     }
     if (fs.exists(new Path(s"$dir/df"))) {
@@ -312,6 +320,7 @@ object Bm25Store {
       spark.read.parquet(s"$dir/df")
         .groupBy("wb", "word").agg(sum("df").as("df"))
         .repartition(col("wb"))
+        .sortWithinPartitions("word")
         .write.partitionBy("wb").parquet(tmp.toString)
       swapIn(fs, dir, "df", tmp)
     }

@@ -19,11 +19,15 @@ import graft.functions.TextFns
   *    their own rows, probes/compaction sum per (prev, cur) — bigram
   *    counts are additive over disjoint doc sets.
   *  - `prefix/wb=K/` — (prev, cp) partials, same bucketing and additivity.
-  *  - `vocab/wb=K/` — (word) rows, distinct WITHIN each epoch; the
-  *    smoothing denominator V is a count-DISTINCT at probe time (dup rows
-  *    across epochs merge there; [[compact]] folds them away). V is the
-  *    one model scalar that is not additive — vocabularies overlap — so it
-  *    rides as a mergeable table, never a ledger.
+  *  - `vocab/wb=K/` — (word) rows, GLOBALLY distinct: the seed writes the
+  *    corpus-distinct vocab and each appended epoch anti-joins its words
+  *    against the store (reading only the epoch's own buckets) before
+  *    staging, so the smoothing denominator V is a metadata-only count(*)
+  *    at probe time — never a store-sized count-DISTINCT. (V is the one
+  *    model scalar that is not additive — vocabularies overlap — so it
+  *    rides as a table whose INSERTS are made disjoint, not a ledger;
+  *    lm2_v1 stores paid a full vocab scan per probe, measured 2.5× for a
+  *    10× store in BENCH_probe.json before the v2 layout flattened it.)
   *  - `_params` — layout/tokenizer contract token, checked loudly.
   *
   * Probe shape: the batch's bigrams name their prev-hash buckets up front
@@ -43,7 +47,12 @@ object LmStore {
   /** prev-hash partition fan-out; part of the `_params` layout contract. */
   val Buckets = 64
 
-  private val ParamsToken = s"lm2_v1,clean_punct_ws,$Buckets"
+  /** Largest probe prev-vocabulary pushed into the count scans as an IN
+    * predicate (small-probe regime); larger batches fall back to the
+    * bucket filter alone. */
+  val PrevPushdownCap = 1024
+
+  private val ParamsToken = s"lm2_v2,clean_punct_ws,$Buckets"
 
   private def bucketCol(w: Column): Column =
     pmod(xxhash64(w), lit(Buckets.toLong))
@@ -146,14 +155,30 @@ object LmStore {
       .collect().map(_.getLong(0)).toSeq
     // a transition-less batch names no buckets: read nothing, not IN ()
     val wbFilter = if (wbs.isEmpty) lit(false) else col("wb").isin(wbs: _*)
+    // SMALL-probe regime: when the batch's prev-vocabulary is bounded, push
+    // it into the scans as an IN predicate — parquet dictionary/row-group
+    // stats then prune WITHIN the touched buckets (compact() sorts rows by
+    // prev for exactly this), making the probe O(probe vocab) instead of
+    // O(rows in touched buckets). Capped: a corpus-sized literal list in
+    // the plan is the r8 FingerprintStore failure shape (generated code
+    // grows with the batch) — past the cap the bucket filter alone rules,
+    // the saturated regime BENCH_probe.json documents.
+    val prevs = big.select("prev").distinct()
+      .limit(PrevPushdownCap + 1).collect().map(_.getString(0)).toSeq
+    val prevFilter =
+      if (prevs.nonEmpty && prevs.size <= PrevPushdownCap)
+        col("prev").isin(prevs: _*)
+      else lit(true)
     val bc = spark.read.parquet(s"$dir/bigrams")
-      .filter(wbFilter)
+      .filter(wbFilter && prevFilter)
       .groupBy("prev", "cur").agg(sum("cb").as("cb"))
     val pc = spark.read.parquet(s"$dir/prefix")
-      .filter(wbFilter)
+      .filter(wbFilter && prevFilter)
       .groupBy("prev").agg(sum("cp").as("cp"))
+    // vocab is globally distinct by layout contract (v2): count(*) is a
+    // parquet-footer read, flat in store size
     val vv = spark.read.parquet(s"$dir/vocab")
-      .agg(countDistinct(col("word")).as("vsz"))
+      .agg(count(lit(1)).as("vsz"))
     val scored = big.join(bc, Seq("prev", "cur"), "left")
       .join(pc, Seq("prev"), "left")
       .crossJoin(broadcast(vv))
@@ -245,7 +270,23 @@ object LmStore {
         val (bc, pc, words) = batchParts(batch, idCol, textCol)
         bc.write.partitionBy("wb").parquet(s"$stage/bigrams")
         pc.write.partitionBy("wb").parquet(s"$stage/prefix")
-        words.write.partitionBy("wb").parquet(s"$stage/vocab")
+        // vocab stays GLOBALLY distinct (the scoreStored flat-count
+        // contract): anti-join the epoch's words against the store,
+        // reading only the epoch's own wb buckets — cost bounded by the
+        // batch footprint, never store size. Safe under replay: the store
+        // never holds this epoch's rows at staging time (publish happens
+        // after the marker; a marker-present replay republishes the
+        // existing stage without recomputing).
+        val spark0 = batch.sparkSession
+        val wbs = words.select("wb").distinct()
+          .collect().map(_.getLong(0)).toSeq // bounded by Buckets
+        val newWords =
+          if (wbs.isEmpty || !fs.exists(new Path(s"$dir/vocab"))) words
+          else words.join(
+            spark0.read.parquet(s"$dir/vocab")
+              .filter(col("wb").isin(wbs: _*)).select("word"),
+            Seq("word"), "left_anti")
+        newWords.write.partitionBy("wb").parquet(s"$stage/vocab")
         fs.create(marker, true).close()
         publishStage(fs, dir, stage)
         auto.tick(fileCount(spark, dir), partitionDirCount(spark, dir))(
@@ -296,10 +337,14 @@ object LmStore {
           .write.partitionBy("wb").parquet(tmp.toString)
         swapIn(fs, dir, sub, tmp)
       }
+    // rows sorted by prev/word inside each bucket file: parquet row-group
+    // stats + dictionaries then serve the probe's IN pushdown
     rewrite("bigrams")(df =>
-      df.groupBy("wb", "prev", "cur").agg(sum("cb").as("cb")))
-    rewrite("prefix")(df => df.groupBy("wb", "prev").agg(sum("cp").as("cp")))
-    rewrite("vocab")(_.distinct())
+      df.groupBy("wb", "prev", "cur").agg(sum("cb").as("cb"))
+        .sortWithinPartitions("prev"))
+    rewrite("prefix")(df => df.groupBy("wb", "prev").agg(sum("cp").as("cp"))
+      .sortWithinPartitions("prev"))
+    rewrite("vocab")(_.distinct().sortWithinPartitions("word"))
   }
 
   /** Live `wb=` partition-dir count — the [[AutoCompact]] denominator. */
@@ -360,7 +405,7 @@ object LmStore {
   private def cachedBuild(spark: SparkSession, corpusPath: String,
                           variant: String, prefix: String)(
                           build: String => Unit): String = {
-    val digest = AdaptCache.digestOf(Seq(s"${prefix}_v1", corpusPath,
+    val digest = AdaptCache.digestOf(Seq(s"${prefix}_v2", corpusPath,
       AdaptCache.corpusToken(spark, corpusPath), variant))
     val dir = new Path(AdaptCache.cacheRoot(spark), s"${prefix}_$digest")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -107,9 +107,20 @@ class LmStoreSpec extends AnyFunSuite {
     val orphan = new org.apache.hadoop.fs.Path(s"$dir/.lmapp_stage_stream_7")
     fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "bigrams"))
     // fabricate epoch 0's post-marker pre-publish window: a scratch seed of
-    // exactly the epoch's docs IS the stage layout batchParts would write
+    // the epoch's docs gives the count tables; the v2 vocab contract means
+    // the real appender's stage holds only the words NOT already stored, so
+    // the fabricated stage anti-joins the scratch vocab the same way
     val scratch = java.nio.file.Files.createTempDirectory("lmtmp").toString
     LmStore.seed(corpus.filter("doc_id IN (3, 4)"), "doc_id", "text", scratch)
+    val newWords = spark.read.parquet(s"$scratch/vocab")
+      .join(spark.read.parquet(s"$dir/vocab").select("word"),
+        Seq("word"), "left_anti")
+      .localCheckpoint()
+    newWords.write.mode("overwrite").partitionBy("wb")
+      .parquet(s"$scratch/vocab_new")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/vocab"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/vocab_new"),
+      new org.apache.hadoop.fs.Path(s"$scratch/vocab")))
     val stage = new org.apache.hadoop.fs.Path(s"$dir/.lmapp_stage_stream_0")
     fs.mkdirs(stage)
     Seq("bigrams", "prefix", "vocab").foreach { sub =>
@@ -174,5 +185,26 @@ class LmStoreSpec extends AnyFunSuite {
     }
     assert(p.linesIterator.count(l =>
       l.contains("PartitionFilters") && l.contains("wb")) >= 2, p)
+  }
+
+  test("v2 vocab contract: after seed + appends + a replayed epoch, the vocab " +
+    "table holds ZERO duplicate words — the probe's flat count(*) is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("lmv2").toString
+    LmStore.seed(corpus.filter("doc_id <= 2"), "doc_id", "text", dir)
+    val app = LmStore.appender(spark, dir, "doc_id", "text",
+      autoCompactEvery = 0)
+    app(corpus.filter("doc_id IN (3, 4)"), 0L) // overlapping vocab with seed
+    app(corpus.filter("doc_id IN (5, 6)"), 1L)
+    app(corpus.filter("doc_id IN (5, 6)"), 1L) // re-delivered epoch
+    val v = spark.read.parquet(s"$dir/vocab").select("word").collect()
+      .map(_.getString(0)).toSeq
+    assert(v.distinct.size == v.size,
+      s"vocab holds duplicates: ${v.diff(v.distinct).distinct.take(5)}")
+    // and it equals the whole corpus's distinct words
+    val seedDir = java.nio.file.Files.createTempDirectory("lmv2s").toString
+    LmStore.seed(corpus, "doc_id", "text", seedDir)
+    val w = spark.read.parquet(s"$seedDir/vocab").select("word").collect()
+      .map(_.getString(0)).toSet
+    assert(v.toSet == w)
   }
 }
