@@ -100,15 +100,21 @@ object FingerprintStore {
     * unverified). The fps rewrite then swaps via the
     * aside-publish-heal protocol. Single-writer: run while no sink is
     * active, like the index compactor; epoch markers are untouched. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit =
+    rewriteFps(spark, dir, exclude = None)
+
+  private def rewriteFps(spark: SparkSession, dir: String,
+                         exclude: Option[DataFrame]): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fpsDir = new Path(s"$dir/fps")
     val prev = new Path(s"$dir/.fps_precompact")
     if (!fs.exists(fpsDir) && fs.exists(prev)) require(fs.rename(prev, fpsDir))
     if (!fs.exists(fpsDir)) return
-    val fps = spark.read.parquet(fpsDir.toString)
+    val kept0 = spark.read.parquet(fpsDir.toString)
       .select("fp", "shard").distinct()
+    val fps = exclude.fold(kept0)(gone =>
+        kept0.join(broadcast(gone.select("fp")), Seq("fp"), "left_anti"))
       .repartition(col("shard")).localCheckpoint()
     val n = fps.count()
     val oldBlooms = fs.listStatus(root).map(_.getPath)
@@ -126,6 +132,24 @@ object FingerprintStore {
       throw new IllegalStateException(s"compact: cannot publish $tmp")
     }
     fs.delete(prev, true)
+  }
+
+  /** Takedown: remove the given texts' fingerprints from the store — the
+    * content-removal request (DMCA/GDPR shape) a long-lived crawl store
+    * must honor. Implemented as [[compact]] with an exclusion list: the
+    * whole-table rewrite runs under the SAME aside-publish-heal protocol
+    * (one atomic swap — no window where a partially-drained table admits
+    * dups), the merged Bloom is rebuilt WITHOUT the retracted fps first
+    * (publish-before-delete, the compact coverage rule), and a re-crawl of
+    * the retracted content is then correctly admitted as NEW and re-stored.
+    * Retraction is compact-class maintenance: batch takedown requests and
+    * run between epochs under the single-writer contract — at store scale
+    * the rewrite amortizes over the batch exactly like a compaction. */
+  def retract(spark: SparkSession, dir: String, docs: DataFrame,
+              textCol: String): Unit = {
+    val gone = docs.select(fpCol(textCol).as("fp")).distinct().localCheckpoint()
+    if (gone.isEmpty) return
+    rewriteFps(spark, dir, exclude = Some(gone))
   }
 
   /** Bloom-sidecar count (compaction telemetry: the screen costs one probe

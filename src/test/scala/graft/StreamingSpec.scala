@@ -2105,4 +2105,100 @@ class StreamingSpec extends AnyFunSuite {
     // dups 2 and 4 never reached the budget (cum would show it): 30+25+25
     assert(admC == Set((1L, 30L), (3L, 55L), (5L, 80L)))
   }
+
+  test("transformWithState budget gate equals the flatMapGroupsWithState " +
+    "form over the same micro-batched feed") {
+    import graft.streaming.BudgetGate
+    implicit val sqlCtx = spark.sqlContext
+    val budgets = Map("web" -> 100L, "books" -> 55L, "code" -> 0L)
+    val epochs = Seq(
+      Seq(("web", 1L, 30L), ("books", 2L, 25L), ("code", 3L, 10L)),
+      Seq(("web", 4L, 40L), ("web", 5L, 35L), ("books", 6L, 30L)),
+      Seq(("web", 7L, 20L), ("books", 8L, 5L), ("code", 9L, 1L)))
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[BudgetGate.Doc]
+    val query = BudgetGate.admitTws(mem.toDS(), budgets)
+      .writeStream.format("memory").queryName("bg_tws_out")
+      .outputMode("append").start()
+    try {
+      epochs.foreach { e =>
+        mem.addData(e.map(BudgetGate.Doc.tupled): _*)
+        query.processAllAvailable()
+      }
+      val tws = spark.table("bg_tws_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // fMGWS twin over the same epochs (fresh stream, default provider
+      // semantics are identical)
+      val mem2 = MemoryStream[BudgetGate.Doc]
+      val q2 = BudgetGate.admit(mem2.toDS(), budgets)
+        .writeStream.format("memory").queryName("bg_fm_out")
+        .outputMode("append").start()
+      try {
+        epochs.foreach { e =>
+          mem2.addData(e.map(BudgetGate.Doc.tupled): _*)
+          q2.processAllAvailable()
+        }
+        val fm = spark.table("bg_fm_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(tws == fm)
+        assert(tws.map(_._2) == Set(1L, 2L, 4L, 5L, 6L))
+      } finally q2.stop()
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("fingerprint store retract: a taken-down text is re-admitted as new, " +
+    "everything else stays rejected, the bloom rebuilds without it, and a " +
+    "mid-retract crash window heals") {
+    import graft.operators.FingerprintStore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpret").toString
+    FingerprintStore.seed(Seq(
+      (1L, "keep this page"), (2L, "takedown target"), (3L, "another keeper"))
+      .toDF("doc_id", "text"), "text", dir)
+
+    def admitted(id: Long, text: String, tag: String): Boolean = {
+      val got = scala.collection.mutable.ArrayBuffer[Long]()
+      val sink = FingerprintStore.dedupSink(spark, dir, "doc_id", "text",
+        streamTag = tag, autoCompactEvery = 0) { df =>
+        got ++= df.select("doc_id").collect().map(_.getLong(0))
+      }
+      sink(Seq((id, text)).toDF("doc_id", "text"), 0L)
+      got.contains(id)
+    }
+    assert(!admitted(10L, "takedown target", "pre"))
+
+    FingerprintStore.retract(spark, dir,
+      Seq((0L, "takedown target")).toDF("doc_id", "text"), "text")
+    // retracted content re-admits (and is re-stored); others still reject
+    assert(admitted(11L, "takedown target", "r1"))
+    assert(!admitted(12L, "takedown target", "r2"), "re-store after retract")
+    assert(!admitted(13L, "keep this page", "r3"))
+    assert(!admitted(14L, "another keeper", "r4"))
+    // retract folded the blooms to one rebuilt filter
+    assert(FingerprintStore.bloomCount(spark, dir) >= 1)
+    // crash window: fps moved aside, publish not yet done — a read-side
+    // heal (the compact protocol) restores the aside
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/fps"),
+      new org.apache.hadoop.fs.Path(s"$dir/.fps_precompact")))
+    FingerprintStore.retract(spark, dir,
+      Seq((0L, "another keeper")).toDF("doc_id", "text"), "text")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/fps")))
+    assert(admitted(15L, "another keeper", "r5"))
+    assert(!admitted(16L, "keep this page", "r6"))
+  }
 }
