@@ -52,6 +52,11 @@ object LmStore {
     * bucket filter alone. */
   val PrevPushdownCap = 1024
 
+  /** Batches above this doc count skip the pushdown probe entirely
+    * (corpus-scale scoring would pay a corpus-wide distinct only to find
+    * the cap exceeded). */
+  val ProbeBatchMaxDocs = 2048L
+
   private val ParamsToken = s"lm2_v2,clean_punct_ws,$Buckets"
 
   private def bucketCol(w: Column): Column =
@@ -162,9 +167,14 @@ object LmStore {
     // O(rows in touched buckets). Capped: a corpus-sized literal list in
     // the plan is the r8 FingerprintStore failure shape (generated code
     // grows with the batch) — past the cap the bucket filter alone rules,
-    // the saturated regime BENCH_probe.json documents.
-    val prevs = big.select("prev").distinct()
-      .limit(PrevPushdownCap + 1).collect().map(_.getString(0)).toSeq
+    // the saturated regime BENCH_probe.json documents. GATED on batch size
+    // first: corpus-scale scoring (lm_fluency_stored) must not pay a
+    // corpus-wide distinct just to learn the cap doesn't apply — the doc
+    // count over the checkpointed arr is one cheap pass.
+    val prevs =
+      if (arr.count() > ProbeBatchMaxDocs) Seq.empty[String]
+      else big.select("prev").distinct()
+        .limit(PrevPushdownCap + 1).collect().map(_.getString(0)).toSeq
     val prevFilter =
       if (prevs.nonEmpty && prevs.size <= PrevPushdownCap)
         col("prev").isin(prevs: _*)
