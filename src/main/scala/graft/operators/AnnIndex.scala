@@ -319,7 +319,21 @@ object AnnIndex {
     * index while no appender is active — same single-writer contract as
     * rebuilding under a new variant; epoch markers are untouched, so an
     * appender restarted afterwards still skips ingested epochs. */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    rewriteLists(spark, indexDir, exclude = Seq.empty)
+
+  /** Takedown for the vector index: remove the given ids' postings — the
+    * content-removal shape [[FingerprintStore.retract]] gives the crawl
+    * store, applied to embeddings (a retracted document's vectors must stop
+    * being retrievable). [[compact]] with an exclusion list under the same
+    * one-atomic-swap protocol; the centroids sidecar is untouched (it is a
+    * trained model, not per-doc state). Batch takedowns and run between
+    * epochs — the single-writer compact contract. */
+  def retract(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
+    if (ids.nonEmpty) rewriteLists(spark, indexDir, exclude = ids)
+
+  private def rewriteLists(spark: SparkSession, indexDir: String,
+                           exclude: Seq[Long]): Unit = {
     val lists = new Path(s"$indexDir/lists")
     val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev = new Path(s"$indexDir/.lists_precompact")
@@ -329,8 +343,13 @@ object AnnIndex {
     val tmp = new Path(s"$indexDir/.lists_compact.tmp")
     fs.delete(tmp, true)
     fs.delete(prev, true)
-    spark.read.parquet(lists.toString)
-      .repartition(col("list_id"))
+    val kept0 = spark.read.parquet(lists.toString)
+    val kept =
+      if (exclude.isEmpty) kept0
+      // bounded takedown batch: the id list rides as a NOT-IN predicate
+      // (never a corpus-sized literal — takedowns are request-sized)
+      else kept0.filter(!col("cid").isin(exclude: _*))
+    kept.repartition(col("list_id"))
       .write.partitionBy("list_id").parquet(tmp.toString)
     require(fs.rename(lists, prev), s"compact: cannot move $lists aside")
     if (!fs.rename(tmp, lists)) {
