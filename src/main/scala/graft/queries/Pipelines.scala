@@ -2281,6 +2281,90 @@ object Pipelines {
        |  min(lm_score) AS min_score, max(lm_score) AS max_score
        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
+  /** The per-source CORPUS CARD — the one-page report a data team ships
+    * with a training corpus: volume (docs, tokens, token share), quality
+    * (gate pass rate — the SAME [[graft.operators.Quality]] signals +
+    * thresholds the batch gate and the streaming front door apply),
+    * integrity (fraction of docs involved in an exact-dup group), and
+    * diversity (unigram TTR, the boilerplate screen). One row per source;
+    * every rate is an integer count divided once and rounded, so the whole
+    * card hash-matches SQL.
+    *
+    * Scale: four per-source aggregates over the corpus (each map-side
+    * combinable or id/text-keyed), a sources-sized join tree on top. The
+    * text-keyed dup join ships raw text as the shuffle key for oracle
+    * parity — at 100 TB swap it for the 8-byte fingerprint key exactly as
+    * `dedup_fingerprint` does. [SQL]. */
+  val corpusCard: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"),
+      sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tot_tokens"))
+    val q = graft.operators.Quality.signals(docs, "doc_id", "text")
+      .withColumn("ok", graft.operators.Quality.okCol())
+      .select("doc_id", "ok")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+    val txtCounts = docs.groupBy("text").agg(count(lit(1)).as("txt_n"))
+    val dup = docs.join(txtCounts, Seq("text"))
+      .groupBy("source")
+      .agg(sum(when(col("txt_n") > 1, 1L).otherwise(0L)).as("n_dup"))
+    val tk = docs.select(col("source"),
+      TextFns.words(TextFns.cleanText(col("text"), removePunctuation = true))
+        .as("toks")).localCheckpoint()
+    val st = tk.groupBy("source")
+      .agg(sum(size(col("toks"))).cast("long").as("tot_toks"))
+    val ut = tk.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy("source").agg(countDistinct("tok").as("uniq_toks"))
+    per.crossJoin(broadcast(tot))
+      .join(q, Seq("source")).join(dup, Seq("source"))
+      .join(st, Seq("source")).join(ut, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("tot_tokens").cast("double"), 6).as("token_share"),
+        round(col("n_ok").cast("double") /
+          col("n_docs").cast("double"), 6).as("quality_pass_rate"),
+        round(col("n_dup").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_doc_rate"),
+        round(col("uniq_toks").cast("double") /
+          col("tot_toks").cast("double"), 6).as("ttr"))
+      .orderBy("source")
+  }
+
+  val corpusCardSql: String = {
+    val ws = """'\s+'"""
+    val toks = "string_split(" + Duck.clean("text", punct = true) + ", ' ')"
+    s"""WITH per AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(regexp_split_to_array(text, $ws))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_tokens) AS tot_tokens FROM per),
+       |q AS (SELECT d.source,
+       |    sum(CASE WHEN tq.quality_ok THEN 1 ELSE 0 END) AS n_ok
+       |  FROM ($textQualitySql) tq JOIN documents d USING (doc_id)
+       |  GROUP BY d.source),
+       |tc AS (SELECT text, count(*) AS txt_n FROM documents GROUP BY text),
+       |dup AS (SELECT d.source,
+       |    sum(CASE WHEN tc.txt_n > 1 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM documents d JOIN tc USING (text) GROUP BY d.source),
+       |tk AS (SELECT source, $toks AS toks FROM documents),
+       |st AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS tot_toks
+       |  FROM tk GROUP BY source),
+       |ut AS (SELECT source, count(DISTINCT tok) AS uniq_toks
+       |  FROM (SELECT source, unnest(toks) AS tok FROM tk) GROUP BY source)
+       |SELECT per.source, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+       |    AS token_share,
+       |  round(CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    AS quality_pass_rate,
+       |  round(CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    AS dup_doc_rate,
+       |  round(CAST(uniq_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE), 6) AS ttr
+       |FROM per CROSS JOIN tot JOIN q USING (source) JOIN dup USING (source)
+       |JOIN st USING (source) JOIN ut USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** Curriculum-ordered training export: phase 1 = the most fluent tercile
     * of each language (the CCNet head), phase 3 = the tail — easy-first
     * curriculum ordering by the trained bigram-LM score — and within each
@@ -3222,6 +3306,7 @@ object Pipelines {
     "lm_fluency_appended" -> lmFluencyAppended,
     "quality_ppl_buckets" -> pplBuckets,
     "export_curriculum" -> exportCurriculum,
+    "corpus_card" -> corpusCard,
     "text_unigram_score" -> textUnigramScore,
     "dsir_select" -> dsirSelect,
     "gate_admission" -> gateAdmission,
@@ -3296,6 +3381,7 @@ object Pipelines {
     "lm_fluency_appended" -> lmFluencySql,
     "quality_ppl_buckets" -> pplBucketsSql,
     "export_curriculum" -> exportCurriculumSql,
+    "corpus_card" -> corpusCardSql,
     "text_unigram_score" -> textUnigramScoreSql,
     "dsir_select" -> dsirSelectSql,
     "gate_admission" -> gateAdmissionSql,
