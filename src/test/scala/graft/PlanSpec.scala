@@ -576,4 +576,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("corpus_card: the only cross join is the broadcast totals singleton; " +
+    "all four per-source aggregates are partial+final; no corpus window") {
+    val p = plan(Pipelines.queries("corpus_card")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 6, p)
+  }
 }
