@@ -42,7 +42,9 @@ class ScalingSmokeSpec extends AnyFunSuite {
     "dedup_simhash_capped", "pack_bpe_sequences",
     "text_bm25_topk", "decontam_fuzzy", "quality_classifier",
     "dedup_span_removal", "quality_ppl_buckets", "mix_cluster_weights",
-    "text_bm25_appended", "lm_fluency_stored", "lm_fluency_appended")
+    "text_bm25_appended", "lm_fluency_stored", "lm_fluency_appended",
+    "sample_weighted", "corpus_diversity", "export_curriculum",
+    "dedup_cross_source_matrix", "corpus_card", "bpe_tokenize_stored")
 
   /** Steady-state timing, matching the bench contract (r6: untimed artifact
     * pass before anything is timed): the first run builds content-keyed
