@@ -371,8 +371,10 @@ object Pipelines {
     *
     * Scale design: pure composition of the component plans — the gate and
     * drop list anti-join id-keyed (corpus-fraction-sized, never broadcast
-    * by hint), budgets from two sources-sized aggs broadcast back, ONE
-    * per-source cumsum shuffle for the fill, per-bucket keyed pack with no
+    * by hint), budgets from two sources-sized aggs broadcast back, the fill
+    * a [[graft.operators.KeyedRank]] two-pass range-partitioned cumsum over
+    * a narrow frame (a hot source spreads across range partitions; text
+    * rides only the kept-id semi-join), per-bucket keyed pack with no
     * single-partition exchange. No stage re-reads the corpus text more than
     * its standalone query does; the gate/cluster signals come from the
     * session memos all sibling queries share. [SQL — the cluster-rank spine
@@ -411,11 +413,12 @@ object Pipelines {
     val kept2 =
       if (!ccnet) kept1
       else {
+        // [[pplBuckets]] tercile via the KeyedRank two-pass composition —
+        // never a hash-partitioned window on the |langs|-cardinality key
         val fl = lmScored(s, dir)
-        val wl = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
-        val counts = fl.groupBy("lang").agg(count(lit(1)).as("n"))
-        val fkeep = fl.withColumn("rn", row_number().over(wl))
-          .join(broadcast(counts), Seq("lang"))
+        val fkeep = graft.operators.KeyedRank.rankCumsum(fl, "lang",
+            Seq(col("lm_score"), col("doc_id")), rn = Some("rn"),
+            keyTotal = Some("n"))
           .withColumn("bucket", expr("1 + CAST(rn - 1 AS BIGINT) * 3 DIV n"))
           .filter(col("bucket") >= 2)
           .select("doc_id")
@@ -438,13 +441,20 @@ object Pipelines {
       .select(col("source"),
         floor(round(lit(0.5) * col("tot_toks").cast("double") * col("w") /
           col("sum_w"), 6)).cast("long").as("budget_toks"))
-    val win = Window.partitionBy("source").orderBy(col("draw").desc,
-      col("doc_id"))
-    val filled = kept0
+    // greedy fill decided on a NARROW frame (id, source, draw, n_toks) via
+    // the KeyedRank two-pass cumsum — the range shuffle ships 32-byte rows,
+    // never text, and a hot source spreads across all range partitions; the
+    // kept ids then semi-join the text back ONCE (old shape shipped the
+    // whole corpus text through a source-hash window shuffle)
+    val drawn = kept0.select("doc_id", "source", "n_toks")
       .withColumn("draw", graft.operators.Sample.drawCol(col("doc_id"), 13L))
-      .withColumn("cum_toks", sum("n_toks").over(win))
+    val keptIds = graft.operators.KeyedRank.rankCumsum(drawn, "source",
+        Seq(col("draw").desc, col("doc_id")),
+        cum = Some(("n_toks", "cum_toks")))
       .join(broadcast(budgets), Seq("source"))
       .filter(col("cum_toks") - col("n_toks") < col("budget_toks"))
+      .select("doc_id")
+    val filled = kept0.join(keptIds, Seq("doc_id"), "left_semi")
       .select("doc_id", "source", "text", "n_toks")
       .localCheckpoint()
     // bucketed BPE pack of the selection (shared trained model, same memo
@@ -1177,18 +1187,19 @@ object Pipelines {
     * — that buffers every value of a group on one executor (a 100 TB
     * group OOMs it); t-digest `approx_percentile` is the other scale path
     * when 1e-3 error is acceptable, but its sketch isn't engine-portable.
-    * Here: one source-partitioned sort-window numbers the rows (partitioned
-    * window, never global), the per-source counts broadcast back, and the
-    * three quantiles fall out of one conditional aggregation over the rows
-    * that sit exactly at rank ceil(q·n) — integer-exact, so the oracle
-    * compares BIGINTs, not interpolated doubles. [SQL] */
+    * Here: the [[graft.operators.KeyedRank]] two-pass range-partitioned
+    * rank numbers the rows (a hot source spreads across range partitions —
+    * never one task's sort) and carries the per-source count out of its
+    * offset table; the three quantiles fall out of one conditional
+    * aggregation over the rows that sit exactly at rank ceil(q·n) —
+    * integer-exact, so the oracle compares BIGINTs, not interpolated
+    * doubles. [SQL] */
   val qualityQuantiles: Q = (s, dir) => {
     val docs = Tables.documents(s, dir).select(col("source"),
       col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
-    val w = Window.partitionBy("source").orderBy("n_toks", "doc_id")
-    val ranked = docs.withColumn("rn", row_number().over(w))
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
-    val withN = ranked.join(broadcast(counts), Seq("source"))
+    val withN = graft.operators.KeyedRank.rankCumsum(docs, "source",
+      Seq(col("n_toks"), col("doc_id")), rn = Some("rn"),
+      keyTotal = Some("n"))
     def atQ(q: Double) = ceil(lit(q) * col("n")).cast("long")
     val cuts = withN
       .filter(col("rn") === atQ(0.1) || col("rn") === atQ(0.5) ||
@@ -1617,6 +1628,62 @@ object Pipelines {
        |ORDER BY source""".stripMargin
   }
 
+  /** [[corpusDiversity]]'s 100-TB path DECLARED (r13 verdict #5): the TTR
+    * distincts through the [[sketchDistinct]] HLL machinery
+    * (`hll_sketch_agg`, lgK=12) instead of exact `countDistinct` — sketch
+    * partials merge map-side and only sketch bytes cross the wire, where
+    * the exact path shuffles every distinct (source, token) pair. Oracle =
+    * the q15/sketch_distinct verdict pattern: the exact distincts (and the
+    * exact TTR) replay in SQL, and the HLL estimates ride as ±5 % boolean
+    * claims (|est − exact|·20 ≤ exact) the DuckDB twin pins TRUE. [SQL] */
+  val corpusDiversityHll: Q = (s, dir) => {
+    val base = Tables.documents(s, dir).select(col("source"),
+      TextFns.words(TextFns.cleanText(col("text"), removePunctuation = true))
+        .as("toks"))
+    val withBi = base.select(col("source"), col("toks"),
+      TextFns.shinglesFromTokens(col("toks"), 2).as("bis")).localCheckpoint()
+    val totals = withBi.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("long").as("tot_toks"))
+    val uToks = withBi.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy("source").agg(
+        countDistinct("tok").as("uniq_toks"),
+        hll_sketch_estimate(hll_sketch_agg(col("tok"), 12)).as("est_toks"))
+    val uBis = withBi.select(col("source"), explode(col("bis")).as("bi"))
+      .groupBy("source").agg(
+        countDistinct("bi").as("uniq_bigrams"),
+        hll_sketch_estimate(hll_sketch_agg(col("bi"), 12)).as("est_bigrams"))
+    totals.join(uToks, Seq("source"), "left").join(uBis, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tot_toks"),
+        coalesce(col("uniq_toks"), lit(0L)).as("uniq_toks"),
+        round(coalesce(col("uniq_toks"), lit(0L)).cast("double") /
+          col("tot_toks").cast("double"), 6).as("ttr"),
+        (abs(coalesce(col("est_toks"), lit(0L)) -
+          coalesce(col("uniq_toks"), lit(0L))) * lit(20L) <=
+          coalesce(col("uniq_toks"), lit(0L))).as("tok_est_ok"),
+        (abs(coalesce(col("est_bigrams"), lit(0L)) -
+          coalesce(col("uniq_bigrams"), lit(0L))) * lit(20L) <=
+          coalesce(col("uniq_bigrams"), lit(0L))).as("bigram_est_ok"))
+      .orderBy("source")
+  }
+
+  val corpusDiversityHllSql: String = {
+    val toks = "string_split(" + Duck.clean("text", punct = true) + ", ' ')"
+    s"""WITH base AS (SELECT source, $toks AS toks FROM documents),
+       |tot AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(toks)) AS BIGINT) AS tot_toks
+       |  FROM base GROUP BY source),
+       |ut AS (SELECT source, count(DISTINCT tok) AS uniq_toks
+       |  FROM (SELECT source, unnest(toks) AS tok FROM base) GROUP BY source)
+       |SELECT tot.source, n_docs, tot_toks,
+       |  CAST(coalesce(uniq_toks, 0) AS BIGINT) AS uniq_toks,
+       |  round(CAST(coalesce(uniq_toks, 0) AS DOUBLE) /
+       |    CAST(tot_toks AS DOUBLE), 6) AS ttr,
+       |  TRUE AS tok_est_ok, TRUE AS bigram_est_ok
+       |FROM tot LEFT JOIN ut USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** Temperature-weighted mixture SAMPLING — [[mixWeights]] decides the
     * target shares, this draws the actual mix: per-source token shares are
     * flattened with α = 0.7 (the mT5/XLM-R temperature convention — tail
@@ -1704,14 +1771,15 @@ object Pipelines {
     * that integer budget — pow/Σ-order ulp drift cannot flip a keep.
     *
     * Scale design: budgets come from the same sources-sized dims as
-    * [[mixSample]] (two tiny aggs, broadcast back); the fill itself is ONE
-    * per-source cumulative-sum window over (draw desc, id) — a single
-    * shuffle by source with in-partition sort, the unavoidable cost of an
-    * EXACT greedy fill (order within a source decides the boundary doc). A
-    * source hot enough to skew that shuffle is exactly the case where the
-    * rate-based [[mixSample]] is the right tool — the pair is the
-    * exact-vs-approximate trade, stated. [SQL — staged xxhash64 replay +
-    * the same window]. */
+    * [[mixSample]] (two tiny aggs, broadcast back); the fill itself is the
+    * [[graft.operators.KeyedRank]] two-pass range-partitioned cumsum over
+    * (source, draw desc, id) — a hot source's sort spreads across ALL range
+    * partitions instead of hashing into one task (the r13 skew lesson), and
+    * the frame is narrow (32-byte rows, never text). The order within a
+    * source still decides the boundary doc — the unavoidable cost of an
+    * EXACT greedy fill; when even that is too much, the rate-based
+    * [[mixSample]] is the approximate twin. [SQL — staged xxhash64 replay +
+    * the plain per-source window, which the composition equals exactly]. */
   val mixTokenFill: Q = (s, dir) => {
     val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"),
       TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
@@ -1726,10 +1794,10 @@ object Pipelines {
       .select(col("source"),
         floor(round(lit(0.5) * col("tot_toks").cast("double") * col("w") /
           col("sum_w"), 6)).cast("long").as("budget_toks"))
-    val win = Window.partitionBy("source").orderBy(col("draw").desc, col("doc_id"))
-    val cum = docs
-      .withColumn("draw", graft.operators.Sample.drawCol(col("doc_id"), 13L))
-      .withColumn("cum_toks", sum("n_toks").over(win))
+    val cum = graft.operators.KeyedRank.rankCumsum(
+      docs.withColumn("draw", graft.operators.Sample.drawCol(col("doc_id"), 13L)),
+      "source", Seq(col("draw").desc, col("doc_id")),
+      cum = Some(("n_toks", "cum_toks")))
     val kept = col("cum_toks") - col("n_toks") < col("budget_toks")
     cum.join(broadcast(budgets), Seq("source"))
       .groupBy("source").agg(
@@ -2201,16 +2269,18 @@ object Pipelines {
     * pure integer arithmetic on the rank (`1 + (rn−1)·3 div n`), NOT a
     * percentile estimate, so the oracle compares exact BIGINTs.
     *
-    * Scale shape: the per-language sort window is partitioned (never
-    * global) — the [[qualityQuantiles]] contract: a skewed-language corpus
-    * range-partitions the (lang, score) sort; per-bucket stats are plain
-    * combinable aggregates. [SQL] */
+    * Scale shape: the per-language rank is the
+    * [[graft.operators.KeyedRank]] two-pass range-partition composition —
+    * a skewed-language corpus spreads one language's sort across ALL range
+    * partitions instead of hashing it into one task (the r13 lesson: a
+    * `partitionBy(lang)` window is partitioned in name only when |langs| is
+    * tiny); per-bucket stats are plain combinable aggregates. The per-lang
+    * count rides out of the same offset table — no second groupBy. [SQL] */
   val pplBuckets: Q = (s, dir) => {
     val scored = lmScored(s, dir)
-    val w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
-    val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
-    scored.withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), Seq("lang"))
+    graft.operators.KeyedRank.rankCumsum(scored, "lang",
+        Seq(col("lm_score"), col("doc_id")), rn = Some("rn"),
+        keyTotal = Some("n"))
       // rank cast BEFORE the ×3: an int32 row_number × 3 overflows past
       // ~715M docs per language — real at corpus scale
       .withColumn("bucket", expr("1 + CAST(rn - 1 AS BIGINT) * 3 DIV n"))
@@ -2291,10 +2361,12 @@ object Pipelines {
     * card hash-matches SQL.
     *
     * Scale: four per-source aggregates over the corpus (each map-side
-    * combinable or id/text-keyed), a sources-sized join tree on top. The
-    * text-keyed dup join ships raw text as the shuffle key for oracle
-    * parity — at 100 TB swap it for the 8-byte fingerprint key exactly as
-    * `dedup_fingerprint` does. [SQL]. */
+    * combinable or id-keyed), a sources-sized join tree on top. The dup
+    * join keys on the 8-byte [[graft.functions.TextFns.fingerprint64]]
+    * exactly as `dedup_fingerprint` does (r13 verdict #4 — the raw-text key
+    * shipped the corpus text twice at 100 TB); the oracle replays the same
+    * polynomial fp, so "dup" means normalized-fingerprint-identical in BOTH
+    * engines. [SQL]. */
   val corpusCard: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"),
@@ -2306,8 +2378,11 @@ object Pipelines {
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
       .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
-    val txtCounts = docs.groupBy("text").agg(count(lit(1)).as("txt_n"))
-    val dup = docs.join(txtCounts, Seq("text"))
+    // 8-byte fp as the dup shuffle key — text never re-keys a shuffle
+    val fps = docs.select(col("source"),
+      TextFns.fingerprint64(col("text")).as("fp"))
+    val fpCounts = fps.groupBy("fp").agg(count(lit(1)).as("txt_n"))
+    val dup = fps.join(fpCounts, Seq("fp"))
       .groupBy("source")
       .agg(sum(when(col("txt_n") > 1, 1L).otherwise(0L)).as("n_dup"))
     val tk = docs.select(col("source"),
@@ -2343,10 +2418,16 @@ object Pipelines {
        |    sum(CASE WHEN tq.quality_ok THEN 1 ELSE 0 END) AS n_ok
        |  FROM ($textQualitySql) tq JOIN documents d USING (doc_id)
        |  GROUP BY d.source),
-       |tc AS (SELECT text, count(*) AS txt_n FROM documents GROUP BY text),
+       |fps AS (SELECT source, list_reduce(
+       |    [CAST(ascii(n[i]) AS BIGINT) FOR i IN range(1, length(n) + 1)],
+       |    (acc, x) -> (acc * 31 + x) % ${graft.functions.TextFns.FingerprintMod}) AS fp
+       |  FROM (SELECT source,
+       |    regexp_replace(lower(trim(text)), '${"""\s+"""}', ' ', 'g') AS n
+       |    FROM documents) q0),
+       |tc AS (SELECT fp, count(*) AS txt_n FROM fps GROUP BY fp),
        |dup AS (SELECT d.source,
        |    sum(CASE WHEN tc.txt_n > 1 THEN 1 ELSE 0 END) AS n_dup
-       |  FROM documents d JOIN tc USING (text) GROUP BY d.source),
+       |  FROM fps d JOIN tc USING (fp) GROUP BY d.source),
        |tk AS (SELECT source, $toks AS toks FROM documents),
        |st AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS tot_toks
        |  FROM tk GROUP BY source),
@@ -2376,15 +2457,17 @@ object Pipelines {
     * shard draw is the staged-xxhash64 permutation — everything replays as
     * exact BIGINTs.
     *
-    * Scale shape: both windows are partitioned (lang for the rank; phase ×
-    * shard for the position) — never global; size nShards to executor
-    * memory exactly as [[graft.operators.Pack.shuffleOrder]]. [SQL]. */
+    * Scale shape: the lang rank is the [[graft.operators.KeyedRank]]
+    * two-pass range-partition composition (never a hash-partitioned window
+    * on a |langs|-cardinality key); the phase × shard position window stays
+    * a plain partitioned window (its key cardinality GROWS with nShards —
+    * size nShards to executor memory exactly as
+    * [[graft.operators.Pack.shuffleOrder]]). [SQL]. */
   val exportCurriculum: Q = (s, dir) => {
     val scored = lmScored(s, dir)
-    val w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
-    val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
-    val phased = scored.withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), Seq("lang"))
+    val phased = graft.operators.KeyedRank.rankCumsum(scored, "lang",
+        Seq(col("lm_score"), col("doc_id")), rn = Some("rn"),
+        keyTotal = Some("n"))
       .withColumn("phase",
         lit(4L) - expr("1 + CAST(rn - 1 AS BIGINT) * 3 DIV n"))
       .select("doc_id", "phase")
@@ -3357,6 +3440,7 @@ object Pipelines {
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
     "corpus_diversity" -> corpusDiversity,
+    "corpus_diversity_hll" -> corpusDiversityHll,
     "drift_ddm" -> driftDdm)
 
   val oracles: Map[String, String] = Map(
@@ -3432,6 +3516,7 @@ object Pipelines {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_weighted" -> sampleWeightedSql,
     "corpus_diversity" -> corpusDiversitySql,
+    "corpus_diversity_hll" -> corpusDiversityHllSql,
     "drift_ddm" -> Duck.ddmRecursive(
       s"SELECT CAST(batch_id AS BIGINT) AS ord, 1.0 - accuracy AS err " +
         s"FROM ${Corpus.accSub} a", "batch_id"))

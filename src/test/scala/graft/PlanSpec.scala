@@ -99,13 +99,30 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.exists(l => l.contains("Inner") && l.contains("cluster_id")), p)
   }
 
-  test("quality_quantiles: rank window is source-partitioned; cutoff dims broadcast") {
+  test("quality_quantiles: rank is the KeyedRank pid-composed window (skew-" +
+    "proof), never a bare source-hash window; cutoff dims broadcast") {
     val p = plan(Pipelines.queries("quality_quantiles")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
     val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
-    assert(winLines.nonEmpty && winLines.forall(_.contains("source")),
-      s"rank window must partition by source:\n$p")
+    assert(winLines.nonEmpty &&
+      winLines.forall(l => l.contains("__gr_pid") && l.contains("source")),
+      s"rank window must partition by (__gr_pid, source):\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("KeyedRank layout: a RANGE exchange on (key, order) feeds the rank — " +
+    "never a hash exchange on the low-cardinality key (r13 verdict #1)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"))
+      .withColumn("draw", graft.operators.Sample.drawCol(col("doc_id"), 13L))
+    val layout = graft.operators.KeyedRank.rangeLayout(docs, "source",
+      Seq(col("draw").desc, col("doc_id")))
+    val p = plan(layout)
+    assert(p.contains("Exchange rangepartitioning(source"), p)
+    assert(!p.contains("hashpartitioning(source"), p)
+    // the draw is deterministic xxhash arithmetic, not rand()
+    assert(p.contains("xxhash64"), p)
+    assert(!p.toLowerCase.contains("rand("), p)
   }
 
   test("mix_sample: rate dims broadcast; corpus side is one agg pass, no window, no rand") {
@@ -119,17 +136,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), p)
   }
 
-  test("mix_token_fill: cumsum window is source-partitioned; budget dims broadcast; no rand") {
+  test("mix_token_fill: the fill cumsum is the KeyedRank pid-composed window " +
+    "(a hot source spreads over range partitions); budget dims broadcast; no rand") {
     val df = Pipelines.queries("mix_token_fill")(spark, sf)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), p)
-    // the exact greedy fill is ONE per-source window — never a global sort
+    // skew-proof: the cumsum window partitions by (__gr_pid, source), never
+    // by the |sources|-cardinality key alone (r13 verdict #1); the xxhash
+    // draw sits behind the layout checkpoint — its shape is pinned by the
+    // KeyedRank layout test above
     val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
-    assert(winLines.nonEmpty && winLines.forall(_.contains("source")),
-      s"fill window must partition by source:\n$p")
+    assert(winLines.nonEmpty &&
+      winLines.forall(l => l.contains("__gr_pid") && l.contains("source")),
+      s"fill window must partition by (__gr_pid, source):\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.toLowerCase.contains("rand("), p)
-    assert(p.contains("xxhash64"), p)
   }
 
   test("minhash LSH: bucket join shuffles narrow rows — the signature array never crosses it") {
@@ -518,15 +539,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(wh#"), p)
   }
 
-  test("quality_ppl_buckets: the tercile rank window is LANGUAGE-partitioned " +
-    "(never global); per-language counts broadcast back") {
+  test("quality_ppl_buckets: the tercile rank is the KeyedRank pid-composed " +
+    "window — one language NEVER collapses into one task's sort (r13 " +
+    "verdict #1); offsets broadcast back") {
     val p = plan(Pipelines.queries("quality_ppl_buckets")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("windowspecdefinition(lang#"), p)
-    // no global rank: every windowspec in the plan carries the lang key
+    // every windowspec carries the physical-partition key ahead of lang —
+    // the rank is intra-range-partition, composed by broadcast offsets
+    assert(p.contains("windowspecdefinition(__gr_pid#"), p)
     assert(!p.linesIterator.exists(l =>
       l.contains("windowspecdefinition(") &&
-        !l.contains("windowspecdefinition(lang#")), p)
+        !(l.contains("__gr_pid") && l.contains("lang"))), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
@@ -558,14 +581,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
   }
 
-  test("export_curriculum: both windows stay partitioned (lang rank, " +
-    "phase x shard position) — never a global window") {
+  test("export_curriculum: the lang rank is the KeyedRank pid-composed " +
+    "window; the phase x shard position window stays partitioned — never " +
+    "a global window, never a bare lang-hash exchange") {
     val p = plan(Pipelines.queries("export_curriculum")(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("windowspecdefinition"), p)
     assert(!p.linesIterator.exists(l =>
       l.contains("windowspecdefinition(") &&
-        !(l.contains("windowspecdefinition(lang#") ||
+        !(l.contains("windowspecdefinition(__gr_pid#") ||
           l.contains("windowspecdefinition(phase#"))), p)
   }
 
