@@ -305,6 +305,7 @@ object Bm25Store {
     * hook's window), never racing an in-flight one. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
+    Takedown.heal(spark, dir) // a crashed retract finishes before we rewrite
     Seq("postings", "df", "scalars").foreach(healCompactAside(fs, dir, _))
     if (fs.exists(new Path(s"$dir/postings"))) {
       val tmp = new Path(s"$dir/.postings_compact.tmp")
@@ -330,6 +331,69 @@ object Bm25Store {
       fs.delete(tmp, true)
       writeText(fs, new Path(tmp, "base"), s"$nDocs,$nTok")
       swapIn(fs, dir, "scalars", tmp)
+    }
+  }
+
+  /** Takedown: drop the given doc ids' contribution from ALL THREE
+    * sub-tables — postings literally retain the documents' term
+    * frequencies (per-document derived content; r13 verdict #3), and the
+    * df partials / scalars ledger must drop the docs' counts too or every
+    * later probe scores against inflated statistics (a from-scratch build
+    * without the docs would differ). The deltas derive from the store
+    * itself: the retracted ids' posting rows give the per-word df
+    * decrements, their tf sum gives the token decrement, and their
+    * distinct-id count the doc decrement — no text needed.
+    *
+    * All three rewrites build aside and swap under the staged [[Takedown]]
+    * protocol (a crash between table swaps could otherwise strand a store
+    * whose df delta is no longer derivable — the postings that defined it
+    * are gone). Caveat, documented: a stored doc with ZERO tokens leaves no
+    * postings, so its +1 on N cannot be attributed and stays; it retains no
+    * content and only nudges every score's idf identically. Single-writer,
+    * compact-class maintenance; batch the requests. */
+  def retract(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    Takedown.heal(spark, dir)
+    if (ids.isEmpty) return
+    val fs = fsOf(spark, dir)
+    checkParams(fs, dir)
+    Seq("postings", "df", "scalars").foreach(healCompactAside(fs, dir, _))
+    if (!fs.exists(new Path(s"$dir/postings"))) return
+    import spark.implicits._
+    val gone = ids.toDF("doc_id") // request-sized by contract: broadcast
+    val post = spark.read.parquet(s"$dir/postings")
+    val gonePost = post.join(broadcast(gone), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val goneStats = gonePost.agg(
+      countDistinct("doc_id").as("d"), sum("tf").as("t")).collect()(0)
+    val dGone = goneStats.getLong(0)
+    val tGone = if (goneStats.isNullAt(1)) 0L else goneStats.getLong(1)
+    val dfGone = gonePost.groupBy("word").agg(count(lit(1)).as("gone"))
+    val (nDocs, nTok) = readScalars(fs, dir)
+    require(nDocs - dGone >= 0 && nTok - tGone >= 0,
+      s"Bm25Store.retract: ledger would go negative ($nDocs-$dGone docs, " +
+        s"$nTok-$tGone tokens) — the retract batch is not a subset of $dir")
+    Takedown.run(spark, dir, Seq("postings", "df", "scalars")) { stage =>
+      post.join(broadcast(gone), Seq("doc_id"), "left_anti")
+        .repartition(col("wb"))
+        .sortWithinPartitions("word") // keep the probe's IN pushdown serving
+        .write.partitionBy("wb").parquet(s"$stage/postings")
+      val merged = spark.read.parquet(s"$dir/df")
+        .groupBy("wb", "word").agg(sum("df").as("df"))
+        .join(broadcast(dfGone), Seq("word"), "left")
+        .select(col("wb"), col("word"),
+          (col("df") - coalesce(col("gone"), lit(0L))).as("df"))
+        .localCheckpoint()
+      val neg = merged.filter(col("df") < 0).count()
+      require(neg == 0,
+        s"Bm25Store.retract: $neg df rows would go negative — the retract " +
+          s"batch is not a subset of $dir")
+      // a word whose df hits 0 has no postings left: its row (the word
+      // itself is derived content) must go too
+      merged.filter(col("df") > 0)
+        .repartition(col("wb")).sortWithinPartitions("word")
+        .write.partitionBy("wb").parquet(s"$stage/df")
+      writeText(fs, new Path(s"$stage/scalars/base"),
+        s"${nDocs - dGone},${nTok - tGone}")
     }
   }
 

@@ -28,6 +28,11 @@ import graft.functions.TextFns
   *    rides as a table whose INSERTS are made disjoint, not a ledger;
   *    lm2_v1 stores paid a full vocab scan per probe, measured 2.5× for a
   *    10× store in BENCH_probe.json before the v2 layout flattened it.)
+  *  - `vocabrc/wb=K/` — (word, rc) PARTIAL per-word doc-reference counts
+  *    (how many stored docs contain the word), additive like the other
+  *    counts. Probes never read it; it exists so [[retract]] can tell
+  *    which vocab words vanish with a takedown — distinct-insert vocab
+  *    rows alone are not subtractable (v3 layout addition).
   *  - `_params` — layout/tokenizer contract token, checked loudly.
   *
   * Probe shape: the batch's bigrams name their prev-hash buckets up front
@@ -57,7 +62,7 @@ object LmStore {
     * the cap exceeded). */
   val ProbeBatchMaxDocs = 2048L
 
-  private val ParamsToken = s"lm2_v2,clean_punct_ws,$Buckets"
+  private val ParamsToken = s"lm2_v3,clean_punct_ws,$Buckets"
 
   private def bucketCol(w: Column): Column =
     pmod(xxhash64(w), lit(Buckets.toLong))
@@ -103,19 +108,23 @@ object LmStore {
   }
 
   /** One batch's count partials: (bigram rows, prefix rows, distinct-word
-    * rows), each already carrying its `wb` partition column. ONE tokenize
-    * pass feeds all three. */
+    * rows, per-word doc-refcount rows), each already carrying its `wb`
+    * partition column. ONE tokenize pass feeds all four. */
   private def batchParts(docs: DataFrame, idCol: String, textCol: String):
-      (DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val arr = tokArr(docs, idCol, textCol).localCheckpoint()
     val big = bigramsOf(arr)
     val bc = big.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
       .withColumn("wb", bucketCol(col("prev")))
     val pc = big.groupBy("prev").agg(count(lit(1)).as("cp"))
       .withColumn("wb", bucketCol(col("prev")))
-    val words = arr.select(explode(col("arr")).as("word")).distinct()
+    val docWords = arr.select(col("id"), explode(col("arr")).as("word"))
+      .distinct().localCheckpoint()
+    val words = docWords.select("word").distinct()
       .withColumn("wb", bucketCol(col("word")))
-    (bc, pc, words)
+    val rc = docWords.groupBy("word").agg(count(lit(1)).as("rc"))
+      .withColumn("wb", bucketCol(col("word")))
+    (bc, pc, words, rc)
   }
 
   /** Seed the store from a static base corpus. Not marker-protected — run
@@ -124,10 +133,11 @@ object LmStore {
   def seed(docs: DataFrame, idCol: String, textCol: String,
            dir: String): Unit = {
     val fs = fsOf(docs.sparkSession, dir)
-    val (bc, pc, words) = batchParts(docs, idCol, textCol)
+    val (bc, pc, words, rc) = batchParts(docs, idCol, textCol)
     bc.write.mode("overwrite").partitionBy("wb").parquet(s"$dir/bigrams")
     pc.write.mode("overwrite").partitionBy("wb").parquet(s"$dir/prefix")
     words.write.mode("overwrite").partitionBy("wb").parquet(s"$dir/vocab")
+    rc.write.mode("overwrite").partitionBy("wb").parquet(s"$dir/vocabrc")
     writeText(fs, new Path(s"$dir/_params"), ParamsToken)
   }
 
@@ -215,7 +225,7 @@ object LmStore {
   private def stagePath(dir: String, tag: String, epoch: Long): String =
     s"$dir/.lmapp_stage_${tag}_$epoch"
 
-  private val Subs = Seq("bigrams", "prefix", "vocab")
+  private val Subs = Seq("bigrams", "prefix", "vocab", "vocabrc")
 
   /** Move a committed staging dir's files into the store's partitioned
     * tables, then drop the staging dir. Idempotent per-file renames. */
@@ -277,9 +287,11 @@ object LmStore {
       } else if (!batch.isEmpty) {
         val stage = new Path(stagePath(dir, streamTag, epoch))
         fs.delete(stage, true)
-        val (bc, pc, words) = batchParts(batch, idCol, textCol)
+        val (bc, pc, words, rc) = batchParts(batch, idCol, textCol)
         bc.write.partitionBy("wb").parquet(s"$stage/bigrams")
         pc.write.partitionBy("wb").parquet(s"$stage/prefix")
+        // refcounts are plain additive partials: EVERY batch word stages
+        rc.write.partitionBy("wb").parquet(s"$stage/vocabrc")
         // vocab stays GLOBALLY distinct (the scoreStored flat-count
         // contract): anti-join the epoch's words against the store,
         // reading only the epoch's own wb buckets — cost bounded by the
@@ -337,6 +349,7 @@ object LmStore {
     * run between epochs (the [[AutoCompact]] hook's window). */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
+    Takedown.heal(spark, dir) // a crashed retract finishes before we rewrite
     Subs.foreach(healCompactAside(fs, dir, _))
     def rewrite(sub: String)(fold: DataFrame => DataFrame): Unit =
       if (fs.exists(new Path(s"$dir/$sub"))) {
@@ -355,6 +368,70 @@ object LmStore {
     rewrite("prefix")(df => df.groupBy("wb", "prev").agg(sum("cp").as("cp"))
       .sortWithinPartitions("prev"))
     rewrite("vocab")(_.distinct().sortWithinPartitions("word"))
+    rewrite("vocabrc")(df =>
+      df.groupBy("wb", "word").agg(sum("rc").as("rc"))
+        .sortWithinPartitions("word"))
+  }
+
+  /** Takedown: subtract the given documents' contribution from the trained
+    * LM — the store retains per-document derived content (every bigram of
+    * the text, with counts; r13 verdict #3). The retract batch must carry
+    * the documents AS STORED ((id, text) — a DMCA/GDPR request names the
+    * work): their count partials recompute through the same
+    * [[batchParts]] tokenizer and SUBTRACT from the merged tables; vocab
+    * words whose doc-refcount hits zero drop (the `vocabrc` table exists
+    * for exactly this — distinct-insert vocab rows are not subtractable),
+    * so a post-retract store is count-identical to one seeded without the
+    * docs. Subset-ness is enforced LOUDLY: any count that would go
+    * negative aborts before anything swaps. All four rewrites build aside
+    * and commit under the staged [[Takedown]] protocol (a crash between
+    * table swaps could otherwise strand inconsistent counts). Single-
+    * writer, compact-class maintenance; batch the requests. */
+  def retract(spark: SparkSession, dir: String, docs: DataFrame,
+              idCol: String, textCol: String): Unit = {
+    Takedown.heal(spark, dir)
+    val fs = fsOf(spark, dir)
+    checkParams(fs, dir)
+    Subs.foreach(healCompactAside(fs, dir, _))
+    if (docs.isEmpty || !fs.exists(new Path(s"$dir/bigrams"))) return
+    val (bcR, pcR, _, rcR) = batchParts(docs, idCol, textCol)
+    def subtracted(sub: String, keys: Seq[String], cnt: String,
+                   goneDf0: DataFrame): DataFrame = {
+      val goneDf = goneDf0.localCheckpoint()
+      val merged = spark.read.parquet(s"$dir/$sub")
+        .groupBy((col("wb") +: keys.map(col)): _*).agg(sum(cnt).as(cnt))
+        .join(goneDf.withColumnRenamed(cnt, "__gone"), keys, "left")
+        .select((col("wb") +: keys.map(col)) :+
+          (col(cnt) - coalesce(col("__gone"), lit(0L))).as(cnt): _*)
+        .localCheckpoint()
+      // subset-ness, both directions: a batch key the store never held, or
+      // a shared key whose count would go negative, is a retract of content
+      // that was not stored as claimed — abort before anything swaps
+      val missing = goneDf
+        .join(merged.select(keys.map(col): _*), keys, "left_anti").count()
+      val neg = merged.filter(col(cnt) < 0).count()
+      require(missing == 0 && neg == 0,
+        s"LmStore.retract: $missing unknown + $neg would-go-negative $sub " +
+          s"rows — the retract batch is not a subset of $dir")
+      merged.filter(col(cnt) > 0)
+    }
+    val bigrams2 = subtracted("bigrams", Seq("prev", "cur"), "cb",
+      bcR.drop("wb"))
+    val prefix2 = subtracted("prefix", Seq("prev"), "cp", pcR.drop("wb"))
+    val vocabrc2 = subtracted("vocabrc", Seq("word"), "rc", rcR.drop("wb"))
+      .localCheckpoint()
+    Takedown.run(spark, dir, Subs) { stage =>
+      def out(df: DataFrame, sub: String, sortCol: String): Unit =
+        df.repartition(col("wb")).sortWithinPartitions(sortCol)
+          .write.partitionBy("wb").parquet(s"$stage/$sub")
+      out(bigrams2, "bigrams", "prev")
+      out(prefix2, "prefix", "prev")
+      out(vocabrc2, "vocabrc", "word")
+      // vocab keeps exactly the words still referenced by a stored doc
+      out(spark.read.parquet(s"$dir/vocab")
+        .join(vocabrc2.select("word"), Seq("word"), "left_semi")
+        .distinct(), "vocab", "word")
+    }
   }
 
   /** Live `wb=` partition-dir count — the [[AutoCompact]] denominator. */
@@ -415,7 +492,9 @@ object LmStore {
   private def cachedBuild(spark: SparkSession, corpusPath: String,
                           variant: String, prefix: String)(
                           build: String => Unit): String = {
-    val digest = AdaptCache.digestOf(Seq(s"${prefix}_v2", corpusPath,
+    // v3: the vocabrc sub-table joined the layout — stale v2 cache dirs
+    // must never collide with (and loudly fail) the new reader
+    val digest = AdaptCache.digestOf(Seq(s"${prefix}_v3", corpusPath,
       AdaptCache.corpusToken(spark, corpusPath), variant))
     val dir = new Path(AdaptCache.cacheRoot(spark), s"${prefix}_$digest")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

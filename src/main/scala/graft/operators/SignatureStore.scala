@@ -440,6 +440,7 @@ object SignatureStore {
     * compaction. Single-writer: run between epochs of a live sink, never
     * racing an in-flight one. */
   def compact(spark: SparkSession, dir: String): Unit = {
+    Takedown.heal(spark, dir) // a crashed retract finishes before we rewrite
     compactTable(spark, dir, "sigs", "shard")
     compactTable(spark, dir, "bands", "bucket")
   }
@@ -463,6 +464,40 @@ object SignatureStore {
       throw new IllegalStateException(s"compact: cannot publish $tmp")
     }
     fs.delete(prev, true)
+  }
+
+  /** Takedown: drop the given doc ids' signatures AND band-index rows —
+    * the store retains per-document derived content (MinHash sketches of
+    * the text's shingle set), so a DMCA/GDPR removal must reach it (r13
+    * verdict #3). Both sub-tables rewrite WITHOUT the ids' rows under the
+    * staged [[Takedown]] protocol: the whole rewrite builds aside, a marker
+    * commits, each table swaps in atomically and its aside (which still
+    * held the retracted rows) is deleted — no crash point leaves the store
+    * half-retracted without a heal path, and a re-crawl of the retracted
+    * content is then correctly screened-in as NEW. Retraction is
+    * compact-class maintenance: single-writer, between epochs, batch the
+    * requests. Markers/staging of the sinks are untouched. */
+  def retract(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    Takedown.heal(spark, dir)
+    val fs = fsOf(spark, dir)
+    healCompactAside(fs, dir, "sigs")  // a compact/retract crash residue
+    healCompactAside(fs, dir, "bands") // heals before we rewrite
+    if (ids.isEmpty) return
+    if (!fs.exists(new Path(s"$dir/sigs"))) return
+    import spark.implicits._
+    // takedown batches are request-sized by contract — broadcast the list
+    val gone = ids.toDF("id")
+    Takedown.run(spark, dir, Seq("sigs", "bands")) { stage =>
+      spark.read.parquet(s"$dir/sigs")
+        .join(broadcast(gone), Seq("id"), "left_anti")
+        .repartition(col("shard"))
+        .write.partitionBy("shard").parquet(s"$stage/sigs")
+      if (fs.exists(new Path(s"$dir/bands")))
+        spark.read.parquet(s"$dir/bands")
+          .join(broadcast(gone), Seq("id"), "left_anti")
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$stage/bands")
+    }
   }
 
   /** Live partition-dir count across both tables — the [[AutoCompact]]

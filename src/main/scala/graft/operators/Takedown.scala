@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared takedown (retract) choreography for the multi-table persisted
+  * stores — the content-removal request (DMCA/GDPR shape) a long-lived
+  * crawl store must honor, generalized from the single-table
+  * [[FingerprintStore.retract]] to stores whose document contribution spans
+  * SEVERAL sub-tables ([[SignatureStore]] sigs+bands, [[Bm25Store]]
+  * postings+df+scalars, [[LmStore]] bigrams+prefix+vocab+vocabrc).
+  *
+  * The problem a multi-table retract adds over compact's per-table
+  * aside-publish swap: a crash BETWEEN two tables' swaps would strand the
+  * store half-retracted, and the second half could no longer be recomputed
+  * (its delta derives from rows the first swap already dropped). So the
+  * rewrite is staged WHOLE first, then committed:
+  *
+  *  1. every sub-table's full rewrite (already excluding the retracted
+  *     contribution) builds under `.retract_stage/<sub>` while the live
+  *     tables still serve;
+  *  2. the `_retract_pending` marker commits, naming the sub-tables;
+  *  3. each table swaps in via the compact aside protocol
+  *     (root → `.<sub>_precompact`, stage → root, aside deleted — the
+  *     aside must go: it retains the retracted content);
+  *  4. stage and marker clear.
+  *
+  * Every crash point replays clean via [[heal]] (invoked by the stores'
+  * retract/compact entry points): pre-marker → the orphan stage is
+  * discarded and the retract re-runs whole against intact tables;
+  * post-marker → the staged rewrites finish publishing, including asides a
+  * concurrent READ heal may have restored mid-swap. Single-writer, like
+  * compaction: run between epochs of a live sink. Batch takedown requests —
+  * the whole-table rewrite amortizes over the batch exactly like a
+  * compaction pass. */
+object Takedown {
+
+  private val MarkerName = "_retract_pending"
+  private val StageName = ".retract_stage"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](512)
+      val n = in.read(buf)
+      if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
+    } finally in.close()
+  }
+
+  /** Finish (or perform) one sub-table's swap from the staged rewrite.
+    * Handles every crash residue: stage present + root present (swap not
+    * started), stage present + root absent (crashed between aside and
+    * publish — possibly with the aside already restored by a read heal),
+    * stage absent (this sub already swapped; only its aside may remain —
+    * delete it, it retains retracted content). */
+  private def finishSwap(fs: FileSystem, dir: String, sub: String): Unit = {
+    val root = new Path(s"$dir/$sub")
+    val prev = new Path(s"$dir/.${sub}_precompact")
+    val st = new Path(s"$dir/$StageName/$sub")
+    if (fs.exists(st)) {
+      if (fs.exists(root)) {
+        fs.delete(prev, true)
+        require(fs.rename(root, prev), s"Takedown: cannot move $root aside")
+      }
+      require(fs.rename(st, root), s"Takedown: cannot publish $st")
+      fs.delete(prev, true)
+    } else if (!fs.exists(root) && fs.exists(prev)) {
+      // defensive: no staged rewrite and no live table — restore the aside
+      // rather than dropping the store's only copy
+      require(fs.rename(prev, root), s"Takedown: cannot heal $prev")
+    } else {
+      fs.delete(prev, true)
+    }
+  }
+
+  /** Complete a crashed retract: a committed marker finishes every named
+    * sub-table's swap; an uncommitted stage is a pre-commit orphan and is
+    * discarded (the caller re-runs the retract whole). No-op on a clean
+    * store. */
+  def heal(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(new Path(dir))) return
+    val marker = new Path(s"$dir/$MarkerName")
+    val stage = new Path(s"$dir/$StageName")
+    if (!fs.exists(marker)) {
+      fs.delete(stage, true)
+      return
+    }
+    readText(fs, marker).split(",").filter(_.nonEmpty)
+      .foreach(finishSwap(fs, dir, _))
+    fs.delete(stage, true)
+    fs.delete(marker, false)
+  }
+
+  /** Run a staged retract: `build(stageDir)` writes each sub-table's full
+    * rewrite under `stageDir/<sub>` (only subs that need rewriting), then
+    * the marker commits and every sub in `subs` swaps in. */
+  def run(spark: SparkSession, dir: String, subs: Seq[String])
+         (build: String => Unit): Unit = {
+    val fs = fsOf(spark, dir)
+    heal(spark, dir)
+    val stage = new Path(s"$dir/$StageName")
+    fs.delete(stage, true)
+    build(stage.toString)
+    val marker = new Path(s"$dir/$MarkerName")
+    val out = fs.create(marker, true)
+    try out.write(subs.mkString(",").getBytes("UTF-8")) finally out.close()
+    subs.foreach(finishSwap(fs, dir, _))
+    fs.delete(stage, true)
+    fs.delete(marker, false)
+  }
+}

@@ -201,6 +201,44 @@ class Bm25Spec extends AnyFunSuite {
     assert(probe.count() >= 5) // seed doc + every appended doc mentions spark
   }
 
+  test("retract: re-probe hash-matches a from-scratch build without the " +
+    "docs; a word unique to the retracted doc vanishes; a mid-retract " +
+    "crash residue heals at the next maintenance call") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25ret").toString
+    val fresh = java.nio.file.Files.createTempDirectory("bm25fresh").toString
+    val qs = Seq(1L -> "spark join window", 2L -> "cats", 3L -> "common")
+    Bm25Store.seed(corpus, "doc_id", "text", dir)
+    Bm25Store.retract(spark, dir, Seq(4L, 5L))
+    Bm25Store.seed(corpus.filter("doc_id NOT IN (4, 5)"), "doc_id", "text",
+      fresh)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val got = rows(Bm25Store.probeStored(spark, dir, qs, k = 5))
+    val want = rows(Bm25Store.probeStored(spark, fresh, qs, k = 5))
+    assert(got == want, s"retracted=$got fresh=$want")
+    assert(!got.exists(r => r._2 == 4L || r._2 == 5L))
+    // 'cats' lived only in doc 4: its df row (the word is derived content)
+    // must be gone from the store entirely
+    assert(spark.read.parquet(s"$dir/df")
+      .filter(org.apache.spark.sql.functions.col("word") === "cats")
+      .count() == 0L)
+    // non-subset retract of already-gone ids is a no-op (anti-join finds
+    // nothing; ledger deltas are zero)
+    Bm25Store.retract(spark, dir, Seq(4L))
+    assert(rows(Bm25Store.probeStored(spark, dir, qs, k = 5)) == want)
+    // mid-retract crash residue (postings moved aside, publish pending):
+    // the next retract heals it first, then applies its own takedown
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/postings"),
+      new org.apache.hadoop.fs.Path(s"$dir/.postings_precompact")))
+    Bm25Store.retract(spark, dir, Seq(3L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings")))
+    val after = rows(Bm25Store.probeStored(spark, dir, qs, k = 5))
+    assert(!after.exists(r => Seq(3L, 4L, 5L).contains(r._2)))
+  }
+
   test("term saturation: repeating one term cannot outrank matching two") {
     val out = Bm25.topK(corpus, "doc_id", "text",
       Seq(1L -> "spark window"), k = 3).orderBy("rk").collect()

@@ -441,6 +441,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "heal must leave the store in the healthy layout")
   }
 
+  test("signature store: retract drops the ids' sigs AND band rows — the " +
+    "retracted doc's re-crawl screens in as NEW, untouched ids keep " +
+    "probing identically, and a mid-retract crash residue heals") {
+    import graft.operators.SignatureStore
+    val dir = java.nio.file.Files.createTempDirectory("sigret").toString
+    SignatureStore.seed(docs, "doc_id", "text", dir)
+    def hits(text: String): Set[Long] = {
+      val sigs = Dedup.minHashSignatures(
+        Seq((100L, text)).toDF("doc_id", "text"), "doc_id", "text", 32, 3)
+        .localCheckpoint()
+      SignatureStore.probeStored(spark, dir, sigs, 32, 8, 0.3)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val fox = "the quick brown fox jumps over the lazy dog"
+    val sparkTxt = "completely different content about spark engines and scale"
+    assert(hits(fox).nonEmpty && hits(sparkTxt).nonEmpty, "fixture")
+    // take down docs 0-2 (the whole fox family: sigs of near-dups of the
+    // retracted content are themselves derived content)
+    SignatureStore.retract(spark, dir, Seq(0L, 1L, 2L))
+    assert(hits(fox).isEmpty,
+      "a re-crawl of retracted content must screen in as NEW")
+    assert(hits(sparkTxt).nonEmpty,
+      "retract must not disturb other ids' signatures")
+    assert(SignatureStore.read(spark, dir).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L))
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("id") < 3).count() == 0L,
+      "band rows are derived content and must go with the sigs")
+    // mid-retract crash residue: sigs moved aside, publish pending — the
+    // next retract heals first, then applies its own takedown
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/sigs"),
+      new org.apache.hadoop.fs.Path(s"$dir/.sigs_precompact")))
+    SignatureStore.retract(spark, dir, Seq(4L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sigs")))
+    assert(SignatureStore.read(spark, dir).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(3L))
+    // the re-crawl of a retracted doc re-admits and re-stores (the
+    // FingerprintStore re-admission contract)
+    val app = SignatureStore.appender(spark, dir, "doc_id", "text",
+      streamTag = "recrawl")
+    app(Seq((200L, fox)).toDF("doc_id", "text"), 0L)
+    assert(hits(fox) == Set(100L),
+      "after re-crawl the content is stored again and screens as dup")
+  }
+
   test("simhash: identical docs at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

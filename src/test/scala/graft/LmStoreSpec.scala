@@ -187,6 +187,51 @@ class LmStoreSpec extends AnyFunSuite {
       l.contains("PartitionFilters") && l.contains("wb")) >= 2, p)
   }
 
+  test("retract: subtracting stored docs leaves the LM count-identical to a " +
+    "fresh seed without them (scores AND vocab); a non-subset retract " +
+    "fails loudly; a mid-retract crash residue heals") {
+    val dir = java.nio.file.Files.createTempDirectory("lmret").toString
+    val fresh = java.nio.file.Files.createTempDirectory("lmfresh").toString
+    LmStore.seed(corpus, "doc_id", "text", dir)
+    LmStore.seed(corpus.filter("doc_id NOT IN (3, 4)"), "doc_id", "text",
+      fresh)
+    LmStore.retract(spark, dir, corpus.filter("doc_id IN (3, 4)"),
+      "doc_id", "text")
+    // scoring ANY batch against the retracted store equals the fresh store
+    // exactly — same counts, same V, same fold
+    assert(scores(dir, corpus) == scores(fresh, corpus))
+    // vocab words unique to the retracted docs ('dog', 'novel', ...) are
+    // gone — the refcount table exists for exactly this
+    val v = spark.read.parquet(s"$dir/vocab").select("word").collect()
+      .map(_.getString(0)).toSet
+    val w = spark.read.parquet(s"$fresh/vocab").select("word").collect()
+      .map(_.getString(0)).toSet
+    assert(v == w, s"retracted vocab=$v fresh vocab=$w")
+    assert(!v.contains("dog") && !v.contains("novel"))
+    // retracting content the store never held must abort loudly BEFORE
+    // anything swaps (counts would silently corrupt otherwise)
+    val e = intercept[IllegalArgumentException] {
+      LmStore.retract(spark, dir,
+        Seq((99L, "zzz yyy zzz never stored")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("subset"), e.getMessage)
+    assert(scores(dir, corpus) == scores(fresh, corpus)) // nothing swapped
+    // mid-retract crash residue: bigrams moved aside, publish pending — the
+    // next retract heals first, then applies its own takedown
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/bigrams"),
+      new org.apache.hadoop.fs.Path(s"$dir/.bigrams_precompact")))
+    LmStore.retract(spark, dir, corpus.filter("doc_id = 2"),
+      "doc_id", "text")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bigrams")))
+    val fresh2 = java.nio.file.Files.createTempDirectory("lmfresh2").toString
+    LmStore.seed(corpus.filter("doc_id NOT IN (2, 3, 4)"), "doc_id", "text",
+      fresh2)
+    assert(scores(dir, corpus) == scores(fresh2, corpus))
+  }
+
   test("v2 vocab contract: after seed + appends + a replayed epoch, the vocab " +
     "table holds ZERO duplicate words — the probe's flat count(*) is exact") {
     val dir = java.nio.file.Files.createTempDirectory("lmv2").toString
