@@ -28,9 +28,17 @@ object ScaleCorpus {
   val Offset = 10000000L
 
   /** Generate `copies`× of `src` under `out` (idempotent — a `_SUCCESS`
-    * marker skips regeneration). Returns the out dir. */
+    * marker skips regeneration). Returns the out dir.
+    *
+    * `skew = true` re-tags ~80 % of documents into ONE language/source
+    * (deterministically by doc-id hash) at IDENTICAL volume — the corpus
+    * shape the uniform decades cannot expose (r13 verdict #2): a
+    * `partitionBy(lang)` window puts 80 % of this corpus into one task,
+    * while the KeyedRank range composition must stay ~flat. Only the tag
+    * columns change; text/bytes/row counts equal the uniform twin, so a
+    * skew-vs-uniform wall ratio isolates the skew handling. */
   def generate(spark: SparkSession, src: String, out: String,
-               copies: Int): String = synchronized {
+               copies: Int, skew: Boolean = false): String = synchronized {
     val root = new java.io.File(out).getAbsolutePath
     val done = new java.io.File(root, "_SUCCESS")
     if (!done.exists()) {
@@ -67,11 +75,16 @@ object ScaleCorpus {
         col("ts"), off("user_id", k), col("event_type"), col("value"),
         col("props"))), "events")
 
+      val hot = pmod(xxhash64(col("doc_id")), lit(10L)) < 8
       write(copiesOf("documents")((d, k) => d.select(
         off("doc_id", k),
         array_join(transform(split(col("text"), " "),
           w => concat(lit(s"c$k"), w)), " ").as("text"),
-        col("lang"), col("source"), col("n_chars"))), "documents")
+        (if (skew) when(hot, lit("en")).otherwise(col("lang"))
+         else col("lang")).as("lang"),
+        (if (skew) when(hot, lit("src0")).otherwise(col("source"))
+         else col("source")).as("source"),
+        col("n_chars"))), "documents")
       write(copiesOf("embeddings")((d, k) => d.select(
         off("vec_id", k),
         transform(col("embedding"), (x, i) =>
@@ -84,11 +97,12 @@ object ScaleCorpus {
     root
   }
 
-  /** CLI: `runMain graft.ScaleCorpus <srcDir> <outDir> [copies=10]`. */
+  /** CLI: `runMain graft.ScaleCorpus <srcDir> <outDir> [copies=10] [skew]`. */
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/bench-sf1"
     val n = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -96,7 +110,7 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"scaled corpus at ${generate(spark, src, out, n)}")
+    println(s"scaled corpus at ${generate(spark, src, out, n, skew)}")
     spark.stop()
   }
 }
