@@ -67,6 +67,9 @@ object BenchProbe {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("w")).limit(16)
       .collect().map(_.getString(0))
+    require(qs.length >= 16,
+      s"BenchProbe: corpus at $sfDir has only ${qs.length} distinct >3-char " +
+        "tokens — the fixed 8x2-term probe needs 16")
     val bmQueries = (0 until 8).map(i =>
       (i.toLong, s"${qs(2 * i)} ${qs(2 * i + 1)}"))
     val lmBatch = small.orderBy("doc_id").limit(50).localCheckpoint()
@@ -134,12 +137,21 @@ object BenchProbe {
       val (tS, rS) = timeIt(() => lmRun(lmS, b))
       val (tL, rL) = timeIt(() => lmRun(lmL, b))
       require(rS > 0 && rL > 0, s"$name: empty probe result")
-      val wS = math.max(1e-4, tS - ctlS); val wL = math.max(1e-4, tL - ctlL)
+      // RAW control-subtracted deltas, signed: when the 0-row control is
+      // slower than the measured probe the regime is control-dominated —
+      // data work is below the fixed-cost noise floor and a work_ratio
+      // would be fabricated, so it is flagged instead of clamped (r13
+      // ADVICE: math.max(1e-4, ·) manufactured 1.000 flatness).
+      val wS = tS - ctlS; val wL = tL - ctlL
+      val dominated = wS <= 0 || wL <= 0
+      val ratioField =
+        if (dominated) """"control_dominated":true"""
+        else f""""work_ratio":${wL / wS}%.3f"""
       f""""$name":{"rows_small":$rS,"rows_large":$rL,""" +
       f""""small_store_sec":$tS%.4f,"large_store_sec":$tL%.4f,""" +
       f""""probe_ratio":${tL / tS}%.3f,""" +
       f""""work_small_sec":$wS%.4f,"work_large_sec":$wL%.4f,""" +
-      f""""work_ratio":${wL / wS}%.3f}"""
+      ratioField + "}"
     }
 
     val lmNv = lmRegime("lm_score_narrow_vocab", narrowBatch)

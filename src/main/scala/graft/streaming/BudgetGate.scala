@@ -46,6 +46,11 @@ object BudgetGate {
     (source, rows, state) => {
       val budget = budgets.getOrElse(source, 0L)
       var filled = state.getOption.map(_.filled).getOrElse(0L)
+      // BOUNDED-BUFFER CONTRACT: the toSeq materializes one source's slice
+      // of ONE micro-batch (trigger-sized, not corpus-sized) — the sort
+      // that makes iterator order deterministic needs the slice whole.
+      // Size triggers so a single source's per-trigger rows fit an
+      // executor; the per-KEY state itself stays one long.
       val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
         if (filled < budget) {
           filled += d.n_toks
@@ -86,6 +91,7 @@ object BudgetGate {
         : Iterator[Admitted] = {
       val budget = budgets.getOrElse(source, 0L)
       var filled = if (state.exists()) state.get().filled else 0L
+      // trigger-sized buffer, same bounded contract as [[gateGroup]]
       val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
         if (filled < budget) {
           filled += d.n_toks
@@ -140,8 +146,11 @@ object BudgetGate {
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).map(_.getPath.getName)
       .collect { case n if n.startsWith(s"_budget_${tag}_epoch_") =>
-        n.stripPrefix(s"_budget_${tag}_epoch_").toLong }
-      .toSeq.sorted
+        n.stripPrefix(s"_budget_${tag}_epoch_") }
+      // numeric-suffix guard (the staging-heal convention): one stray
+      // non-numeric marker-ish file must not throw on every later epoch
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong).toSeq.sorted
   }
 
   /** Fill snapshot in force BEFORE `epoch` (empty when none committed). */
@@ -171,46 +180,153 @@ object BudgetGate {
                  streamTag: String = "stream", keepSnapshots: Int = 4)
                 (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
     require(keepSnapshots >= 2, "replay needs at least the prior snapshot")
+    (batch: DataFrame, epoch: Long) =>
+      gateEpoch(spark, dir, budgets, None, sourceCol, idCol, tokCol,
+        streamTag, keepSnapshots, batch, epoch)(out)
+  }
+
+  /** One epoch of the durable gate: compute admissions against the prior
+    * fill snapshot under `budgets`, persist the post-epoch snapshot, feed
+    * `out`, commit the marker (carrying `versionTag` when given — the
+    * rebudget replay record), prune old snapshots. Shared by the fixed-
+    * budget [[budgetSink]] and the versioned [[rebudgetableSink]]. */
+  private def gateEpoch(spark: SparkSession, dir: String,
+                        budgets: Map[String, Long], versionTag: Option[Long],
+                        sourceCol: String, idCol: String, tokCol: String,
+                        streamTag: String, keepSnapshots: Int,
+                        batch: DataFrame, epoch: Long)
+                       (out: DataFrame => Unit): Unit = {
+    val f = fs(spark, dir)
+    val marker = new Path(s"$dir/_budget_${streamTag}_epoch_$epoch")
+    val replay = f.exists(marker)
+    val pre = fillBefore(spark, dir, streamTag, epoch)
+      .withColumnRenamed("source", sourceCol)
+    val win = Window.partitionBy(sourceCol).orderBy(idCol)
+    val budgetOf = element_at(typedLit(budgets), col(sourceCol))
+    val admitted = batch
+      .withColumn("__cum_in_batch", sum(col(tokCol)).over(win))
+      .join(broadcast(pre.withColumnRenamed("filled", "__filled")),
+        Seq(sourceCol), "left")
+      .withColumn("__fill_before",
+        coalesce(col("__filled"), lit(0L)) + col("__cum_in_batch") -
+          col(tokCol))
+      .filter(col("__fill_before") < coalesce(budgetOf, lit(0L)))
+      .withColumn("cum_toks", col("__fill_before") + col(tokCol))
+      .drop("__cum_in_batch", "__filled", "__fill_before")
+      .localCheckpoint()
+    if (!replay) {
+      val adds = admitted.groupBy(col(sourceCol).as("source"))
+        .agg(sum(col(tokCol)).as("added"))
+      val next = pre.withColumnRenamed(sourceCol, "source")
+        .join(adds, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("filled"), lit(0L)) +
+            coalesce(col("added"), lit(0L))).as("filled"))
+      next.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/fill/epoch=$epoch")
+    }
+    out(admitted)
+    if (!replay) {
+      val o = f.create(marker, true)
+      try versionTag.foreach(v => o.write(v.toString.getBytes("UTF-8")))
+      finally o.close()
+      // prune: cumulative snapshots make old epochs garbage once outside
+      // any possible replay window; markers stay
+      val committed = committedEpochs(spark, dir, streamTag)
+      committed.dropRight(keepSnapshots).foreach { e =>
+        f.delete(new Path(s"$dir/fill/epoch=$e"), true)
+      }
+    }
+  }
+
+  // ---- Rebudgeting without restart: a versioned budget store -------------
+  //
+  // The r13 gap: budgets were captured into the sink closure at mount, so a
+  // long-lived front door needed a stream restart to raise a budget. Here
+  // budgets live in the store as tiny versioned snapshots:
+  //
+  //   dir/budgets/v=N/   (source, budget) parquet — publish is atomic
+  //                      (write dot-temp, rename), versions never rewrite
+  //
+  // and the rebudgetable sink re-reads the LATEST version each trigger (a
+  // driver-side, sources-sized read). Replay discipline: an epoch records
+  // the budget VERSION it admitted under in its commit-marker content, so a
+  // replayed epoch re-derives byte-identical admissions even if budgets
+  // moved since — raising a budget only ever affects epochs that commit
+  // AFTER the publish. Versions are kept (they are the replay record and
+  // sources-sized).
+
+  /** Publish a new budgets version; returns its version number. Atomic and
+    * monotone; concurrent publishers serialize on the rename (a loser's
+    * version number is simply skipped). */
+  def publishBudgets(spark: SparkSession, dir: String,
+                     budgets: Map[String, Long]): Long = {
+    import spark.implicits._
+    val f = fs(spark, dir)
+    val next = latestBudgetVersion(spark, dir).getOrElse(0L) + 1L
+    val tmp = new Path(s"$dir/budgets/.v=$next.tmp")
+    f.delete(tmp, true)
+    budgets.toSeq.toDF("source", "budget").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dest = new Path(s"$dir/budgets/v=$next")
+    require(f.rename(tmp, dest), s"publishBudgets: cannot publish $dest")
+    next
+  }
+
+  private def latestBudgetVersion(spark: SparkSession,
+                                  dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val root = new Path(s"$dir/budgets")
+    if (!f.exists(root)) None
+    else f.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=") }
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong).sorted.lastOption
+  }
+
+  /** Budgets at `version` (sources-sized collect). */
+  def budgetsAt(spark: SparkSession, dir: String,
+                version: Long): Map[String, Long] =
+    spark.read.parquet(s"$dir/budgets/v=$version")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def readMarkerVersion(spark: SparkSession, dir: String,
+                                tag: String, epoch: Long): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(s"$dir/_budget_${tag}_epoch_$epoch")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
+      } finally in.close()
+      if (txt.nonEmpty && txt.forall(_.isDigit)) Some(txt.toLong) else None
+    }
+  }
+
+  /** [[budgetSink]] with LIVE budgets: each trigger admits under the latest
+    * [[publishBudgets]] version — a raised budget admits post-bump docs
+    * without restarting the stream (and a lowered one stops admissions the
+    * same way; already-admitted fill is never revoked). A replayed epoch
+    * admits under the version its marker recorded, never the current one.
+    * Mount requires at least one published version (a gate with no budgets
+    * is a configuration error, not an admit-nothing stream). */
+  def rebudgetableSink(spark: SparkSession, dir: String, sourceCol: String,
+                       idCol: String, tokCol: String,
+                       streamTag: String = "stream", keepSnapshots: Int = 4)
+                      (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(keepSnapshots >= 2, "replay needs at least the prior snapshot")
+    require(latestBudgetVersion(spark, dir).isDefined,
+      s"rebudgetableSink: no budgets published under $dir — call " +
+        "publishBudgets before mounting the gate")
     (batch: DataFrame, epoch: Long) => {
-      val f = fs(spark, dir)
-      val marker = new Path(s"$dir/_budget_${streamTag}_epoch_$epoch")
-      val replay = f.exists(marker)
-      val pre = fillBefore(spark, dir, streamTag, epoch)
-        .withColumnRenamed("source", sourceCol)
-      val win = Window.partitionBy(sourceCol).orderBy(idCol)
-      val budgetOf = element_at(typedLit(budgets), col(sourceCol))
-      val admitted = batch
-        .withColumn("__cum_in_batch", sum(col(tokCol)).over(win))
-        .join(broadcast(pre.withColumnRenamed("filled", "__filled")),
-          Seq(sourceCol), "left")
-        .withColumn("__fill_before",
-          coalesce(col("__filled"), lit(0L)) + col("__cum_in_batch") -
-            col(tokCol))
-        .filter(col("__fill_before") < coalesce(budgetOf, lit(0L)))
-        .withColumn("cum_toks", col("__fill_before") + col(tokCol))
-        .drop("__cum_in_batch", "__filled", "__fill_before")
-        .localCheckpoint()
-      if (!replay) {
-        val adds = admitted.groupBy(col(sourceCol).as("source"))
-          .agg(sum(col(tokCol)).as("added"))
-        val next = pre.withColumnRenamed(sourceCol, "source")
-          .join(adds, Seq("source"), "full_outer")
-          .select(col("source"),
-            (coalesce(col("filled"), lit(0L)) +
-              coalesce(col("added"), lit(0L))).as("filled"))
-        next.coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/fill/epoch=$epoch")
-      }
-      out(admitted)
-      if (!replay) {
-        f.create(marker, true).close()
-        // prune: cumulative snapshots make old epochs garbage once outside
-        // any possible replay window; markers stay
-        val committed = committedEpochs(spark, dir, streamTag)
-        committed.dropRight(keepSnapshots).foreach { e =>
-          f.delete(new Path(s"$dir/fill/epoch=$e"), true)
-        }
-      }
+      val version = readMarkerVersion(spark, dir, streamTag, epoch)
+        .orElse(latestBudgetVersion(spark, dir))
+        .get // non-empty: mount required a published version
+      gateEpoch(spark, dir, budgetsAt(spark, dir, version), Some(version),
+        sourceCol, idCol, tokCol, streamTag, keepSnapshots, batch, epoch)(out)
     }
   }
 }

@@ -2012,6 +2012,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rebudgetable gate: a raised budget admits post-bump docs WITHOUT a " +
+    "stream restart or replay; a replayed epoch admits under the budget " +
+    "version its marker recorded, not the current one") {
+    import graft.streaming.BudgetGate
+    val bDir = java.nio.file.Files.createTempDirectory("rebudget").toString
+    import spark.implicits._
+    def batch(rows: (String, Long, Long)*) =
+      rows.toSeq.toDF("source", "doc_id", "n_toks")
+    val applied = scala.collection.mutable.Map[Long, Set[Long]]()
+    var cur = -1L
+    // mounting before any publish is a loud configuration error
+    val noBudgets = intercept[IllegalArgumentException] {
+      BudgetGate.rebudgetableSink(spark, bDir, "source", "doc_id",
+        "n_toks", streamTag = "rb") { _ => () }
+    }
+    assert(noBudgets.getMessage.contains("publishBudgets"))
+    assert(BudgetGate.publishBudgets(spark, bDir, Map("web" -> 10L)) == 1L)
+    val sink = BudgetGate.rebudgetableSink(spark, bDir, "source", "doc_id",
+      "n_toks", streamTag = "rb") { adm =>
+      applied(cur) = adm.collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    // v1 (budget 10): doc 1 admits, doc 2 crosses the boundary and admits
+    // (fill 16); epoch 1's doc is over budget
+    cur = 0L; sink(batch(("web", 1L, 8L), ("web", 2L, 8L)), 0L)
+    cur = 1L; sink(batch(("web", 3L, 5L)), 1L)
+    assert(applied(0L) == Set(1L, 2L) && applied(1L) == Set.empty)
+    // raise to 40 — the NEXT trigger admits, no restart, no replay
+    assert(BudgetGate.publishBudgets(spark, bDir, Map("web" -> 40L)) == 2L)
+    cur = 2L; sink(batch(("web", 4L, 5L)), 2L)
+    assert(applied(2L) == Set(4L), applied.toString)
+    // a replayed epoch 1 (marker present) still admits NOTHING: it runs
+    // under recorded v1, not current v2
+    cur = 1L; sink(batch(("web", 3L, 5L)), 1L)
+    assert(applied(1L) == Set.empty,
+      "replay must use the epoch's recorded budget version")
+    // and replayed epoch 0 re-derives its original admissions byte-for-byte
+    cur = 0L; sink(batch(("web", 1L, 8L), ("web", 2L, 8L)), 0L)
+    assert(applied(0L) == Set(1L, 2L))
+    // lowering stops admissions the same way (fill 21 >= budget 20); the
+    // already-admitted fill is never revoked
+    assert(BudgetGate.publishBudgets(spark, bDir, Map("web" -> 20L)) == 3L)
+    cur = 3L; sink(batch(("web", 5L, 5L)), 3L)
+    assert(applied(3L) == Set.empty)
+  }
+
   test("front door chain: byte-exact dedup gate feeds the durable budget " +
     "gate in one foreachBatch — crashes inside and between the two commits " +
     "replay to the same admitted set, budget never spent on a dup") {
