@@ -66,9 +66,16 @@ object KeyedRank {
       "rankCumsum: nothing to compute")
     val spark = df.sparkSession
     val outCols = df.columns.toSeq
+    // Materialize the input ONCE before the range shuffle:
+    // repartitionByRange SAMPLES its child to pick boundaries, so a lazy
+    // upstream chain would execute twice (sample pass + real pass) with no
+    // exchange reuse — measured 5× on the bigram-LM chain at sf1. The
+    // input is the caller's narrow frame; one in-memory copy is the
+    // contract (the same reason the layout itself checkpoints below).
+    val input = df.localCheckpoint()
     // pass 1: freeze the range layout — both passes below must see the
     // same physical pid assignment
-    val sorted = rangeLayout(df, keyCol, orderCols).localCheckpoint()
+    val sorted = rangeLayout(input, keyCol, orderCols).localCheckpoint()
     // pass 2: per-(key, pid) partials — combinable agg, bounded collect
     val aggs = count(lit(1)).as("__gr_pn") +:
       cum.toSeq.map { case (v, _) => sum(col(v).cast("long")).as("__gr_ps") }

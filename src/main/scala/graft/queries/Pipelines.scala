@@ -2189,10 +2189,20 @@ object Pipelines {
   val lmFluency: Q = (s, dir) => lmScored(s, dir)
     .select("doc_id", "n_trans", "lm_score").orderBy("doc_id")
 
-  /** The shared trained-bigram-LM scoring chain behind [[lmFluency]] and
-    * [[pplBuckets]]: (doc_id, lang, n_trans, lm_score) unordered, every doc
-    * present (transition-less docs score 0.0). */
-  private def lmScored(s: SparkSession, dir: String): DataFrame = {
+  /** The shared trained-bigram-LM scoring chain behind [[lmFluency]],
+    * [[pplBuckets]], [[exportCurriculum]], and [[corpusBuildCcnet]]:
+    * (doc_id, lang, n_trans, lm_score) unordered, every doc present
+    * (transition-less docs score 0.0). Shared ARTIFACT like
+    * [[textQuality]] ([[qualityMemo]] contract): four queries consume the
+    * identical per-doc scores, so the chain computes once per
+    * (session, corpus) and the checkpointed result is doc-count-sized
+    * (four narrow columns per doc). */
+  private val lmScoredMemo = new graft.SessionMemo[DataFrame]
+
+  private def lmScored(s: SparkSession, dir: String): DataFrame =
+    lmScoredMemo.getOrBuild(s, dir)(lmScoredBody(s, dir).localCheckpoint())
+
+  private def lmScoredBody(s: SparkSession, dir: String): DataFrame = {
     val arr0 = TextFns.normTokens(TextFns.cleanText(col("text"),
       removePunctuation = true))
     // project the array ONCE (HOF lambdas re-evaluate their input per element)
@@ -2378,9 +2388,10 @@ object Pipelines {
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
       .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
-    // 8-byte fp as the dup shuffle key — text never re-keys a shuffle
+    // 8-byte fp as the dup shuffle key — text never re-keys a shuffle; the
+    // char-fold fp computes ONCE (checkpoint) for its two consumers
     val fps = docs.select(col("source"),
-      TextFns.fingerprint64(col("text")).as("fp"))
+      TextFns.fingerprint64(col("text")).as("fp")).localCheckpoint()
     val fpCounts = fps.groupBy("fp").agg(count(lit(1)).as("txt_n"))
     val dup = fps.join(fpCounts, Seq("fp"))
       .groupBy("source")
