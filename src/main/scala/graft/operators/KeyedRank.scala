@@ -61,18 +61,21 @@ object KeyedRank {
                  rn: Option[String] = None,
                  cum: Option[(String, String)] = None,
                  keyTotal: Option[String] = None,
-                 maxOffsetRows: Int = 1 << 20): DataFrame = {
+                 maxOffsetRows: Int = 1 << 20,
+                 materializeInput: Boolean = true): DataFrame = {
     require(rn.isDefined || cum.isDefined || keyTotal.isDefined,
       "rankCumsum: nothing to compute")
     val spark = df.sparkSession
     val outCols = df.columns.toSeq
-    // Materialize the input ONCE before the range shuffle:
-    // repartitionByRange SAMPLES its child to pick boundaries, so a lazy
-    // upstream chain would execute twice (sample pass + real pass) with no
-    // exchange reuse — measured 5× on the bigram-LM chain at sf1. The
-    // input is the caller's narrow frame; one in-memory copy is the
-    // contract (the same reason the layout itself checkpoints below).
-    val input = df.localCheckpoint()
+    // repartitionByRange SAMPLES its child to pick boundaries, so the input
+    // executes twice (sample pass + shuffle pass) with no exchange reuse —
+    // measured 5× on the bigram-LM chain at sf1. `materializeInput` (the
+    // safe default) checkpoints the input once to pay the chain once; pass
+    // FALSE when the input is already cheap to recompute — a parquet scan
+    // projection or an upstream checkpoint/memo — where re-sampling costs a
+    // fraction of a scan and a second in-memory copy of a corpus-sized
+    // narrow frame is the worse trade at 100 TB.
+    val input = if (materializeInput) df.localCheckpoint() else df
     // pass 1: freeze the range layout — both passes below must see the
     // same physical pid assignment
     val sorted = rangeLayout(input, keyCol, orderCols).localCheckpoint()

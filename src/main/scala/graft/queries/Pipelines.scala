@@ -418,7 +418,8 @@ object Pipelines {
         val fl = lmScored(s, dir)
         val fkeep = graft.operators.KeyedRank.rankCumsum(fl, "lang",
             Seq(col("lm_score"), col("doc_id")), rn = Some("rn"),
-            keyTotal = Some("n"))
+            keyTotal = Some("n"),
+            materializeInput = false) // lmScored is a memoized checkpoint
           .withColumn("bucket", expr("1 + CAST(rn - 1 AS BIGINT) * 3 DIV n"))
           .filter(col("bucket") >= 2)
           .select("doc_id")
@@ -450,7 +451,8 @@ object Pipelines {
       .withColumn("draw", graft.operators.Sample.drawCol(col("doc_id"), 13L))
     val keptIds = graft.operators.KeyedRank.rankCumsum(drawn, "source",
         Seq(col("draw").desc, col("doc_id")),
-        cum = Some(("n_toks", "cum_toks")))
+        cum = Some(("n_toks", "cum_toks")),
+        materializeInput = false) // drawn projects the kept0 checkpoint
       .join(broadcast(budgets), Seq("source"))
       .filter(col("cum_toks") - col("n_toks") < col("budget_toks"))
       .select("doc_id")
@@ -1199,7 +1201,8 @@ object Pipelines {
       col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
     val withN = graft.operators.KeyedRank.rankCumsum(docs, "source",
       Seq(col("n_toks"), col("doc_id")), rn = Some("rn"),
-      keyTotal = Some("n"))
+      keyTotal = Some("n"),
+      materializeInput = false) // a narrow scan projection
     def atQ(q: Double) = ceil(lit(q) * col("n")).cast("long")
     val cuts = withN
       .filter(col("rn") === atQ(0.1) || col("rn") === atQ(0.5) ||
@@ -1797,7 +1800,8 @@ object Pipelines {
     val cum = graft.operators.KeyedRank.rankCumsum(
       docs.withColumn("draw", graft.operators.Sample.drawCol(col("doc_id"), 13L)),
       "source", Seq(col("draw").desc, col("doc_id")),
-      cum = Some(("n_toks", "cum_toks")))
+      cum = Some(("n_toks", "cum_toks")),
+      materializeInput = false) // a narrow scan projection + hash draw
     val kept = col("cum_toks") - col("n_toks") < col("budget_toks")
     cum.join(broadcast(budgets), Seq("source"))
       .groupBy("source").agg(
@@ -2290,7 +2294,8 @@ object Pipelines {
     val scored = lmScored(s, dir)
     graft.operators.KeyedRank.rankCumsum(scored, "lang",
         Seq(col("lm_score"), col("doc_id")), rn = Some("rn"),
-        keyTotal = Some("n"))
+        keyTotal = Some("n"),
+        materializeInput = false) // lmScored is a memoized checkpoint
       // rank cast BEFORE the ×3: an int32 row_number × 3 overflows past
       // ~715M docs per language — real at corpus scale
       .withColumn("bucket", expr("1 + CAST(rn - 1 AS BIGINT) * 3 DIV n"))
@@ -2478,7 +2483,8 @@ object Pipelines {
     val scored = lmScored(s, dir)
     val phased = graft.operators.KeyedRank.rankCumsum(scored, "lang",
         Seq(col("lm_score"), col("doc_id")), rn = Some("rn"),
-        keyTotal = Some("n"))
+        keyTotal = Some("n"),
+        materializeInput = false) // lmScored is a memoized checkpoint
       .withColumn("phase",
         lit(4L) - expr("1 + CAST(rn - 1 AS BIGINT) * 3 DIV n"))
       .select("doc_id", "phase")
