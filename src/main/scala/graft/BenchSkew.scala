@@ -53,12 +53,16 @@ object BenchSkew {
     def releaseBlocks(): Unit = { System.gc(); Thread.sleep(50) }
     releaseBlocks()
     var failed = List.empty[String]
+    // A throwing query must NOT contribute a timing: a near-zero "elapsed"
+    // from an early failure would silently flatten the skew/uniform ratio
+    // (r14 advice). Failed runs record NaN; min-of-pairs propagates it and
+    // the headline ratio + per-query map only aggregate fully-green pairs.
     def timedPass(dir: String): Map[String, Double] =
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count() }
-        catch { case _: Throwable => failed ::= s"$name@$dir" }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, dir).count(); true }
+        catch { case _: Throwable => failed ::= s"$name@$dir"; false }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         releaseBlocks()
         name -> dt
       }.toMap
@@ -66,18 +70,22 @@ object BenchSkew {
     val u2 = timedPass(uniformDir); val s2 = timedPass(skewDir)
     val uni = u1.map { case (k, v) => k -> math.min(v, u2(k)) }
     val skw = s1.map { case (k, v) => k -> math.min(v, s2(k)) }
+    val okNames = Names.filter(n => !uni(n).isNaN && !skw(n).isNaN)
     def f(v: Double) = f"$v%.3f"
-    val perQ = Names.map { n =>
+    def jnum(v: Double) = if (v.isNaN) "null" else v.toString
+    val perQ = okNames.map { n =>
       val r = if (uni(n) > 0) skw(n) / uni(n) else 0.0
       s"""\"$n\":{"uniform":${f(uni(n))},"skew":${f(skw(n))},"ratio":${f(r)}}"""
     }.mkString("{", ",", "}")
     val pairs = Names.map { n =>
-      s"""\"$n\":{"uniform":[${u1(n)},${u2(n)}],"skew":[${s1(n)},${s2(n)}]}"""
+      s"""\"$n\":{"uniform":[${jnum(u1(n))},${jnum(u2(n))}],""" +
+        s""""skew":[${jnum(s1(n))},${jnum(s2(n))}]}"""
     }.mkString("{", ",", "}")
-    val uTot = uni.values.sum; val sTot = skw.values.sum
+    val uTot = okNames.map(uni).sum; val sTot = okNames.map(skw).sum
     val fs = failed.reverse.distinct.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"skew_over_uniform","value":${f(sTot / uTot)},""" +
+    val ratio = if (uTot > 0) sTot / uTot else 0.0
+    val line = s"""{"metric":"skew_over_uniform","value":${f(ratio)},""" +
       s""""unit":"ratio","uniform_total":${f(uTot)},"skew_total":${f(sTot)},""" +
       s""""queries":$perQ,"failed":$fs,"copies":$copies,"src":"$src"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(

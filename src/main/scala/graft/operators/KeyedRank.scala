@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed per-key rank / running sum for LOW-CARDINALITY keys — the
   * skew-proof replacement for `Window.partitionBy(key)` when `key` is a
@@ -32,6 +33,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * oracles keep replaying the plain `OVER (PARTITION BY key ORDER BY …)`
   * window. */
 object KeyedRank {
+
+  /** Driver-side total order over collected key values: nulls first (any
+    * consistent grouping order works — the offsets are joined back by
+    * value, never by position), then the type's natural order. Only used
+    * to re-group the tiny offset table after an unordered collect. */
+  private def anyCompare(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _)    => -1
+    case (_, null)    => 1
+    case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case (x, y) => x.toString.compareTo(y.toString)
+  }
 
   /** The frozen range layout (pass 1): range-partitioned on (key, order…),
     * sorted within partitions, tagged with the physical partition id.
@@ -62,7 +75,8 @@ object KeyedRank {
                  cum: Option[(String, String)] = None,
                  keyTotal: Option[String] = None,
                  maxOffsetRows: Int = 1 << 20,
-                 materializeInput: Boolean = true): DataFrame = {
+                 materializeInput: Boolean = true,
+                 layoutLevel: Option[StorageLevel] = None): DataFrame = {
     require(rn.isDefined || cum.isDefined || keyTotal.isDefined,
       "rankCumsum: nothing to compute")
     val spark = df.sparkSession
@@ -75,18 +89,32 @@ object KeyedRank {
     // projection or an upstream checkpoint/memo — where re-sampling costs a
     // fraction of a scan and a second in-memory copy of a corpus-sized
     // narrow frame is the worse trade at 100 TB.
-    val input = if (materializeInput) df.localCheckpoint() else df
+    // Both frozen copies (the materialized input and the range layout) are
+    // memory-resident by default; `layoutLevel` lets a caller holding a
+    // corpus-sized frame on a memory-tight cluster push them to
+    // DISK_ONLY instead (same SessionMemo-style trade: pay IO, not OOM).
+    def freeze(d: DataFrame): DataFrame = layoutLevel match {
+      case Some(lvl) => d.localCheckpoint(true, lvl)
+      case None      => d.localCheckpoint()
+    }
+    val input = if (materializeInput) freeze(df) else df
     // pass 1: freeze the range layout — both passes below must see the
     // same physical pid assignment
-    val sorted = rangeLayout(input, keyCol, orderCols).localCheckpoint()
-    // pass 2: per-(key, pid) partials — combinable agg, bounded collect
+    val sorted = freeze(rangeLayout(input, keyCol, orderCols))
+    // pass 2: per-(key, pid) partials — combinable agg, bounded collect.
+    // No cluster-side orderBy: the frame is tiny (|keys| × partitions) but
+    // a global sort still costs an extra exchange + job; the (key, pid)
+    // ordering the prefix scan needs is re-established driver-side.
     val aggs = count(lit(1)).as("__gr_pn") +:
       cum.toSeq.map { case (v, _) => sum(col(v).cast("long")).as("__gr_ps") }
-    val totals = sorted.groupBy(col(keyCol), col("__gr_pid"))
+    val totalsRaw = sorted.groupBy(col(keyCol), col("__gr_pid"))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col(keyCol), col("__gr_pid"))
       .limit(maxOffsetRows + 1)
       .collect()
+    val totals = totalsRaw.sortWith { (a, b) =>
+      val kc = anyCompare(a.get(0), b.get(0))
+      if (kc != 0) kc < 0 else a.getInt(1) < b.getInt(1)
+    }
     require(totals.length <= maxOffsetRows,
       s"rankCumsum: over $maxOffsetRows (key='$keyCol', partition) offset " +
         "rows — this helper is for LOW-cardinality keys; a corpus-sized key " +
@@ -123,7 +151,14 @@ object KeyedRank {
     // exact global-within-key rank/cumsum
     val w = Window.partitionBy(col("__gr_pid"), col(keyCol))
       .orderBy(orderCols: _*)
-    var out = sorted.join(broadcast(offDf), Seq(keyCol, "__gr_pid"))
+    // NULL-SAFE key equality (<=>): Window.partitionBy keeps null keys as a
+    // group and the driver prefix scan above emits their offsets, but a
+    // plain equi-join would silently drop every null-key row — so a
+    // null-lang corpus slice would vanish from the result (r14 advice).
+    val off = broadcast(offDf)
+    var out = sorted.join(off,
+        sorted(keyCol) <=> off(keyCol) && sorted("__gr_pid") === off("__gr_pid"))
+      .drop(off(keyCol)).drop(off("__gr_pid"))
     rn.foreach { c =>
       out = out.withColumn(c,
         col("__gr_coff") + row_number().over(w).cast("long"))

@@ -227,9 +227,19 @@ object BudgetGate {
     }
     out(admitted)
     if (!replay) {
-      val o = f.create(marker, true)
+      // Write the marker CONTENT atomically: create a dot-temp, write the
+      // version tag, rename into the marker name. A bare create-then-write
+      // had a crash window where an EMPTY marker was visible — a replayed
+      // epoch would read "committed" but readMarkerVersion would fall back
+      // to the CURRENT latest budget version, breaking byte-identical
+      // replay (r14 advice). The dot-prefix keeps committedEpochs blind to
+      // the temp.
+      val tmpM = new Path(s"$dir/._budget_${streamTag}_epoch_$epoch.tmp")
+      f.delete(tmpM, true)
+      val o = f.create(tmpM, true)
       try versionTag.foreach(v => o.write(v.toString.getBytes("UTF-8")))
       finally o.close()
+      require(f.rename(tmpM, marker), s"gateEpoch: cannot commit $marker")
       // prune: cumulative snapshots make old epochs garbage once outside
       // any possible replay window; markers stay
       val committed = committedEpochs(spark, dir, streamTag)
@@ -257,20 +267,37 @@ object BudgetGate {
   // sources-sized).
 
   /** Publish a new budgets version; returns its version number. Atomic and
-    * monotone; concurrent publishers serialize on the rename (a loser's
-    * version number is simply skipped). */
+    * monotone. Concurrent publishers each stage under a PUBLISHER-UNIQUE
+    * dot-temp (a shared `.v=N.tmp` would let the loser overwrite the
+    * winner's staged bytes before either renames — r14 advice), then race
+    * on the rename into `v=N`; a loser detects the occupied destination
+    * (exists-check, or the FS nesting its temp INSIDE the published dir),
+    * cleans up its temp, and retries at the new latest+1. */
   def publishBudgets(spark: SparkSession, dir: String,
                      budgets: Map[String, Long]): Long = {
     import spark.implicits._
     val f = fs(spark, dir)
-    val next = latestBudgetVersion(spark, dir).getOrElse(0L) + 1L
-    val tmp = new Path(s"$dir/budgets/.v=$next.tmp")
-    f.delete(tmp, true)
-    budgets.toSeq.toDF("source", "budget").coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val dest = new Path(s"$dir/budgets/v=$next")
-    require(f.rename(tmp, dest), s"publishBudgets: cannot publish $dest")
-    next
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 16,
+        "publishBudgets: lost 16 publish races — is a publisher looping?")
+      val next = latestBudgetVersion(spark, dir).getOrElse(0L) + 1L
+      val tmp = new Path(s"$dir/budgets/.v=$next.$nonce.tmp")
+      f.delete(tmp, true)
+      budgets.toSeq.toDF("source", "budget").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val dest = new Path(s"$dir/budgets/v=$next")
+      val nested = new Path(dest, tmp.getName)
+      if (!f.exists(dest) && f.rename(tmp, dest) && !f.exists(nested))
+        return next
+      // lost: another publisher owns v=next (or rename nested the temp
+      // inside it) — remove both possible temp locations, re-read latest
+      f.delete(nested, true)
+      f.delete(tmp, true)
+    }
+    -1L // unreachable
   }
 
   private def latestBudgetVersion(spark: SparkSession,

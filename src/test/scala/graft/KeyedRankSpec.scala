@@ -97,6 +97,37 @@ class KeyedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("null keys survive and rank as their own group (null-safe join)") {
+    withoutCoalesce {
+    // Window.partitionBy(key) keeps nulls as a group; a plain equi-join on
+    // the offset table would drop them silently (r14 advice, medium).
+    val df = (0 until 600).map { i =>
+      val key: String = if (i % 5 == 0) null else if (i % 2 == 0) "a" else "b"
+      (i.toLong, key, (i * 37) % 101)
+    }.toDF("id", "key", "v").repartition(6)
+    val got = KeyedRank.rankCumsum(df, "key", Seq(col("v"), col("id")),
+      rn = Some("rn"), keyTotal = Some("n"))
+    assert(got.count() === 600L, "null-key rows must not be dropped")
+    val w = Window.partitionBy("key").orderBy("v", "id")
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("key")))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
+  test("layoutLevel knob (DISK_ONLY) leaves results identical") {
+    withoutCoalesce {
+    val df = skewed(900)
+    val mem = KeyedRank.rankCumsum(df, "key", Seq(col("score"), col("id")),
+      rn = Some("rn"), cum = Some(("toks", "cum")))
+    val disk = KeyedRank.rankCumsum(df, "key", Seq(col("score"), col("id")),
+      rn = Some("rn"), cum = Some(("toks", "cum")),
+      layoutLevel = Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    assert(mem.exceptAll(disk).isEmpty && disk.exceptAll(mem).isEmpty)
+    }
+  }
+
   test("empty frame and the offset-row bound") {
     val empty = Seq.empty[(Long, String, Int)].toDF("id", "key", "v")
     assert(KeyedRank.rankCumsum(empty, "key", Seq(col("v"), col("id")),
