@@ -159,6 +159,40 @@ object Pack {
       case r                  => r.getLong(0)
     }
     writeTokenMarker(spark, dir, "_packed_seed", total)
+    // the packing geometry is part of the store: appender and retract reads
+    // check it loudly (the other stores' `_params` token discipline)
+    writeParams(spark, dir, budget, binsPerShard)
+  }
+
+  private val ParamsName = "_pack_params"
+
+  private def writeParams(spark: SparkSession, dir: String, budget: Long,
+                          binsPerShard: Long): Unit = {
+    val p = new Path(s"$dir/$ParamsName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"budget=$budget,bins_per_shard=$binsPerShard"
+      .getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Check the caller's packing geometry against the store's `_pack_params`
+    * token — a mismatched budget would silently interleave two incompatible
+    * token streams. Seeds the token on a pre-params store (bulk exports
+    * written before the token existed). */
+  private def checkOrSeedParams(spark: SparkSession, dir: String,
+                                budget: Long, binsPerShard: Long): Unit = {
+    val p = new Path(s"$dir/$ParamsName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return
+    val want = s"budget=$budget,bins_per_shard=$binsPerShard"
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(got == want,
+        s"Pack store $dir was packed with '$got' but the caller passed " +
+          s"'$want' — mixed packing geometry corrupts the token stream")
+    } else writeParams(spark, dir, budget, binsPerShard)
   }
 
   private def writeTokenMarker(spark: SparkSession, dir: String,
@@ -169,10 +203,13 @@ object Pack {
     try out.write(total.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Global token total recorded by the store's markers (the post-epoch
+  /** RAW token coordinate recorded by the store's markers (the post-epoch
     * counts [[writeShards]] seeds and [[shardAppender]] advances): the MAX
-    * across markers is where the token stream currently ends. */
-  private def storedTokenTotal(spark: SparkSession, dir: String): Long = {
+    * across markers is where the raw stream currently ends. The raw axis is
+    * APPEND-ONLY — [[retractDocs]] never rewrites a marker; it records the
+    * cumulative leftward shift separately ([[retractShiftDelta]]) so the
+    * max over markers stays monotone across retractions and appends. */
+  private def rawTokenMax(spark: SparkSession, dir: String): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
@@ -186,6 +223,27 @@ object Pack {
         } finally in.close()
       }.foldLeft(0L)(math.max)
   }
+
+  private val RetractMetaName = "_retract_meta"
+
+  /** Cumulative tokens removed by [[retractDocs]] repacks: the stored bins'
+    * EFFECTIVE stream end is [[rawTokenMax]] minus this delta. Lives in its
+    * own staged sub-table so it swaps atomically with the shard rewrites
+    * under the retract marker. */
+  def retractShiftDelta(spark: SparkSession, dir: String): Long = {
+    val p = new Path(s"$dir/$RetractMetaName/delta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    if (txt.nonEmpty && txt.forall(_.isDigit)) txt.toLong else 0L
+  }
+
+  /** Where the stored token stream ends (effective coordinate): the next
+    * appended doc's first token lands here. */
+  def storedTokenTotal(spark: SparkSession, dir: String): Long =
+    rawTokenMax(spark, dir) - retractShiftDelta(spark, dir)
 
   /** foreachBatch sink appending each micro-batch as packed blocks that
     * CONTINUE the store's global token stream — the streaming tail of the
@@ -217,11 +275,19 @@ object Pack {
                     autoCompactFactor: Int = AutoCompact.DefaultFactor):
       (DataFrame, Long) => Unit = {
     require(budget > 0 && binsPerShard > 0)
-    // restart heal: committed epochs finish publishing, uncommitted staging
-    // is discarded (its epoch will replay in full)
+    // restart heals: a crashed retract finishes first (its marker owns the
+    // shard dirs), then committed epochs finish publishing and uncommitted
+    // staging is discarded (its epoch will replay in full)
+    Takedown.heal(spark, dir)
     healStaging(spark, dir, streamTag)
+    checkOrSeedParams(spark, dir, budget, binsPerShard)
     val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
-    var total = storedTokenTotal(spark, dir)
+    // raw marker coordinate vs effective packing position: markers advance
+    // on the append-only raw axis; bins pack at raw − shift delta. The
+    // delta is constant for the sink's lifetime — retract is single-writer
+    // maintenance run with the appender DOWN (remount after a retract).
+    val shiftDelta = retractShiftDelta(spark, dir)
+    var total = rawTokenMax(spark, dir)
     (batch: DataFrame, epoch: Long) => {
       val marker = new Path(s"$dir/_packed_${streamTag}_epoch_$epoch")
       val fs = marker.getFileSystem(
@@ -234,7 +300,7 @@ object Pack {
         fs.delete(stage, true) // half-written pre-crash staging, if any
         val b = batch.localCheckpoint()
         val packed = packByBudget(b, orderCol, tokCol, budget,
-            startTok = total)
+            startTok = total - shiftDelta)
           .select(col(orderCol), col("bin_id"), col("bin_offset"))
           .join(b, Seq(orderCol))
         packed
@@ -300,6 +366,153 @@ object Pack {
       }
   }
 
+  /** [[healStaging]] across EVERY stream tag — the retract entry point must
+    * fold committed-but-unpublished epochs of any appender into the shard
+    * dirs before repacking (their rows are logically in the store), and may
+    * discard uncommitted staging (that epoch never committed; its re-delivery
+    * will pack at the post-retract stream end, which is exactly right). */
+  private def healAllStaging(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(".pack_stage_"))
+      .map(_.stripPrefix(".pack_stage_"))
+      .flatMap { rest =>
+        val cut = rest.lastIndexOf('_')
+        if (cut <= 0) None else Some(rest.take(cut))
+      }.distinct.foreach(healStaging(spark, dir, _))
+  }
+
+  /** Drop `shard=` dirs holding no data files — the residue of a retract
+    * that emptied the tail of the token stream (their staged replacements
+    * publish empty so the swap protocol stays uniform). Idempotent and safe
+    * at any crash point: an empty dir carries no rows. */
+  private def sweepEmptyShards(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("shard=")).foreach {
+      st => if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Takedown for the packed training-shard export: remove `ids`' documents
+    * from the token stream and close the gap — the post-retract store is
+    * byte-identical to a from-scratch [[writeShards]] of the same corpus
+    * without those docs (same bins, offsets, shard assignment), and a
+    * subsequent [[shardAppender]] continues from the shrunken end exactly
+    * as it would on that from-scratch store. The one artifact that retains
+    * full document payloads (reference keeps corpora immutable on disk —
+    * datasets/loaders in `utils/datasets.py` — so removal-with-history is
+    * engine-new) thereby honors the same DMCA/GDPR shape as the five
+    * derived stores ([[Takedown]]).
+    *
+    * Scale shape — the blast radius is the SUFFIX from the first affected
+    * shard, never the whole store: removal shifts every later token left,
+    * so shards before the first retracted doc are untouched (partition-
+    * pruned out of the rewrite scan), and retracting recent content — the
+    * common takedown case for a crawl store — rewrites only the tail.
+    * Retracting the oldest doc honestly approaches a full re-export; the
+    * affected-shard scan is cheap and runs first, so an operator sees the
+    * blast radius before paying for it.
+    *
+    * The repack orders survivors by their STORED stream position
+    * (`bin_id·budget + bin_offset`), not by `orderCol` — an appended store
+    * interleaves epochs on the stream axis, and the stream, not the id
+    * order, is the trainer-visible concatenation being preserved.
+    *
+    * Protocol: [[Takedown.runDynamic]] — the whole suffix repack (plus the
+    * shift-delta meta table and empty placeholders for shard dirs the
+    * shrunken stream no longer reaches) stages under `.retract_stage`, the
+    * marker commits the exact sub list, every dir swaps via the aside
+    * discipline, asides are deleted (they retain the retracted payloads).
+    * Every crash point heals: pre-marker → stage discarded, store intact,
+    * retract re-runs whole; post-marker → [[Takedown.heal]] (wired into the
+    * appender mount, [[compactShards]], and this entry point) finishes the
+    * swaps. Markers are never rewritten — the raw token axis stays
+    * append-only and [[retractShiftDelta]] carries the cumulative shift, so
+    * `rawTokenMax − delta` is the effective end at every point in history.
+    * Single-writer maintenance: run between epochs with the appender down,
+    * like compaction; remount the appender afterwards. */
+  def retractDocs(spark: SparkSession, dir: String, orderCol: String,
+                  tokCol: String, budget: Long, binsPerShard: Long,
+                  ids: Seq[Any]): Unit = {
+    require(budget > 0 && binsPerShard > 0)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (ids.isEmpty || !fs.exists(root)) return
+    Takedown.heal(spark, dir)
+    healAllStaging(spark, dir)
+    sweepEmptyShards(spark, dir)
+    checkOrSeedParams(spark, dir, budget, binsPerShard)
+    if (shardDirCount(spark, dir) == 0) return
+    // ids is a takedown batch — bounded by contract, so the isin literal is
+    // legal (the one sanctioned literal-membership shape)
+    val store = spark.read.parquet(dir)
+    val hit = store.where(col(orderCol).isin(ids: _*))
+      .select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (hit.isEmpty) return // nothing stored for these ids
+    val s0 = hit.min
+    // effective stream position where shard s0's doc run begins = the
+    // stored first_tok of its first doc (single partition-pruned shard scan)
+    val pfx = store.where(col("shard") === s0)
+      .agg(min(col("bin_id").cast("long") * budget + col("bin_offset")))
+      .head().getLong(0)
+    val payloadCols = store.columns.toSeq
+      .filterNot(Set("bin_id", "bin_offset", "shard"))
+    val suffix = store
+      .where(col("shard") >= s0 && !col(orderCol).isin(ids: _*))
+      .withColumn("__stream_pos",
+        col("bin_id").cast("long") * budget + col("bin_offset"))
+      .select((payloadCols :+ "__stream_pos").map(col): _*)
+    val oldSuffixShards = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("shard="))
+      .map(_.stripPrefix("shard="))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong).filter(_ >= s0).toSet
+    Takedown.runDynamic(spark, dir) { stage =>
+      val packed = packByBudget(suffix, "__stream_pos", tokCol, budget,
+          startTok = pfx)
+        .select(col("__stream_pos"), col("bin_id"), col("bin_offset"))
+        .join(suffix, Seq("__stream_pos"))
+      packed
+        .withColumn("shard", expr(s"bin_id DIV $binsPerShard"))
+        .repartitionByRange(col("shard"), col("bin_id"), col("bin_offset"))
+        .sortWithinPartitions("shard", "bin_id", "bin_offset")
+        .drop("__stream_pos")
+        .write.partitionBy("shard").parquet(stage)
+      val stagedShards = fs.listStatus(new Path(stage))
+        .map(_.getPath.getName).filter(_.startsWith("shard="))
+        .map(_.stripPrefix("shard=").toLong).toSet
+      // old suffix shards the shrunken stream no longer reaches swap
+      // against empty placeholders (swept after the run)
+      (oldSuffixShards -- stagedShards).foreach { k =>
+        fs.mkdirs(new Path(s"$stage/shard=$k"))
+      }
+      // new effective end = prefix + surviving suffix tokens; the delta is
+      // whatever closes the gap back from the append-only raw axis
+      val sfxToks = suffix.agg(sum(col(tokCol).cast("long"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      val newDelta = rawTokenMax(spark, dir) - (pfx + sfxToks)
+      require(newDelta >= 0,
+        s"retractDocs: store $dir has live tokens past its marker max — " +
+          "markers are the stream-end record; a marker-less or hand-built " +
+          "store cannot be retracted")
+      val metaDir = new Path(s"$stage/$RetractMetaName")
+      fs.mkdirs(metaDir)
+      val out = fs.create(new Path(metaDir, "delta"), true)
+      try out.write(newDelta.toString.getBytes("UTF-8")) finally out.close()
+      ((stagedShards | oldSuffixShards).toSeq.sorted.map(k => s"shard=$k")
+        :+ RetractMetaName)
+    }
+    sweepEmptyShards(spark, dir)
+  }
+
   /** Compact the shard store: every appended epoch leaves one parquet file
     * per touched `shard=` dir, so a long-running appender turns each shard
     * into thousands of tiny files and the trainer's sequential read becomes
@@ -320,6 +533,7 @@ object Pack {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    Takedown.heal(spark, dir) // a crashed retract owns the dirs — finish it
     val prev = new Path(s"$dir/.shards_precompact")
     // crash recovery: restore any shard moved aside but never re-published
     if (fs.exists(prev)) {

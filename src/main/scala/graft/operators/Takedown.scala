@@ -43,11 +43,10 @@ object Takedown {
 
   private def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
-    try {
-      val buf = new Array[Byte](512)
-      val n = in.read(buf)
-      if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
-    } finally in.close()
+    // full read, not a fixed buffer: the shard store's marker names one sub
+    // per rewritten `shard=` dir — a long-suffix retract can list thousands
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
   }
 
   /** Finish (or perform) one sub-table's swap from the staged rewrite.
@@ -99,15 +98,29 @@ object Takedown {
     * rewrite under `stageDir/<sub>` (only subs that need rewriting), then
     * the marker commits and every sub in `subs` swaps in. */
   def run(spark: SparkSession, dir: String, subs: Seq[String])
-         (build: String => Unit): Unit = {
+         (build: String => Unit): Unit =
+    runDynamic(spark, dir) { stage => build(stage); subs }
+
+  /** [[run]] for stores whose sub-table set is only known AFTER the rewrite
+    * is staged — the packed-shard store's retract rewrites every `shard=K`
+    * dir from the first affected shard onward, and the staged repack itself
+    * decides which shard ids survive. `build` stages the rewrite and
+    * returns the sub names to swap; the marker commits that exact list
+    * (atomically: dot-temp + rename, so a crash mid-write never leaves a
+    * half-named commit), and [[heal]] replays it like any static retract. */
+  def runDynamic(spark: SparkSession, dir: String)
+                (build: String => Seq[String]): Unit = {
     val fs = fsOf(spark, dir)
     heal(spark, dir)
     val stage = new Path(s"$dir/$StageName")
     fs.delete(stage, true)
-    build(stage.toString)
+    val subs = build(stage.toString)
     val marker = new Path(s"$dir/$MarkerName")
-    val out = fs.create(marker, true)
+    val tmp = new Path(s"$dir/.$MarkerName.tmp")
+    fs.delete(tmp, true)
+    val out = fs.create(tmp, true)
     try out.write(subs.mkString(",").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, marker), s"Takedown: cannot commit $marker")
     subs.foreach(finishSwap(fs, dir, _))
     fs.delete(stage, true)
     fs.delete(marker, false)
