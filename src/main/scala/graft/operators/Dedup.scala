@@ -246,18 +246,11 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBlockDf: Int = Int.MaxValue): DataFrame = {
-    // Checkpoint the SIGNATURES (1 narrow row per doc) rather than the
-    // exploded blocks (4 rows per doc): every consumer — the a/b sides of
-    // the bucket self-join and, when capping, the hot-bucket census and the
-    // anti-join input — re-derives blocks from the checkpoint with one
-    // cheap codegen'd posexplode, and the expensive tokenize+64-vote simHash
-    // pass runs exactly once. (The uncapped self-join gets NO exchange reuse
-    // from Catalyst — zero ReusedExchange, one 64-vote aggregate tower per
-    // join side. Locally that second tower is masked by the warm page cache
-    // — sf10 wall flat within noise — but at 100 TB a second full tokenize
-    // scan is real cost; the checkpoint rows are 16 bytes/doc.)
-    val sigs = simHash(docs, idCol, textCol).localCheckpoint()
-    hammingPairsFromSigs(sigs, maxHamming, maxBlockDf)
+    // hammingPairsFromSigs checkpoints the signature frame itself (1 narrow
+    // 16-byte row per doc), so the expensive tokenize+64-vote simHash pass
+    // runs exactly once no matter how many branches consume it — no second
+    // copy here.
+    hammingPairsFromSigs(simHash(docs, idCol, textCol), maxHamming, maxBlockDf)
   }
 
   /** Hamming-≤-k pairs from ANY 64-bit signature frame (`id`, `simhash`)
@@ -266,18 +259,26 @@ object Dedup {
     * (numBlocks − 1) pairs share at least one exact block; never an
     * all-pairs compare.
     *
-    * `numBlocks` is the FAN-OUT SIZING KNOB: block width = 64 / numBlocks,
-    * so bucket space = 2^width and the bucket join's quadratic term is
-    * Σ df² ≈ n² · numBlocks / 2^width. The default 4×16-bit layout (what
-    * hamming ≤ 3 needs) saturates around n ~ 10⁵ signatures; a hamming ≤ 2
-    * caller should pass numBlocks = 3 (21-bit blocks, 32× the bucket
-    * space — the r14 fix for mm_phash_dedup's super-linear sf10 term).
-    * OUTPUT is layout-independent: every pair within maxHamming keeps an
-    * intact block under ANY valid layout, and everything past maxHamming
-    * is filtered after the popcount — so the DuckDB twins keep replaying
-    * the 4×16 layout. Bits past width·numBlocks (the 64th bit at 3×21)
-    * sit outside every block: flips there can only break block EQUALITY
-    * never pigeonhole coverage, and the popcount still counts them. */
+    * The bucket join runs over DISTINCT SIGNATURE VALUES (r15): perceptual
+    * hashes cluster brutally (the sf10 image corpus: 125k sigs, 724
+    * values), and a row-level block join pays every cluster's quadratic
+    * term inside the candidate shuffle. Value-level, the quadratic term is
+    * bounded by content DIVERSITY, not corpus size; rows re-enter only
+    * through (a) an equi-self-join on the signature for hamming-0 pairs,
+    * pre-filtered to duplicated values, and (b) two expansion joins against
+    * the (small) cross-value pair table — so a mostly-unique corpus pays
+    * ~nothing beyond the old path and a clustered one pays only its output
+    * size.
+    *
+    * `numBlocks` is still the FAN-OUT SIZING KNOB for the value-level
+    * join: block width = 64 / numBlocks, bucket space 2^width, quadratic
+    * term Σ df² over distinct values. OUTPUT is layout-independent: every
+    * pair within maxHamming keeps an intact block under ANY valid layout,
+    * and everything past maxHamming is filtered after the popcount — so
+    * the DuckDB twins keep replaying the 4×16 layout. Bits past
+    * width·numBlocks (the 64th bit at 3×21) sit outside every block: flips
+    * there can only break block EQUALITY never pigeonhole coverage, and
+    * the popcount still counts them. */
   def hammingPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
                            maxBlockDf: Int = Int.MaxValue,
                            numBlocks: Int = 4): DataFrame = {
@@ -286,28 +287,78 @@ object Dedup {
         s"($maxHamming), and blocks of ≥ 8 bits")
     val width = 64 / numBlocks
     val mask = (1L << width) - 1L
-    val blocks0 = sigs.select(col("id"), col("simhash"),
+    // The block bucket join runs over DISTINCT SIGNATURE VALUES, never over
+    // rows: perceptual/sim hashes of a real corpus cluster brutally (the
+    // sf10 image corpus holds 125k sigs over 724 values), and a row-level
+    // self-join re-derives every cluster's pairs through the bucket join's
+    // quadratic term — the r14 super-linear decade entry. Value-level, the
+    // bucket join costs |values|² at worst, the ROW dimension only enters
+    // through two final equi-joins, and the 14M-pair output is generated
+    // directly — no post-join distinct over candidate duplicates.
+    // One 16-byte/row checkpoint of the signatures: the branches below
+    // (value census, survivor semi-join, hamming-0 self-join, two cross
+    // expansions) must never re-run the caller's signature chain — for the
+    // image path that chain is a full PNG decode pass.
+    val sigsM = sigs.localCheckpoint()
+    val valCnt = sigsM.groupBy("simhash").agg(count(lit(1)).as("__cnt"))
+    val vblocks0 = valCnt.select(col("simhash"), col("__cnt"),
         posexplode(array((0 until numBlocks).map(blk =>
           shiftright(col("simhash"), blk * width).bitwiseAND(mask)): _*))
           .as(Seq("blk", "blk_val")))
-    val blocks =
-      if (maxBlockDf == Int.MaxValue) blocks0
+    val vblocks =
+      if (maxBlockDf == Int.MaxValue) vblocks0
       else {
-        val hot = blocks0.groupBy("blk", "blk_val").agg(count(lit(1)).as("df"))
+        // df is counted over ROWS (as before): a block value's bucket size
+        // is the sum of the member values' row counts
+        val hot = vblocks0.groupBy("blk", "blk_val")
+          .agg(sum("__cnt").as("df"))
           .filter(col("df") > maxBlockDf)
-        blocks0.join(hot.select("blk", "blk_val"), Seq("blk", "blk_val"),
+        vblocks0.join(hot.select("blk", "blk_val"), Seq("blk", "blk_val"),
           "left_anti")
       }
-    val a = blocks.select(col("blk"), col("blk_val"),
-      col("id").as("id_a"), col("simhash").as("sig_a"))
-    val b = blocks.select(col("blk"), col("blk_val"),
-      col("id").as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("blk", "blk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // value pairs within hamming distance through a surviving shared block
+    // (sig_a < sig_b: one row per unordered value pair)
+    val va = vblocks.select(col("blk"), col("blk_val"),
+      col("simhash").as("sig_a"))
+    val vb = vblocks.select(col("blk"), col("blk_val"),
+      col("simhash").as("sig_b"))
+    val valPairs = va.join(vb, Seq("blk", "blk_val"))
+      .filter(col("sig_a") < col("sig_b"))
+      .select(col("sig_a"), col("sig_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // hamming-0 pairs: rows sharing a signature, provided the value kept at
+    // least one surviving block (identical sigs share EVERY block, so under
+    // a df cap the pair exists iff any one block is cold). Only values with
+    // ≥ 2 rows can pair — that set is at most the duplicated-value count,
+    // so the self-join's input semi-joins against a small (AQE-broadcast)
+    // value list first: a mostly-unique corpus (text simhash) pays ~nothing
+    // here, a clustered one (image dHash) pays exactly its output size —
+    // |cluster|² rows IS the pair semantics; the capped variant and the
+    // cluster queries are the 100 TB paths when clusters grow unbounded.
+    val dupVals0 = valCnt.filter(col("__cnt") >= 2).select("simhash")
+    val dupVals =
+      if (maxBlockDf == Int.MaxValue) dupVals0
+      else dupVals0.join(vblocks.select("simhash"), Seq("simhash"),
+        "left_semi")
+    val dupRows = sigsM.join(dupVals, Seq("simhash"), "left_semi")
+    val same = dupRows.select(col("simhash"), col("id").as("id_a"))
+      .join(dupRows.select(col("simhash"), col("id").as("id_b")),
+        Seq("simhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("integer").as("hamming"))
+    // cross-value pairs: expand the (small, broadcastable) value-pair table
+    // back to ids; each unordered id pair appears exactly once
+    val cross = valPairs
+      .join(sigsM.select(col("simhash").as("sig_a"), col("id").as("__ia")),
+        Seq("sig_a"))
+      .join(sigsM.select(col("simhash").as("sig_b"), col("id").as("__ib")),
+        Seq("sig_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    same.unionByName(cross)
   }
 
   /** Exact n-gram Jaccard near-dup pairs: explode word shingles, self-join on the

@@ -114,10 +114,12 @@ object MultimodalQueries {
     val sigs = graft.multimodal.ImageCodec.dHashes(
       graft.multimodal.ImageCodec.synthesizeImagesNearDups(base,
         plantEvery = 20L))
-    // hamming ≤ 2 needs only 3 pigeonhole blocks: 21-bit blocks give 32×
-    // the bucket space of the 4×16 default, killing the n²/2¹⁶ candidate
-    // term that turned the sf10 decade super-linear (output is layout-
-    // independent — the oracle keeps replaying 4×16)
+    // hamming ≤ 2 needs only 3 pigeonhole blocks (21-bit blocks, 32× the
+    // 4×16 bucket space); since r15 the block join runs over DISTINCT sig
+    // values (724 at sf10 for 125k images — dHashes cluster brutally), so
+    // the remaining sf10 cost is the PNG decode pass + the 14.3M-pair
+    // output itself (output is layout-independent — the oracle keeps
+    // replaying 4×16)
     graft.operators.Dedup.hammingPairsFromSigs(sigs, maxHamming = 2,
         numBlocks = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
