@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
 import graft.operators.{AnnIndex, Bm25Store, FingerprintStore, LmStore,
-  SignatureStore}
+  Pack, SignatureStore}
 
 /** Times the MAINTENANCE cycle — takedown (retract) then compaction — for
   * every persisted store that retains per-document derived content, at two
@@ -95,12 +96,28 @@ object BenchMaint {
       val rAnn = timed(AnnIndex.retract(spark, annDir, annGone))
       val cAnn = timed(AnnIndex.compact(spark, annDir))
       out("ann_ivf") = (sAnn, rAnn, cAnn)
+
+      // the packed training-shard export: takedown ids sit in copy 0 (the
+      // LOWEST stream positions), so retractDocs rewrites ~the whole shard
+      // suffix — the honest worst case for the "retract scales like the
+      // store rewrite it is" claim (best case = prefix-pruned no-op)
+      val packDir = tmp("maint_pack")
+      val packDocs = docs.select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_toks"),
+        col("text")).localCheckpoint()
+      val sPk = timed(Pack.writeShards(packDocs, "doc_id", "n_toks",
+        budget = 4096L, binsPerShard = 64L, dir = packDir))
+      val rPk = timed(Pack.retractDocs(spark, packDir, "doc_id", "n_toks",
+        budget = 4096L, binsPerShard = 64L, ids = goneIds))
+      val cPk = timed(Pack.compactShards(spark, packDir))
+      out("pack") = (sPk, rPk, cPk)
       out.toMap
     }
 
     val byDir = dirs.map(d => d -> measure(d)).toMap
     def f(v: Double) = f"$v%.3f"
-    val stores = Seq("fingerprint", "signature", "bm25", "lm", "ann_ivf")
+    val stores = Seq("fingerprint", "signature", "bm25", "lm", "ann_ivf",
+      "pack")
     val dirJson = dirs.map { d =>
       val m = byDir(d)
       val per = stores.map { st =>

@@ -303,6 +303,164 @@ object AnnIndex {
     }
   }
 
+  // ------------------------------------------------------ semantic screen
+
+  private def screenMarkerPath(indexDir: String, tag: String,
+                               epoch: Long): String =
+    s"$indexDir/_annscr_${tag}_epoch_$epoch"
+
+  private def screenStagePath(indexDir: String, tag: String,
+                              epoch: Long): String =
+    s"$indexDir/.annscr_stage_${tag}_$epoch"
+
+  /** Move a committed screen-epoch staging dir's list files into the live
+    * inverted file, then drop the staging dir. Idempotent: per-file atomic
+    * renames (Spark part-file names are UUID-unique); already-moved files
+    * are simply absent on a re-sweep. The [[SignatureStore]] publishStage
+    * shape, applied to the `lists/list_id=` layout. */
+  private def publishScreenStage(fs: org.apache.hadoop.fs.FileSystem,
+                                 indexDir: String, stage: Path): Unit = {
+    if (!fs.exists(stage)) return
+    val staged = new Path(stage, "lists")
+    if (fs.exists(staged))
+      fs.listStatus(staged).map(_.getPath)
+        .filter(_.getName.startsWith("list_id=")).foreach { pd =>
+          val dest = new Path(s"$indexDir/lists/${pd.getName}")
+          fs.mkdirs(dest)
+          fs.listStatus(pd).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).foreach { f =>
+              require(fs.rename(f, new Path(dest, f.getName)),
+                s"AnnIndex: cannot publish $f")
+            }
+        }
+    fs.delete(stage, true)
+  }
+
+  /** Crash-recovery sweep over leftover screen staging dirs of `tag`: a
+    * stage whose epoch marker exists is committed — finish its publish; one
+    * without a marker is a pre-commit orphan — discard it (its epoch
+    * replays whole). Only purely-numeric epoch suffixes match, so a tag
+    * that prefixes another tag never claims the longer tag's staging. */
+  private def healScreenStaging(fs: org.apache.hadoop.fs.FileSystem,
+                                indexDir: String, tag: String): Unit = {
+    val root = new Path(indexDir)
+    if (!fs.exists(root)) return
+    val prefix = s".annscr_stage_${tag}_"
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).foreach { stage =>
+        val epoch = stage.getName.drop(prefix.length)
+        if (epoch.nonEmpty && epoch.forall(_.isDigit)) {
+          if (fs.exists(new Path(screenMarkerPath(indexDir, tag,
+              epoch.toLong))))
+            publishScreenStage(fs, indexDir, stage)
+          else fs.delete(stage, true)
+        }
+      }
+  }
+
+  /** Batch-vs-store SEMANTIC near-dup probe on the pruned path: assign each
+    * probe vector its `nprobe` nearest coarse cells, read ONLY those list
+    * partitions (the probe set is driver-known — ≤ nlist ints — so
+    * `list_id IN (...)` is a STATIC partition filter, the [[queryIvf]]
+    * discipline), and flag every probe id with ANY stored vector at cosine
+    * ≥ `threshold`. Returns distinct flagged ids as (`id`). The probe side
+    * broadcasts (batch-sized by contract); the store never re-keys — the
+    * only corpus-touching work is the pruned list scan.
+    *
+    * Approximation contract: like every IVF probe, recall is governed by
+    * `nprobe` — a duplicate at high cosine lands in its twin's own nearest
+    * cell except within quantizer-boundary noise, which extra probes cover
+    * (the reason SemDeDup [`dedup_semantic`] compares within coarse
+    * clusters at all). */
+  def probeStoredVectors(spark: SparkSession, indexDir: String,
+                         queries: DataFrame, qidCol: String, vecCol: String,
+                         threshold: Double, nprobe: Int = 4): DataFrame = {
+    val cents = loadCentroids(spark, indexDir)
+    val qLists = queries.select(
+      col(qidCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"),
+      explode(NearestCentroids.column(col(vecCol).cast("array<double>"),
+        cents, math.min(nprobe, cents.length))).as("list_id"))
+    val probed = qLists.select("list_id").distinct().collect()
+      .map(_.getAs[Number](0).intValue) // ≤ nlist rows by construction
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(probed.map(Int.box): _*))
+    lists.join(broadcast(qLists), Seq("list_id"))
+      .filter(VecFns.cosine(col("qvec"), col("cvec")) >= threshold)
+      .select(col("qid").as("id")).distinct()
+  }
+
+  /** foreachBatch sink SCREENING each micro-batch's embeddings against the
+    * persisted IVF index before admitting: documents whose vector is a
+    * semantic near-duplicate (cosine ≥ `threshold`) of anything already
+    * indexed are dropped; survivors' vectors stage-commit-publish into the
+    * inverted file and the surviving rows (original columns) flow to `out`.
+    * The third front door: [[FingerprintStore.dedupSink]] kills the
+    * byte-identical re-delivery, [[SignatureStore.screenSink]] the
+    * one-token re-crawl, and this screen the PARAPHRASE — same meaning,
+    * disjoint shingles, near-identical embedding — that sails past both
+    * (the SemDeDup observation, applied at ingest time instead of as a
+    * batch sweep).
+    *
+    * Per epoch the batch probes via [[probeStoredVectors]] (statically
+    * pruned list scan, probe cost tracks the batch's cell footprint × list
+    * depth, never whole-store age) and survivors append under the
+    * [[SignatureStore.screenSink]] stage→marker→publish discipline — NOT
+    * [[ivfAppender]]'s direct append, because a screen must never re-probe
+    * a store containing its own epoch's staged vectors: a replay from any
+    * pre-marker crash re-probes a store WITHOUT this epoch's vectors and
+    * recomputes identical survivors (never a self-match); a post-marker
+    * crash replays as a heal that finishes the publish. Near-dups WITHIN
+    * one batch admit together (screen compares batch vs store; intra-batch
+    * semantic dedup at micro-batch size is the batch pipeline's job —
+    * `dedup_semantic`). Single screen stream per index; re-centering over
+    * drift is a rebuild under a new variant token, as for the appenders. */
+  def semanticScreenSink(spark: SparkSession, indexDir: String,
+                         idCol: String, vecCol: String, threshold: Double,
+                         nprobe: Int = 4, streamTag: String = "stream",
+                         autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
+                         autoCompactFactor: Int = AutoCompact.DefaultFactor)
+                        (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    val cents = loadCentroids(spark, indexDir)
+    val fs0 = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    healScreenStaging(fs0, indexDir, streamTag)
+    val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
+    (batch: DataFrame, epoch: Long) => {
+      val fs = new Path(indexDir).getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      val marker = new Path(screenMarkerPath(indexDir, streamTag, epoch))
+      if (fs.exists(marker)) {
+        healScreenStaging(fs, indexDir, streamTag)
+      } else if (!batch.isEmpty) {
+        val stage = new Path(screenStagePath(indexDir, streamTag, epoch))
+        fs.delete(stage, true)
+        val b = batch.localCheckpoint()
+        val flagged = probeStoredVectors(spark, indexDir, b, idCol, vecCol,
+            threshold, nprobe)
+          .select(col("id").as(idCol)).localCheckpoint()
+        val survivors = b.join(broadcast(flagged), Seq(idCol), "left_anti")
+          .localCheckpoint()
+        // CONTRACT: a pre-marker crash replays this epoch and re-invokes
+        // `out` with identical survivors — `out` must be idempotent under
+        // epoch re-delivery (marker-protected, like every sink here).
+        out(survivors)
+        survivors.select(col(idCol).cast("long").as("cid"),
+            col(vecCol).cast("array<double>").as("cvec"))
+          .select(
+            element_at(NearestCentroids.column(col("cvec"), cents, 1), 1)
+              .as("list_id"),
+            col("cid"), col("cvec"))
+          .write.partitionBy("list_id").parquet(s"$stage/lists")
+        fs.create(marker, true).close()
+        publishScreenStage(fs, indexDir, stage)
+        // epoch fully committed: the between-epochs single-writer window
+        auto.tick(listFileCount(spark, indexDir), cents.length)(
+          compact(spark, indexDir))
+      }
+    }
+  }
+
   /** Compact the inverted file: every appended micro-batch leaves one
     * parquet file per touched list partition, so a long-running ingest
     * turns each list into thousands of tiny files — and the per-query cost

@@ -151,4 +151,28 @@ class AnnIndexSpec extends AnyFunSuite {
       !gone.contains(cid) && cid != 2L })
     corpus.unpersist()
   }
+
+  test("semantic probe flags stored near-duplicates through a statically " +
+    "pruned list scan") {
+    val corpus = clustered.cache()
+    val dir = AnnIndex.ivfIndexDir(corpus, "mem://ann_semprobe_spec",
+      "vec_id", "embedding", nlist = 8, iters = 3, seed = 42L,
+      variant = "semprobe_v1")
+    // probe 900: vec_id 0's vector nudged by 1e-3 on dim 0 — a semantic
+    // near-dup (cos ~ 0.9999); probe 901: a constant vector no stored point
+    // is within 0.999 of
+    val v0 = corpus.filter($"vec_id" === 0L).select("embedding")
+      .head().getSeq[Double](0)
+    val near = v0.zipWithIndex.map { case (x, i) => if (i == 0) x + 1e-3 else x }
+    val far = Seq.fill(16)(2.0)
+    val probes = Seq((900L, near), (901L, far)).toDF("vec_id", "embedding")
+    val flagged = AnnIndex.probeStoredVectors(spark, dir, probes, "vec_id",
+      "embedding", threshold = 0.999, nprobe = 2)
+    // probe pruning is structural, same pin as queryIvf: the inverted-file
+    // scan must carry a static list_id partition filter
+    val p = flagged.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [list_id"), p)
+    assert(flagged.collect().map(_.getLong(0)).toSeq == Seq(900L))
+    corpus.unpersist()
+  }
 }

@@ -2246,4 +2246,210 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted(15L, "another keeper", "r5"))
     assert(!admitted(16L, "keep this page", "r6"))
   }
+
+  /** Axis-separated test vectors for the semantic screen: unit mass on
+    * `axis` plus `off` on `offAxis`. cos(e_a + x·e_b, e_a + y·e_c) stays
+    * ≤ ~0.9 for distinct construction params, while a +0.01 nudge keeps
+    * cos ≥ 0.9999 — clean margins on both sides of a 0.99 threshold. */
+  private def semVec(axis: Int, off: Double, offAxis: Int): Seq[Double] =
+    (0 until 16).map(i =>
+      (if (i == axis) 1.0 else 0.0) + (if (i == offAxis) off else 0.0))
+  private def semNudge(v: Seq[Double], axis: Int): Seq[Double] =
+    v.zipWithIndex.map { case (x, i) => if (i == axis) x + 0.01 else x }
+  /** Seed corpus for the screen's index: 8 axis clusters × 6 points, none
+    * within cos 0.99 of any [[semVec]] the tests admit. */
+  private def semInitial = (for (c <- 0 until 8; k <- 0 until 6) yield
+    ((100 + c * 6 + k).toLong, semVec(c, 0.15 * k, (c + 1) % 8)))
+    .toDF("vec_id", "embedding")
+
+  test("full front door with semantic screen: the PARAPHRASE passes the fp " +
+    "store and the signature screen but is rejected at the semantic screen") {
+    import graft.operators.{AnnIndex, FingerprintStore, SignatureStore}
+    // disjoint-window page design (see the signature-screen test): salts
+    // 4/30/56 share zero shingles, so only the EMBEDDING ties a paraphrase
+    // to its original
+    def w(v: String, i: Int) = f"$v${i % 80}%02d"
+    def doc(v: String, salt: Int) =
+      (0 until 24).map(i => w(v, salt + i)).mkString(" ")
+    def recrawl(v: String, salt: Int) =
+      (0 until 23).map(i => w(v, salt + i)).mkString(" ") + " " + w(v, salt + 40)
+    // fresh dir per run: the index is digest-keyed under the persistent
+    // warehouse, and a prior run's epoch markers would suppress this one's
+    val ivfDir = AnnIndex.ivfIndexDir(semInitial.toDF("doc_id", "embedding"),
+      "mem://semscreen_door", "doc_id", "embedding", nlist = 8, iters = 3,
+      seed = 42L,
+      variant = s"door_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fpDir = java.nio.file.Files.createTempDirectory("semdoor_fp").toString
+    val sigDir = java.nio.file.Files.createTempDirectory("semdoor_sig").toString
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val pastSig = scala.collection.mutable.ArrayBuffer[Long]()
+    val pastFp = scala.collection.mutable.ArrayBuffer[Long]()
+    val curEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val semScreen = AnnIndex.semanticScreenSink(spark, ivfDir, "doc_id",
+      "embedding", threshold = 0.99, nprobe = 2, streamTag = "door") { df =>
+      admitted ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    val sigScreen = SignatureStore.screenSink(spark, sigDir, "doc_id",
+      "text", threshold = 0.45, streamTag = "door") { df =>
+      pastSig ++= df.select("doc_id").collect().map(_.getLong(0))
+      semScreen(df, curEpoch.get())
+    }
+    val fpSink = FingerprintStore.dedupSink(spark, fpDir, "doc_id", "text",
+      streamTag = "door") { df =>
+      pastFp ++= df.select("doc_id").collect().map(_.getLong(0))
+      sigScreen(df, curEpoch.get())
+    }
+    val v1 = semVec(0, 0.5, 2)
+    val v2 = semVec(1, 0.5, 3)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Seq[Double])]
+    val door: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (df, e) => { curEpoch.set(e); fpSink(df, e) }
+    val query = mem.toDF().toDF("doc_id", "text", "embedding")
+      .writeStream
+      .foreachBatch(door)
+      .start()
+    try {
+      // epoch 0: two novel pages
+      mem.addData((1L, doc("alpha", 4), v1), (2L, doc("beta", 7), v2))
+      query.processAllAvailable()
+      // epoch 1: byte-identical re-delivery (fp kill), one-token re-crawl
+      // (sig kill), PARAPHRASE — disjoint words, near-identical embedding
+      // (semantic kill) — and a genuinely new page
+      mem.addData(
+        (3L, doc("alpha", 4), v1),
+        (4L, recrawl("alpha", 4), semNudge(v1, 4)),
+        (5L, doc("alpha", 56), semNudge(v1, 3)),
+        (6L, doc("alpha", 30), semVec(7, 0.5, 5)))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(pastFp.sorted.toSeq == Seq(1L, 2L, 4L, 5L, 6L),
+      s"fp store admits everything but the byte-identical re-delivery: " +
+        pastFp.mkString(","))
+    assert(pastSig.sorted.toSeq == Seq(1L, 2L, 5L, 6L),
+      s"sig screen admits the paraphrase (disjoint shingles): " +
+        pastSig.mkString(","))
+    assert(admitted.sorted.toSeq == Seq(1L, 2L, 6L),
+      s"semantic screen must reject the paraphrase both text screens " +
+        s"admitted: ${admitted.mkString(",")}")
+    // the index holds vectors for admitted docs only (plus the seed corpus)
+    val stored = spark.read.parquet(s"$ivfDir/lists")
+      .filter(col("cid") < 100L).select("cid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(stored == Seq(1L, 2L, 6L), stored.mkString(","))
+  }
+
+  test("crash replay: fp store -> semantic screen recovers bit-identical " +
+    "stores and never self-matches a replayed epoch") {
+    // Screen-specific crash windows on a checkpointed file-source query:
+    //  - sem-out (survivors delivered, NOTHING persisted): the replay
+    //    re-probes an index WITHOUT the epoch's own vectors — it must
+    //    recompute the SAME nonempty survivor set, never self-match;
+    //  - accept-entry (nothing ran): plain whole-epoch replay;
+    //  - post-commit (both stores + markers committed): replay is a no-op.
+    import graft.operators.{AnnIndex, FingerprintStore}
+    val vA = semVec(0, 0.5, 2)
+    val vB = semVec(1, 0.5, 3)
+    val vC = semVec(2, 0.5, 4)
+    val vD = semVec(3, 0.5, 5)
+    val epochs = Seq(
+      Seq((1L, "page one about storks", vA),
+        (3L, "page three about rivers", vB)),
+      Seq((4L, "page four paraphrases page one", semNudge(vA, 6)),
+        (5L, "page five about mills", vC)),
+      Seq((7L, "page seven about bridges", vD),
+        (9L, "page nine paraphrases page three", semNudge(vB, 6))))
+
+    def runScenario(tag: String, crashPlan: Set[String]):
+        (String, String, Set[Long]) = {
+      val inDir = java.nio.file.Files.createTempDirectory(s"sem_in_$tag").toFile
+      epochs.zipWithIndex.foreach { case (rows, i) =>
+        val f = new java.io.File(inDir, f"b$i%02d.json")
+        val js = rows.map { case (id, t, v) =>
+          s"""{"doc_id":$id,"text":"$t","embedding":[${v.mkString(",")}]}"""
+        }.mkString("\n")
+        java.nio.file.Files.write(f.toPath, js.getBytes("UTF-8"))
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory(s"sem_ck_$tag").toString
+      val fpDir = java.nio.file.Files.createTempDirectory(s"sem_fp_$tag").toString
+      // fresh dir per scenario run (see the front-door test note); restart
+      // ATTEMPTS within the scenario reuse it — that is the recovery axis
+      val ivfDir = AnnIndex.ivfIndexDir(semInitial, s"mem://semcrash_$tag",
+        "vec_id", "embedding", nlist = 8, iters = 3, seed = 42L,
+        variant = s"crash_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+      val crashed = scala.collection.mutable.Set[String]()
+      def crashPoint(p: String): Unit =
+        if (crashPlan.contains(p) && crashed.add(p))
+          throw new RuntimeException(s"injected crash at $p")
+      val admitted = scala.collection.mutable.Set[Long]()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 8) {
+        attempts += 1
+        // fresh sinks per restart: blooms, heal sweeps, and centroids
+        // reload from disk, exactly like a recovered driver process
+        val curEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val semScreen = AnnIndex.semanticScreenSink(spark, ivfDir, "doc_id",
+          "embedding", threshold = 0.99, nprobe = 2, streamTag = "cr") { df =>
+          admitted ++= df.select("doc_id").collect().map(_.getLong(0))
+          crashPoint(s"sem-out-${curEpoch.get()}")
+        }
+        val fpSink = FingerprintStore.dedupSink(spark, fpDir, "doc_id",
+          "text", streamTag = "cr") { df =>
+          semScreen(df, curEpoch.get())
+        }
+        val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (df, e) => {
+            crashPoint(s"accept-entry-$e")
+            curEpoch.set(e)
+            fpSink(df, e)
+            crashPoint(s"post-commit-$e")
+          }
+        val query = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .json(inDir.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(sink)
+          .start()
+        try { query.processAllAvailable(); done = true }
+        catch { case _: Throwable => () }
+        finally { try query.stop() catch { case _: Throwable => () } }
+      }
+      assert(done, s"$tag: stream never completed after $attempts attempts")
+      (fpDir, ivfDir, admitted.toSet)
+    }
+
+    val (fpC, ivfC, accC) = runScenario("crash", Set(
+      "post-commit-0",  // everything committed; epoch replays as no-op
+      "accept-entry-1", // nothing persisted; epoch recomputes from scratch
+      "sem-out-2"))     // survivors delivered, vectors staged nowhere: the
+                        // self-match window — replay must re-admit 7
+    val (fpN, ivfN, accN) = runScenario("clean", Set.empty)
+
+    def listRows(d: String) = spark.read.parquet(s"$d/lists")
+      .select("cid").collect().map(_.getLong(0)).sorted.toSeq
+    def fpRows(d: String) = spark.read.parquet(s"$d/fps")
+      .select("fp").collect().map(_.getLong(0)).sorted.toSeq
+    assert(listRows(ivfC) == listRows(ivfN),
+      s"index must match the uncrashed run: ${listRows(ivfC).mkString(",")}" +
+        s" vs ${listRows(ivfN).mkString(",")}")
+    assert(listRows(ivfC).distinct.size == listRows(ivfC).size,
+      "no id may hold two index rows across replays")
+    assert(fpRows(fpC) == fpRows(fpN),
+      "fp store must match the uncrashed run exactly")
+    assert(accC == accN, s"admitted sets must match: $accC vs $accN")
+    // scenario sanity: paraphrases 4 and 9 die at the screen, never indexed
+    assert(accN == Set(1L, 3L, 5L, 7L), accN.toString)
+    assert(listRows(ivfN).filter(_ < 100L) == Seq(1L, 3L, 5L, 7L))
+  }
 }
