@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{AnnIndex, FingerprintStore, SignatureStore}
+
+/** The COMPLETE ingest front door as one `writeStream.foreachBatch` sink —
+  * the four-layer admission chain every continuous-crawl deployment of this
+  * engine wires by hand otherwise (and the StreamingSpec front-door tests
+  * wire by hand deliberately, to pin each layer in isolation):
+  *
+  *  1. [[IngestGate]] — DSIR affinity + quality gate: is this document
+  *     worth anything at all? Rejects route to `quarantine` with their
+  *     score columns for audit.
+  *  2. [[FingerprintStore.dedupSink]] — exact dedup: the byte-identical
+  *     re-delivery / re-crawl, killed by a broadcast Bloom + shard-pruned
+  *     verify. Cheapest per-doc, so it runs before anything hashes text.
+  *  3. [[SignatureStore.screenSink]] — MinHash near-dup screen: the
+  *     re-crawl that changed one timestamp token.
+  *  4. [[AnnIndex.semanticScreenSink]] — semantic screen: the PARAPHRASE
+  *     (same meaning, disjoint shingles, near-identical embedding) that
+  *     sails past both text layers.
+  *
+  * Survivors of all four layers flow to `accept` (original columns).
+  * Duplicate kills at layers 2–4 are silent drops, not quarantines — a
+  * duplicate is already represented in the stores; only the GATE's rejects
+  * carry information a human reviews. The batch must already carry the
+  * embedding column (the door screens, it does not embed — run the
+  * [[graft.embed.EmbeddingProvider]] transform upstream in the same
+  * `foreachBatch` read or as a prior select).
+  *
+  * Ordering is rejection-cost order: each layer only pays for what the
+  * cheaper layers above it admitted, so at steady state (most re-crawls are
+  * byte-identical) the expensive layers see a trickle. All four layers keep
+  * their own per-epoch idempotence markers under the shared `streamTag`, so
+  * the composed door inherits every individual crash-window guarantee the
+  * specs pin: a replay from ANY point re-derives identical admissions and
+  * bit-identical stores. Single door stream per store set (the usual
+  * single-maintainer contract).
+  *
+  * Scale: per trigger, the gate's work is O(|batch|) (broadcast stats), the
+  * fp probe is Bloom + pruned shards, the signature probe reads only
+  * colliding band buckets, and the semantic probe only the batch's nprobe
+  * nearest list partitions — nothing scales with store age except the
+  * pruned partitions' own growth (BENCH_screen / BENCH_semscreen measure
+  * both at 10× stores). */
+object FrontDoor {
+
+  /** Build the composed sink. `gate` carries the deployment's reference
+    * stats + thresholds; the three store dirs must exist (seed the ANN
+    * index via [[AnnIndex.ivfIndexDir]] — the screen needs its trained
+    * coarse centroids; fp/sig stores may start empty). */
+  def sink(spark: SparkSession, gate: IngestGate, fpDir: String,
+           sigDir: String, ivfDir: String, idCol: String, textCol: String,
+           vecCol: String, sigThreshold: Double = 0.5,
+           semThreshold: Double = 0.99, nprobe: Int = 4,
+           streamTag: String = "door")
+          (accept: DataFrame => Unit)
+          (quarantine: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    // Epoch threading: inner sinks are built once (their heal sweeps and
+    // Bloom loads run at mount, like a recovered driver would), and each
+    // trigger's epoch reaches the inner layers through this cell — set
+    // before the first inner sink runs, in the gate's accept callback.
+    val cur = new AtomicLong(-1L)
+    val sem = AnnIndex.semanticScreenSink(spark, ivfDir, idCol, vecCol,
+      semThreshold, nprobe, streamTag)(accept)
+    val sig = SignatureStore.screenSink(spark, sigDir, idCol, textCol,
+      sigThreshold, streamTag = streamTag) { df => sem(df, cur.get()) }
+    val fp = FingerprintStore.dedupSink(spark, fpDir, idCol, textCol,
+      streamTag = streamTag) { df => sig(df, cur.get()) }
+    gate.sinkEpoch(idCol, textCol)(
+      { (df, e) => cur.set(e); fp(df, e) })(
+      { (df, _) => quarantine(df) })
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndex, Dsir, SignatureStore}
+import graft.streaming.{FrontDoor, IngestGate}
+
+/** The composed four-layer ingest door ([[FrontDoor.sink]]): one sink, each
+  * layer's kill demonstrably ITS OWN — gate reject quarantined, exact dup /
+  * near-dup / paraphrase silently dropped at their respective layers, the
+  * genuinely new page admitted, and all three stores holding exactly the
+  * admitted documents. The per-layer crash windows are pinned by the
+  * individual front-door tests in StreamingSpec; this spec pins the
+  * composition contract (epoch threading + rejection-cost ordering). */
+class FrontDoorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // disjoint-window page design (StreamingSpec's): salts 4/30/56 share zero
+  // shingles; axis-separated vectors with clean margins around cos 0.99
+  private def w(v: String, i: Int) = f"$v${i % 80}%02d"
+  private def doc(v: String, salt: Int) =
+    (0 until 24).map(i => w(v, salt + i)).mkString(" ")
+  private def recrawl(v: String, salt: Int) =
+    (0 until 23).map(i => w(v, salt + i)).mkString(" ") + " " + w(v, salt + 40)
+  private def vec(axis: Int, off: Double, offAxis: Int): Seq[Double] =
+    (0 until 16).map(i =>
+      (if (i == axis) 1.0 else 0.0) + (if (i == offAxis) off else 0.0))
+  private def nudge(v: Seq[Double], axis: Int): Seq[Double] =
+    v.zipWithIndex.map { case (x, i) => if (i == axis) x + 0.01 else x }
+
+  test("every layer of the composed door kills exactly its own class of " +
+    "duplicate; only gate rejects reach quarantine") {
+    val ref = ((0 until 60).map(i => (i.toLong, doc("alpha", i), true)) ++
+        (0 until 60).map(i => (200L + i, doc("beta", i), false)))
+      .toDF("doc_id", "text", "is_target")
+    val gate = new IngestGate(
+      Dsir.bucketStats(ref, "doc_id", "text", col("is_target")),
+      minAffinity = 2.0)
+    val seed = (for (c <- 0 until 8; k <- 0 until 6) yield
+      ((100 + c * 6 + k).toLong, vec(c, 0.15 * k, (c + 1) % 8)))
+      .toDF("doc_id", "embedding")
+    val ivfDir = AnnIndex.ivfIndexDir(seed, "mem://frontdoor_spec",
+      "doc_id", "embedding", nlist = 8, iters = 3, seed = 42L,
+      variant = s"fd_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fpDir = java.nio.file.Files.createTempDirectory("fd_fp").toString
+    val sigDir = java.nio.file.Files.createTempDirectory("fd_sig").toString
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val quarantined = scala.collection.mutable.ArrayBuffer[Long]()
+    val door = FrontDoor.sink(spark, gate, fpDir, sigDir, ivfDir,
+      "doc_id", "text", "embedding", sigThreshold = 0.45,
+      semThreshold = 0.99, nprobe = 2) { df =>
+      accepted ++= df.select("doc_id").collect().map(_.getLong(0))
+    } { df =>
+      quarantined ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    val v1 = vec(0, 0.5, 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Seq[Double])]
+    val query = mem.toDF().toDF("doc_id", "text", "embedding")
+      .writeStream.foreachBatch(door).start()
+    try {
+      // epoch 0: a target page (admitted) and an off-topic page (gate kill)
+      mem.addData((1L, doc("alpha", 4), v1),
+        (2L, doc("beta", 7), vec(1, 0.5, 3)))
+      query.processAllAvailable()
+      // epoch 1: one kill per remaining layer + one genuinely new page
+      mem.addData(
+        (3L, doc("alpha", 4), v1),                        // fp: identical
+        (4L, recrawl("alpha", 4), nudge(v1, 4)),          // sig: one token
+        (5L, doc("alpha", 56), nudge(v1, 3)),             // sem: paraphrase
+        (6L, doc("alpha", 30), vec(7, 0.5, 5)))           // new: admitted
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(accepted.sorted.toSeq == Seq(1L, 6L), accepted.mkString(","))
+    assert(quarantined.sorted.toSeq == Seq(2L),
+      s"only the gate's reject is quarantined: ${quarantined.mkString(",")}")
+    // each store holds exactly what its layer admitted: fp fingerprints for
+    // every gate survivor except the byte-identical dup (4 and 5 passed the
+    // fp layer before dying downstream)…
+    assert(spark.read.parquet(s"$fpDir/fps").count() == 4L)
+    // …signatures for sig-layer survivors (paraphrase 5 died later)…
+    val sigIds = SignatureStore.read(spark, sigDir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(sigIds == Seq(1L, 5L, 6L), sigIds.mkString(","))
+    // …and index vectors for the fully admitted set only
+    val cids = spark.read.parquet(s"$ivfDir/lists")
+      .filter(col("cid") < 100L).select("cid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(cids == Seq(1L, 6L), cids.mkString(","))
+  }
+}
