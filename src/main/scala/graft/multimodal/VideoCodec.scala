@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import javax.imageio.{IIOImage, ImageIO}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 /** REAL video decode behind the [[Media.MediaCodec]] boundary — the third
   * modality made genuine with JDK-only codecs: a multi-frame GIF is a real
@@ -49,7 +50,10 @@ object VideoCodec {
         val w = widthOf(id); val h = heightOf(id); val frames = framesOf(id)
         val writer = ImageIO.getImageWritersByFormatName("gif").next()
         val bos = new ByteArrayOutputStream()
-        val ios = ImageIO.createImageOutputStream(bos)
+        // memory-backed, NOT ImageIO.createImageOutputStream: the factory
+        // returns a FileCache stream whose per-call temp file is pure churn
+        // for clips that already live in a byte array
+        val ios = new MemoryCacheImageOutputStream(bos)
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
         var f = 0
@@ -85,7 +89,13 @@ object VideoCodec {
     def decodeBatch(rows: Seq[(Long, String, Array[Byte], Row)]): Seq[Media.Decoded] =
       rows.map { case (id, kind, bytes, _) =>
         val reader = ImageIO.getImageReadersByFormatName("gif").next()
-        reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+        // memory-backed and explicitly closed: ImageIO.createImageInputStream
+        // returns a FileCacheImageInputStream holding an OPEN temp file, and
+        // nothing here closed it — at sf10 (~170k clips, 32 decode threads)
+        // the leaked handles exhausted the fd limit and every later decode
+        // died with IIOException("Can't create cache file!")
+        val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+        reader.setInput(iis)
         val n = reader.getNumImages(true)
         val out = Array.newBuilder[Float]
         var f = 0
@@ -104,6 +114,7 @@ object VideoCodec {
           f += 1
         }
         reader.dispose()
+        iis.close()
         Media.Decoded(id, kind, out.result())
       }
   }
