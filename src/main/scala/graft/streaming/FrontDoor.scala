@@ -74,4 +74,27 @@ object FrontDoor {
       { (df, e) => cur.set(e); fp(df, e) })(
       { (df, _) => quarantine(df) })
   }
+
+  /** Takedown across the door's three stores in one call — the lifecycle
+    * complement of [[sink]]: after a retract, the SAME document (exact
+    * bytes, near-dup re-crawl, or paraphrase) must be re-admittable through
+    * every layer, because each store forgets it independently
+    * ([[FingerprintStore.retract]] needs the docs' TEXT — fingerprints are
+    * derived, not stored by id; the signature and vector stores retract by
+    * id). `docs` is the request-sized takedown batch carrying (idCol,
+    * textCol); run between epochs with the door's stream down — the
+    * single-writer maintenance contract every per-store retract already
+    * states. Each store's own staged/heal discipline applies unchanged, so
+    * a crash mid-sequence leaves at worst SOME stores already forgetting
+    * the docs — re-running the same takedown batch is idempotent and
+    * finishes the rest. */
+  def retract(spark: SparkSession, fpDir: String, sigDir: String,
+              ivfDir: String, docs: DataFrame, idCol: String,
+              textCol: String): Unit = {
+    val ids = docs.select(idCol).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSeq // takedown batch: bounded
+    FingerprintStore.retract(spark, fpDir, docs, textCol)
+    SignatureStore.retract(spark, sigDir, ids)
+    AnnIndex.retract(spark, ivfDir, ids)
+  }
 }

@@ -92,4 +92,66 @@ class FrontDoorSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(cids == Seq(1L, 6L), cids.mkString(","))
   }
+
+  test("composed takedown: after FrontDoor.retract the same bytes and a " +
+    "fresh paraphrase are re-admittable through every layer") {
+    val ref = ((0 until 60).map(i => (i.toLong, doc("alpha", i), true)) ++
+        (0 until 60).map(i => (200L + i, doc("beta", i), false)))
+      .toDF("doc_id", "text", "is_target")
+    def mkGate() = new IngestGate(
+      Dsir.bucketStats(ref, "doc_id", "text", col("is_target")),
+      minAffinity = 2.0)
+    val seed = (for (c <- 0 until 8; k <- 0 until 6) yield
+      ((100 + c * 6 + k).toLong, vec(c, 0.15 * k, (c + 1) % 8)))
+      .toDF("doc_id", "embedding")
+    val ivfDir = AnnIndex.ivfIndexDir(seed, "mem://frontdoor_retract",
+      "doc_id", "embedding", nlist = 8, iters = 3, seed = 42L,
+      variant = s"fdr_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fpDir = java.nio.file.Files.createTempDirectory("fdr_fp").toString
+    val sigDir = java.nio.file.Files.createTempDirectory("fdr_sig").toString
+    val v1 = vec(0, 0.5, 2)
+    implicit val sqlCtx = spark.sqlContext
+
+    // a fresh door per phase: MemoryStream epochs restart at 0, so each
+    // phase needs its own marker namespace (a production door is ONE
+    // checkpointed stream and never renumbers)
+    def ingest(tag: String, rows: Seq[(Long, String, Seq[Double])]*): Seq[Long] = {
+      val acc = scala.collection.mutable.ArrayBuffer[Long]()
+      val door = FrontDoor.sink(spark, mkGate(), fpDir, sigDir, ivfDir,
+        "doc_id", "text", "embedding", sigThreshold = 0.45,
+        semThreshold = 0.99, nprobe = 2, streamTag = tag) { df =>
+        acc ++= df.select("doc_id").collect().map(_.getLong(0))
+      } { _ => () }
+      val mem = MemoryStream[(Long, String, Seq[Double])]
+      val q = mem.toDF().toDF("doc_id", "text", "embedding")
+        .writeStream.foreachBatch(door).start()
+      try rows.foreach { r => mem.addData(r: _*); q.processAllAvailable() }
+      finally q.stop()
+      acc.sorted.toSeq
+    }
+
+    // phase 1: doc 1 admitted; its exact copy, one-token re-crawl, and
+    // paraphrase all die at their respective layers
+    assert(ingest("p1",
+      Seq((1L, doc("alpha", 4), v1)),
+      Seq((3L, doc("alpha", 4), v1),
+        (4L, recrawl("alpha", 4), nudge(v1, 4)),
+        (5L, doc("alpha", 56), nudge(v1, 3)))) == Seq(1L))
+
+    // takedown doc 1 across all three stores in one call
+    FrontDoor.retract(spark, fpDir, sigDir, ivfDir,
+      Seq((1L, doc("alpha", 4))).toDF("doc_id", "text"), "doc_id", "text")
+    assert(spark.read.parquet(s"$ivfDir/lists")
+      .filter(col("cid") < 100L).count() == 0L)
+
+    // phase 2: the exact bytes re-admit (fp forgot them) and a FRESH-text
+    // paraphrase re-admits (the index forgot v1). Docs 4/5's own derived
+    // rows stay — only doc 1 was retracted, and their fps/sigs are theirs
+    // (re-sending 4's bytes would correctly die at the fp layer). 8 and 9
+    // are intra-batch semantic near-dups and admit together by the screens'
+    // batch-vs-STORE contract.
+    assert(ingest("p2",
+      Seq((8L, doc("alpha", 4), v1),
+        (9L, doc("alpha", 30), nudge(v1, 5)))) == Seq(8L, 9L))
+  }
 }
