@@ -73,10 +73,11 @@ object BenchSemScreen {
           j => pmod(xxhash64(col("id"), j), lit(2000L)).cast("double")
             / 1000.0 - 1.0).as("embedding"))
     val batchL = nearDups.unionByName(novels).localCheckpoint()
-    val batchS = batchL.filter(
-      (col("vec_id") < 900000005L && col("vec_id") >= 900000000L) ||
-      (col("vec_id") < 910000005L && col("vec_id") >= 910000000L))
-      .localCheckpoint() // 5 near-dups + 5 novels
+    // 5 near-dups + 5 novels, derived by limit from each side — never by
+    // hardcoded id windows, which assume copy-0 vec_ids start at 0
+    val batchS = nearDups.orderBy("vec_id").limit(5)
+      .unionByName(novels.orderBy("vec_id").limit(5))
+      .localCheckpoint()
 
     def measure(dir: String,
                 batch: org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
@@ -93,8 +94,9 @@ object BenchSemScreen {
       (t, stored, flagged)
     }
 
-    def regime(name: String, nProbes: Int,
+    def regime(name: String,
                batch: org.apache.spark.sql.DataFrame): String = {
+      val nProbes = batch.count() // counted from the batch, never a label
       val (tS, rowsS, flagS) = measure(dirS, batch)
       val (tL, rowsL, flagL) = measure(dirL, batch)
       require(flagS == flagL && flagS > 0,
@@ -112,8 +114,8 @@ object BenchSemScreen {
       f""""nlist":$NList,"nprobe":$NProbe,"threshold":$Threshold,""" +
       f""""small_store_rows":$rows,"large_store_rows":${rows * 10},""" +
       f""""store_ratio":10.0,""" +
-      regime("small_batch", 10, batchS) + "," +
-      regime("large_batch", 200, batchL) + "}"
+      regime("small_batch", batchS) + "," +
+      regime("large_batch", batchL) + "}"
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_semscreen.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))

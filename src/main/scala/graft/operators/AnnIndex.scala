@@ -239,6 +239,7 @@ object AnnIndex {
                   autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
                   autoCompactFactor: Int = AutoCompact.DefaultFactor):
       (DataFrame, Long) => Unit = {
+    healPrecompact(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
     val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
     (batch: DataFrame, epoch: Long) => {
@@ -277,6 +278,7 @@ object AnnIndex {
                     autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
                     autoCompactFactor: Int = AutoCompact.DefaultFactor):
       (DataFrame, Long) => Unit = {
+    healPrecompact(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
     val cb = loadCodebook(spark, indexDir)
     val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
@@ -424,6 +426,7 @@ object AnnIndex {
     val cents = loadCentroids(spark, indexDir)
     val fs0 = new Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    healPrecompact(spark, indexDir)
     healScreenStaging(fs0, indexDir, streamTag)
     val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
     (batch: DataFrame, epoch: Long) => {
@@ -490,6 +493,21 @@ object AnnIndex {
   def retract(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit =
     if (ids.nonEmpty) rewriteLists(spark, indexDir, exclude = ids)
 
+  /** Crash recovery for [[rewriteLists]]' swap: a previous compact/retract
+    * moved `lists/` aside but died before publishing the rewrite — the
+    * original data is intact under `.lists_precompact`; restore it. Wired
+    * into every mount ([[ivfAppender]]/[[ivfPqAppender]]/
+    * [[semanticScreenSink]]) so an auto-compact that dies between the two
+    * renames never leaves a store whose probes throw until a manual
+    * compact/retract runs. */
+  private def healPrecompact(spark: SparkSession, indexDir: String): Unit = {
+    val lists = new Path(s"$indexDir/lists")
+    val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = new Path(s"$indexDir/.lists_precompact")
+    if (!fs.exists(lists) && fs.exists(prev))
+      require(fs.rename(prev, lists), s"AnnIndex: cannot heal $prev")
+  }
+
   private def rewriteLists(spark: SparkSession, indexDir: String,
                            exclude: Seq[Long]): Unit = {
     val lists = new Path(s"$indexDir/lists")
@@ -497,7 +515,7 @@ object AnnIndex {
     val prev = new Path(s"$indexDir/.lists_precompact")
     // crash recovery: a previous compact moved lists/ aside but died before
     // publishing the rewrite — the original data is intact under prev
-    if (!fs.exists(lists) && fs.exists(prev)) require(fs.rename(prev, lists))
+    healPrecompact(spark, indexDir)
     val tmp = new Path(s"$indexDir/.lists_compact.tmp")
     fs.delete(tmp, true)
     fs.delete(prev, true)

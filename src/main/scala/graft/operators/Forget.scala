@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Packed-shard store coordinates for a composed takedown — everything
+  * [[Pack.retractDocs]] needs besides the ids. */
+final case class PackTarget(dir: String, orderCol: String, tokCol: String,
+                            budget: Long, binsPerShard: Long)
+
+/** The full persisted-store footprint of one corpus deployment — every dir
+  * is optional, so a deployment wires exactly the stores it runs. The door
+  * trio (fp/sig/ivf) is [[graft.streaming.FrontDoor]]'s store set; bm25/lm
+  * are the text-scoring stores; `pack` the training-shard export. */
+final case class CorpusStores(
+  fpDir: Option[String] = None,
+  sigDir: Option[String] = None,
+  ivfDir: Option[String] = None,
+  bm25Dir: Option[String] = None,
+  lmDir: Option[String] = None,
+  pack: Option[PackTarget] = None)
+
+/** ONE-CALL corpus-wide takedown: a DMCA/GDPR request against a deployment
+  * that runs the four-layer front door PLUS the BM25 store, the LM store,
+  * and packed training shards used to need six hand-walked retract calls —
+  * and nothing pinned the cross-STORE crash window (door stores forgetting,
+  * BM25/LM/shards not). [[forget]] is the [[Takedown]] multi-table
+  * discipline one level up: the request itself is durably staged, a pending
+  * marker commits it, and every configured store's own retract runs under
+  * per-store progress tokens, so a crash ANYWHERE replays to completion
+  * via [[heal]].
+  *
+  * Protocol (all under the caller-owned `forgetDir` ledger):
+  *
+  *  1. the normalized request batch (id, text) persists to
+  *     `request_<reqId>` (parquet, dot-temp + rename) — the texts MUST be
+  *     durable before any store forgets them: the fp and LM retracts
+  *     re-derive their deltas from the text, and the corpus copy may be
+  *     gone by replay time;
+  *  2. `_forget_pending` commits (atomic rename; content = reqId);
+  *  3. each configured store's retract runs in door order (fp → sig → ann
+  *     → bm25 → lm → pack). The exclude-by-key retracts are re-run
+  *     idempotent, so their ledger `.done_` tokens are replay SHORTCUTS,
+  *     not correctness; the LM subtraction is NOT re-run idempotent
+  *     (shared-bigram counts would silently double-subtract), so its token
+  *     is a RECEIPT committed atomically with the subtraction through the
+  *     LM store's own [[Takedown]] marker ([[LmStore.retract]]'s `receipt`)
+  *     — a crash at any instruction of the LM step replays to exactly one
+  *     applied subtraction;
+  *  4. the pending marker deletes (the commit point), then tokens, receipt
+  *     and request sweep. reqIds are single-use nonces, so residue from a
+  *     crash mid-sweep is dead weight the next call clears — never a stale
+  *     token that could mask a LATER identical request (forget X, re-admit
+  *     X, forget X again must re-run every store).
+  *
+  * Single-writer maintenance, like every store's own retract: run between
+  * epochs with the door stream and appenders down. Request batches are
+  * takedown-sized by contract (the one sanctioned driver-side collect).
+  * Subset contract: configured BM25/LM stores must actually have been
+  * seeded with the request docs — [[LmStore.retract]] aborts LOUDLY on a
+  * non-subset batch (by design), and nothing has swapped anywhere in that
+  * store when it does. */
+object Forget {
+
+  private val MarkerName = "_forget_pending"
+
+  /** Step keys, in execution order — also the `.done_` token suffixes. */
+  private val Steps = Seq("fp", "sig", "ann", "bm25", "lm", "pack")
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def lmReceipt(reqId: String): String = s"_forget_done_$reqId"
+
+  /** Run the composed takedown for `docs` (idCol, textCol) across every
+    * configured store. Any prior crashed request is completed FIRST — two
+    * requests never interleave. */
+  def forget(spark: SparkSession, forgetDir: String, stores: CorpusStores,
+             docs: DataFrame, idCol: String, textCol: String): Unit =
+    forgetImpl(spark, forgetDir, stores, docs, idCol, textCol, None)
+
+  private[graft] def forgetImpl(spark: SparkSession, forgetDir: String,
+                                stores: CorpusStores, docs: DataFrame,
+                                idCol: String, textCol: String,
+                                crash: Option[String]): Unit = {
+    val fs = fsOf(spark, forgetDir)
+    fs.mkdirs(new Path(forgetDir))
+    heal(spark, forgetDir, stores)
+    val req = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text")).distinct()
+    if (req.isEmpty) return
+    // single-use nonce: never content-derived, so a completed request's
+    // swept-late residue can never be mistaken for progress on a later
+    // identical request
+    val reqId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val reqDir = new Path(s"$forgetDir/request_$reqId")
+    val tmp = new Path(s"$forgetDir/.request_$reqId.tmp")
+    fs.delete(tmp, true)
+    req.coalesce(1).write.parquet(tmp.toString) // request-sized: one file
+    require(fs.rename(tmp, reqDir), s"Forget: cannot commit $reqDir")
+    val mtmp = new Path(s"$forgetDir/.$MarkerName.tmp")
+    fs.delete(mtmp, true)
+    val out = fs.create(mtmp, true)
+    try out.write(reqId.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(mtmp, new Path(s"$forgetDir/$MarkerName")),
+      s"Forget: cannot commit $MarkerName")
+    execute(spark, forgetDir, stores, reqId, crash)
+    complete(spark, fs, forgetDir, stores, reqId)
+  }
+
+  /** Complete a crashed [[forget]]: a committed pending marker re-runs the
+    * request from its durable batch, skipping stores whose tokens/receipt
+    * say done; then residue sweeps. No-op on a clean ledger. Wire into the
+    * deployment's maintenance entry point (every store retract already
+    * heals its own level on entry). */
+  def heal(spark: SparkSession, forgetDir: String,
+           stores: CorpusStores): Unit = {
+    val fs = fsOf(spark, forgetDir)
+    val root = new Path(forgetDir)
+    if (!fs.exists(root)) return
+    val marker = new Path(s"$forgetDir/$MarkerName")
+    if (fs.exists(marker)) {
+      val reqId = readText(fs, marker)
+      execute(spark, forgetDir, stores, reqId, None)
+      complete(spark, fs, forgetDir, stores, reqId)
+    }
+    sweep(spark, fs, forgetDir, stores)
+  }
+
+  /** One store step: skip if this request already holds the step's done
+    * token, else run the retract and commit the token. `crash` injects the
+    * spec's crash windows: `"<key>"` dies between stores (token committed),
+    * `"<key>:pre-done"` dies after the store's own commit but before the
+    * token — the window that distinguishes a receipt from a shortcut. */
+  private def step(fs: FileSystem, forgetDir: String, reqId: String,
+                   key: String, crash: Option[String])(body: => Unit): Unit = {
+    val done = new Path(s"$forgetDir/.done_${reqId}_$key")
+    if (!fs.exists(done)) {
+      body
+      if (crash.contains(s"$key:pre-done"))
+        throw new IllegalStateException(s"Forget: injected crash in $key")
+      fs.create(done, true).close()
+    }
+    if (crash.contains(key))
+      throw new IllegalStateException(s"Forget: injected crash after $key")
+  }
+
+  private def execute(spark: SparkSession, forgetDir: String,
+                      stores: CorpusStores, reqId: String,
+                      crash: Option[String]): Unit = {
+    val fs = fsOf(spark, forgetDir)
+    val req = spark.read.parquet(s"$forgetDir/request_$reqId")
+      .localCheckpoint()
+    val ids = req.select("id").collect().map(_.getLong(0)).toSeq
+    def at(key: String)(body: => Unit): Unit =
+      step(fs, forgetDir, reqId, key, crash)(body)
+    // door order — the same sequence as FrontDoor.retract
+    // (graft/streaming/FrontDoor.scala), then the text stores, then shards
+    stores.fpDir.foreach(d => at("fp") {
+      FingerprintStore.retract(spark, d, req, "text")
+    })
+    stores.sigDir.foreach(d => at("sig") {
+      SignatureStore.retract(spark, d, ids)
+    })
+    stores.ivfDir.foreach(d => at("ann") {
+      AnnIndex.retract(spark, d, ids)
+    })
+    stores.bm25Dir.foreach(d => at("bm25") {
+      Bm25Store.retract(spark, d, ids)
+    })
+    stores.lmDir.foreach(d => at("lm") {
+      // finish any mid-swap crash FIRST: Takedown.heal re-creates the
+      // receipt from the committed marker, so the check below sees the
+      // truth even when the crash hit between the LM's swaps
+      Takedown.heal(spark, d)
+      val r = lmReceipt(reqId)
+      if (!fsOf(spark, d).exists(new Path(s"$d/$r")))
+        LmStore.retract(spark, d, req, "id", "text", receipt = Some(r))
+    })
+    stores.pack.foreach(p => at("pack") {
+      Pack.retractDocs(spark, p.dir, p.orderCol, p.tokCol, p.budget,
+        p.binsPerShard, ids)
+    })
+  }
+
+  /** Commit point first, then garbage: the pending marker must outlive the
+    * tokens and receipt (deleting a receipt while the marker stands would
+    * replay the LM subtraction), and everything left after the marker falls
+    * is keyed by a never-reused nonce. */
+  private def complete(spark: SparkSession, fs: FileSystem, forgetDir: String,
+                       stores: CorpusStores, reqId: String): Unit = {
+    fs.delete(new Path(s"$forgetDir/$MarkerName"), false)
+    Steps.foreach(k =>
+      fs.delete(new Path(s"$forgetDir/.done_${reqId}_$k"), false))
+    fs.delete(new Path(s"$forgetDir/request_$reqId"), true)
+    stores.lmDir.foreach { d =>
+      fsOf(spark, d).delete(new Path(s"$d/${lmReceipt(reqId)}"), false)
+    }
+  }
+
+  /** Clear residue from a crash inside [[complete]] — markerless request
+    * dirs, tokens and receipts are dead by construction (see complete). */
+  private def sweep(spark: SparkSession, fs: FileSystem, forgetDir: String,
+                    stores: CorpusStores): Unit = {
+    fs.listStatus(new Path(forgetDir)).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.startsWith("request_") || n.startsWith(".request_") ||
+        n.startsWith(".done_")
+    }.foreach(p => fs.delete(p, true))
+    stores.lmDir.foreach { d =>
+      val lfs = fsOf(spark, d)
+      if (lfs.exists(new Path(d)))
+        lfs.listStatus(new Path(d)).map(_.getPath)
+          .filter(_.getName.startsWith("_forget_done_"))
+          .foreach(p => lfs.delete(p, false))
+    }
+  }
+}

@@ -386,9 +386,17 @@ object LmStore {
     * negative aborts before anything swaps. All four rewrites build aside
     * and commit under the staged [[Takedown]] protocol (a crash between
     * table swaps could otherwise strand inconsistent counts). Single-
-    * writer, compact-class maintenance; batch the requests. */
+    * writer, compact-class maintenance; batch the requests.
+    *
+    * UNLIKE the exclude-by-key retracts (fp/sig/ANN/BM25/pack), this
+    * subtraction is NOT re-run idempotent: bigrams the retracted docs share
+    * with SURVIVORS keep a positive count, so a blind replay would silently
+    * subtract them twice. A composed driver ([[Forget]]) passes `receipt` —
+    * committed atomically with the subtraction via the [[Takedown]] marker
+    * — and skips the call when `dir/<receipt>` already exists. */
   def retract(spark: SparkSession, dir: String, docs: DataFrame,
-              idCol: String, textCol: String): Unit = {
+              idCol: String, textCol: String,
+              receipt: Option[String] = None): Unit = {
     Takedown.heal(spark, dir)
     val fs = fsOf(spark, dir)
     checkParams(fs, dir)
@@ -420,7 +428,7 @@ object LmStore {
     val prefix2 = subtracted("prefix", Seq("prev"), "cp", pcR.drop("wb"))
     val vocabrc2 = subtracted("vocabrc", Seq("word"), "rc", rcR.drop("wb"))
       .localCheckpoint()
-    Takedown.run(spark, dir, Subs) { stage =>
+    Takedown.run(spark, dir, Subs, receipt) { stage =>
       def out(df: DataFrame, sub: String, sortCol: String): Unit =
         df.repartition(col("wb")).sortWithinPartitions(sortCol)
           .write.partitionBy("wb").parquet(s"$stage/$sub")

@@ -78,7 +78,13 @@ object Takedown {
   /** Complete a crashed retract: a committed marker finishes every named
     * sub-table's swap; an uncommitted stage is a pre-commit orphan and is
     * discarded (the caller re-runs the retract whole). No-op on a clean
-    * store. */
+    * store.
+    *
+    * If the marker names a RECEIPT (a composed multi-store takedown's
+    * per-request idempotence token, [[Forget]]), the receipt file is
+    * (re-)created after the swaps finish — so a crash anywhere past the
+    * marker commit still yields "subtraction committed AND receipt
+    * present" on replay, atomically from the caller's point of view. */
   def heal(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
     if (!fs.exists(new Path(dir))) return
@@ -88,18 +94,25 @@ object Takedown {
       fs.delete(stage, true)
       return
     }
-    readText(fs, marker).split(",").filter(_.nonEmpty)
-      .foreach(finishSwap(fs, dir, _))
+    val lines = readText(fs, marker).split("\n").map(_.trim)
+    lines(0).split(",").filter(_.nonEmpty).foreach(finishSwap(fs, dir, _))
+    lines.drop(1).find(_.startsWith("receipt=")).map(_.stripPrefix("receipt="))
+      .foreach(r => fs.create(new Path(s"$dir/$r"), true).close())
     fs.delete(stage, true)
     fs.delete(marker, false)
   }
 
   /** Run a staged retract: `build(stageDir)` writes each sub-table's full
     * rewrite under `stageDir/<sub>` (only subs that need rewriting), then
-    * the marker commits and every sub in `subs` swaps in. */
-  def run(spark: SparkSession, dir: String, subs: Seq[String])
+    * the marker commits and every sub in `subs` swaps in. A `receipt` name,
+    * when given, rides IN the marker and materializes as `dir/<receipt>`
+    * exactly when the retract's effect is committed (see [[heal]]) — the
+    * token a composed driver checks to skip an already-applied,
+    * NON-idempotent retract (the LM store's count subtraction) on replay. */
+  def run(spark: SparkSession, dir: String, subs: Seq[String],
+          receipt: Option[String] = None)
          (build: String => Unit): Unit =
-    runDynamic(spark, dir) { stage => build(stage); subs }
+    runDynamic(spark, dir, receipt) { stage => build(stage); subs }
 
   /** [[run]] for stores whose sub-table set is only known AFTER the rewrite
     * is staged — the packed-shard store's retract rewrites every `shard=K`
@@ -108,20 +121,26 @@ object Takedown {
     * returns the sub names to swap; the marker commits that exact list
     * (atomically: dot-temp + rename, so a crash mid-write never leaves a
     * half-named commit), and [[heal]] replays it like any static retract. */
-  def runDynamic(spark: SparkSession, dir: String)
+  def runDynamic(spark: SparkSession, dir: String,
+                 receipt: Option[String] = None)
                 (build: String => Seq[String]): Unit = {
     val fs = fsOf(spark, dir)
     heal(spark, dir)
     val stage = new Path(s"$dir/$StageName")
     fs.delete(stage, true)
     val subs = build(stage.toString)
+    require(receipt.forall(r => !r.contains("\n") && !r.contains(",")),
+      "Takedown: receipt names must be single-line")
     val marker = new Path(s"$dir/$MarkerName")
     val tmp = new Path(s"$dir/.$MarkerName.tmp")
     fs.delete(tmp, true)
+    val content = subs.mkString(",") +
+      receipt.fold("")(r => s"\nreceipt=$r")
     val out = fs.create(tmp, true)
-    try out.write(subs.mkString(",").getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, marker), s"Takedown: cannot commit $marker")
     subs.foreach(finishSwap(fs, dir, _))
+    receipt.foreach(r => fs.create(new Path(s"$dir/$r"), true).close())
     fs.delete(stage, true)
     fs.delete(marker, false)
   }

@@ -40,6 +40,16 @@ import graft.operators.{AnnIndex, FingerprintStore, SignatureStore}
   * bit-identical stores. Single door stream per store set (the usual
   * single-maintainer contract).
   *
+  * CALLBACK CONTRACT — foreachBatch is at-least-once, and the stores'
+  * markers protect the STORES, not the callbacks: `accept` re-fires with
+  * identical survivors if a crash lands before the semantic screen's epoch
+  * marker commits, and `quarantine` (the markerless gate-reject path)
+  * re-fires on ANY replay of its epoch. Both must be idempotent under
+  * epoch re-delivery — keyed/overwriting writes or their own
+  * marker-protected sinks, mirroring the CONTRACT note in
+  * [[AnnIndex.semanticScreenSink]] — or an external consumer will
+  * duplicate rows on replay.
+  *
   * Scale: per trigger, the gate's work is O(|batch|) (broadcast stats), the
   * fp probe is Bloom + pruned shards, the signature probe reads only
   * colliding band buckets, and the semantic probe only the batch's nprobe
@@ -64,15 +74,38 @@ object FrontDoor {
     // trigger's epoch reaches the inner layers through this cell — set
     // before the first inner sink runs, in the gate's accept callback.
     val cur = new AtomicLong(-1L)
+    val chain = storeChain(spark, fpDir, sigDir, ivfDir, idCol, textCol,
+      vecCol, sigThreshold, semThreshold, nprobe, streamTag, cur)(accept)
+    gate.sinkEpoch(idCol, textCol)(
+      { (df, e) => cur.set(e); chain(df) })(
+      { (df, _) => quarantine(df) })
+  }
+
+  /** The three store layers behind the gate as one epoch-threaded sink.
+    * Package-private so the guard below is pinnable; production callers use
+    * [[sink]], which owns `cur` and sets it in the gate's accept path. The
+    * `require` makes a mis-wired door (a layer fed directly, no gate epoch)
+    * fail LOUDLY instead of silently running every inner store at epoch −1
+    * — where one shared marker would swallow every subsequent batch. */
+  private[graft] def storeChain(spark: SparkSession, fpDir: String,
+      sigDir: String, ivfDir: String, idCol: String, textCol: String,
+      vecCol: String, sigThreshold: Double, semThreshold: Double,
+      nprobe: Int, streamTag: String, cur: AtomicLong)
+      (accept: DataFrame => Unit): DataFrame => Unit = {
+    def epochNow(): Long = {
+      val e = cur.get()
+      require(e >= 0,
+        s"FrontDoor($streamTag): store layer invoked before any gate epoch " +
+          "— wire batches through FrontDoor.sink, never into a layer directly")
+      e
+    }
     val sem = AnnIndex.semanticScreenSink(spark, ivfDir, idCol, vecCol,
       semThreshold, nprobe, streamTag)(accept)
     val sig = SignatureStore.screenSink(spark, sigDir, idCol, textCol,
-      sigThreshold, streamTag = streamTag) { df => sem(df, cur.get()) }
+      sigThreshold, streamTag = streamTag) { df => sem(df, epochNow()) }
     val fp = FingerprintStore.dedupSink(spark, fpDir, idCol, textCol,
-      streamTag = streamTag) { df => sig(df, cur.get()) }
-    gate.sinkEpoch(idCol, textCol)(
-      { (df, e) => cur.set(e); fp(df, e) })(
-      { (df, _) => quarantine(df) })
+      streamTag = streamTag) { df => sig(df, epochNow()) }
+    df => fp(df, epochNow())
   }
 
   /** Takedown across the door's three stores in one call — the lifecycle

@@ -154,4 +154,24 @@ class FrontDoorSpec extends AnyFunSuite {
       Seq((8L, doc("alpha", 4), v1),
         (9L, doc("alpha", 30), nudge(v1, 5)))) == Seq(8L, 9L))
   }
+
+  test("a mis-wired store chain (layer fed with no gate epoch) fails " +
+    "loudly instead of running the stores at epoch -1") {
+    val seed = (for (c <- 0 until 8; k <- 0 until 6) yield
+      ((100 + c * 6 + k).toLong, vec(c, 0.15 * k, (c + 1) % 8)))
+      .toDF("doc_id", "embedding")
+    val ivfDir = AnnIndex.ivfIndexDir(seed, "mem://frontdoor_guard",
+      "doc_id", "embedding", nlist = 8, iters = 3, seed = 42L,
+      variant = s"fdg_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fpDir = java.nio.file.Files.createTempDirectory("fdg_fp").toString
+    val sigDir = java.nio.file.Files.createTempDirectory("fdg_sig").toString
+    val chain = FrontDoor.storeChain(spark, fpDir, sigDir, ivfDir,
+      "doc_id", "text", "embedding", 0.45, 0.99, 2, "guard",
+      new java.util.concurrent.atomic.AtomicLong(-1L))(_ => ())
+    val ex = intercept[IllegalArgumentException] {
+      chain(Seq((1L, doc("alpha", 4), vec(0, 0.5, 2)))
+        .toDF("doc_id", "text", "embedding"))
+    }
+    assert(ex.getMessage.contains("before any gate epoch"))
+  }
 }
