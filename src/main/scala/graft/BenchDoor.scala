@@ -1,0 +1,207 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, Dsir, FingerprintStore, SignatureStore}
+import graft.streaming.{FrontDoor, IngestGate}
+
+/** Measures the COMPOSED four-layer front door ([[FrontDoor.sink]]) — the
+  * empirical half of the two claims its scaladoc makes structurally:
+  *
+  *  1. REJECTION-COST ORDER: each layer only pays for what the cheaper
+  *     layers admitted. Measured by mounting four chain depths (gate only,
+  *     gate→fp, gate→fp→sig, full door) over identically seeded stores and
+  *     driving the SAME mixed trigger batches through each: the per-trigger
+  *     wall must grow by the marginal probe cost of the added layer, and
+  *     the admitted counts must step 80 → 60 → 40 → 20 (20 kills per layer
+  *     by construction — that step IS the per-layer kill count).
+  *  2. STORE-AGE FLATNESS: the full door's steady-state trigger against a
+  *     ~10× larger store set (all copies vs copy-0 of the scale dir) must
+  *     cost about the same, because every layer's probe is pruned (Bloom +
+  *     fp shards / band buckets / nprobe list partitions — BENCH_screen and
+  *     BENCH_semscreen measure the layers alone; this artifact measures
+  *     their composition, including the gate's scoring and the epoch
+  *     bookkeeping between them).
+  *
+  * Trigger batch (100 docs, fresh ids/texts/vectors per trigger so stores
+  * grow exactly as a live door's would): 20 too-short pages (gate kill),
+  * 20 byte-identical copies of stored docs (fp kill), 20 one-token
+  * re-crawls of stored docs (sig kill), 20 paraphrases — fresh text, a
+  * stored vector nudged to cos ≈ 1 (semantic kill) — and 20 genuinely
+  * novel pages (admitted; they enter the stores, as on a real door).
+  * Per-config times are min-of-`Reps` steady-state triggers after one
+  * untimed warm trigger (mount heals, Bloom load, codegen).
+  *
+  * Emits ONE JSON line to `SPARK_GRAFT_BENCH_OUT` (default
+  * BENCH_door.json). Run against a [[ScaleCorpus]]-scaled dir. */
+object BenchDoor {
+  private val Reps = 5
+  private val PerClass = 20
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/bench-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val smallDocs = docs.filter(col("doc_id") < ScaleCorpus.Offset)
+      .localCheckpoint()
+    val allDocs = docs.localCheckpoint()
+    val smallEmb = emb.filter(col("vec_id") < ScaleCorpus.Offset)
+      .localCheckpoint()
+    val allEmb = emb.localCheckpoint()
+
+    // Permissive-affinity gate: the reject class is engineered to fail the
+    // quality gate (1 token < minTokens, and no scorable bigram), so the
+    // admission split is deterministic while affinity scoring still runs
+    // at its real cost on every doc.
+    val stats = Dsir.bucketStats(
+      smallDocs.withColumn("is_target", pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", col("is_target"))
+    val gate = new IngestGate(stats, minAffinity = -1e18)
+
+    // 20 stored, gate-passing copy-0 docs WITH stored vectors — present in
+    // both store scales; the seeds for the exact/re-crawl/paraphrase classes
+    val seeds = gate.gate(
+        smallDocs.join(smallEmb, smallDocs("doc_id") === smallEmb("vec_id"))
+          .select(smallDocs("doc_id"), col("text"), col("embedding")),
+        "doc_id", "text")
+      .filter(col("admitted")).orderBy("doc_id").limit(PerClass)
+      .select("doc_id", "text", "embedding").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Double](2)))
+    require(seeds.length == PerClass,
+      s"need $PerClass gate-passing seeded docs with vectors")
+    val dim = seeds(0)._3.length
+
+    def novelVec(t: Int, i: Int): Seq[Double] =
+      (0 until dim).map(j =>
+        ((t * 7919 + i * 104729 + j * 31) % 2000) / 1000.0 - 1.0)
+    def nudged(v: Seq[Double]): Seq[Double] =
+      v.zipWithIndex.map { case (x, i) => if (i == 0) x + 1e-3 else x }
+    def freshText(cls: String, t: Int, i: Int): String =
+      (0 until 24).map(j => s"$cls${t}x${i}w$j").mkString(" ")
+
+    def mkBatch(t: Int): DataFrame = {
+      val rows =
+        (0 until PerClass).map(i =>
+          (800000000L + t * 1000L + i, "x", novelVec(t, 900 + i))) ++
+        seeds.zipWithIndex.map { case ((_, tx, v), i) =>
+          (810000000L + t * 1000L + i, tx, nudged(v)) } ++
+        seeds.zipWithIndex.map { case ((_, tx, v), i) =>
+          (820000000L + t * 1000L + i, tx + s" zz${t}tail", nudged(v)) } ++
+        seeds.zipWithIndex.map { case ((_, _, v), i) =>
+          (830000000L + t * 1000L + i, freshText("p", t, i), nudged(v)) } ++
+        (0 until PerClass).map(i =>
+          (840000000L + t * 1000L + i, freshText("n", t, i), novelVec(t, i)))
+      rows.toDF("doc_id", "text", "embedding").localCheckpoint()
+    }
+    val batches = (0 to Reps).map(mkBatch) // batches(0) = untimed warm
+
+    def tmpDir(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+
+    val expected = Map("gate" -> 80L, "gate_fp" -> 60L,
+      "gate_fp_sig" -> 40L, "full" -> 20L)
+
+    def runCfg(cfg: String, dc: DataFrame, ec: DataFrame,
+               scaleTag: String): Double = {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val acc = new AtomicLong(0L)
+      val quar = new AtomicLong(0L)
+      val cur = new AtomicLong(-1L)
+      def count(df: DataFrame): Unit = { acc.addAndGet(df.count()); () }
+      def qcount(df: DataFrame): Unit = { quar.addAndGet(df.count()); () }
+      def seedFp(): String = {
+        val d = tmpDir("bd_fp"); FingerprintStore.seed(dc, "text", d); d
+      }
+      def seedSig(): String = {
+        val d = tmpDir("bd_sig"); SignatureStore.seed(dc, "doc_id", "text", d)
+        d
+      }
+      val sink: (DataFrame, Long) => Unit = cfg match {
+        case "gate" =>
+          gate.sinkEpoch("doc_id", "text")(
+            (df, _) => count(df))((df, _) => qcount(df))
+        case "gate_fp" =>
+          val fp = FingerprintStore.dedupSink(spark, seedFp(),
+            "doc_id", "text", streamTag = "bd")(count)
+          gate.sinkEpoch("doc_id", "text")(
+            { (df, e) => cur.set(e); fp(df, e) })((df, _) => qcount(df))
+        case "gate_fp_sig" =>
+          val sig = SignatureStore.screenSink(spark, seedSig(),
+            "doc_id", "text", 0.45, streamTag = "bd")(count)
+          val fp = FingerprintStore.dedupSink(spark, seedFp(),
+            "doc_id", "text", streamTag = "bd") { df => sig(df, cur.get()) }
+          gate.sinkEpoch("doc_id", "text")(
+            { (df, e) => cur.set(e); fp(df, e) })((df, _) => qcount(df))
+        case "full" =>
+          val ivfDir = AnnIndex.ivfIndexDir(ec, s"$sfDir/embeddings.parquet",
+            "vec_id", "embedding", nlist = 64, iters = 3, seed = 42L,
+            variant = s"door_${scaleTag}_$run")
+          FrontDoor.sink(spark, gate, seedFp(), seedSig(), ivfDir,
+            "doc_id", "text", "embedding", sigThreshold = 0.45,
+            semThreshold = 0.99, nprobe = 4, streamTag = "bd")(
+            count)(qcount)
+      }
+      sink(batches(0), 0L) // warm: mount heals, Bloom load, codegen
+      require(acc.get() == expected(cfg) && quar.get() == PerClass,
+        s"$cfg/$scaleTag warm: admitted ${acc.get()} (want ${expected(cfg)})" +
+          s", quarantined ${quar.get()} (want $PerClass)")
+      (1 to Reps).map { e =>
+        acc.set(0L); quar.set(0L)
+        val t0 = System.nanoTime()
+        sink(batches(e), e.toLong)
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(acc.get() == expected(cfg) && quar.get() == PerClass,
+          s"$cfg/$scaleTag trigger $e: admitted ${acc.get()} " +
+            s"(want ${expected(cfg)}), quarantined ${quar.get()}")
+        dt
+      }.min
+    }
+
+    def scale(tag: String, dc: DataFrame, ec: DataFrame): (String, Double) = {
+      val t = Seq("gate", "gate_fp", "gate_fp_sig", "full")
+        .map(c => c -> runCfg(c, dc, ec, tag)).toMap
+      val json =
+        f""""${tag}_store":{"gate":${t("gate")}%.4f,""" +
+        f""""gate_fp":${t("gate_fp")}%.4f,""" +
+        f""""gate_fp_sig":${t("gate_fp_sig")}%.4f,""" +
+        f""""full":${t("full")}%.4f,""" +
+        f""""marginal_fp":${t("gate_fp") - t("gate")}%.4f,""" +
+        f""""marginal_sig":${t("gate_fp_sig") - t("gate_fp")}%.4f,""" +
+        f""""marginal_sem":${t("full") - t("gate_fp_sig")}%.4f}"""
+      (json, t("full"))
+    }
+
+    val smallRows = smallDocs.count()
+    val (jsonS, fullS) = scale("small", smallDocs, smallEmb)
+    val (jsonL, fullL) = scale("large", allDocs, allEmb)
+    val json =
+      f"""{"metric":"door_trigger_cost","unit":"sec","sf":"$sfDir",""" +
+      f""""batch_docs":${5 * PerClass},""" +
+      f""""mix":{"gate_kill":$PerClass,"fp_kill":$PerClass,""" +
+      f""""sig_kill":$PerClass,"sem_kill":$PerClass,"admit":$PerClass},""" +
+      f""""small_store_docs":$smallRows,""" +
+      f""""large_store_docs":${allDocs.count()},""" +
+      jsonS + "," + jsonL + "," +
+      f""""composed_probe_ratio":${fullL / fullS}%.3f}"""
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_door.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+    println(json)
+  }
+}

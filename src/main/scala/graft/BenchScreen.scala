@@ -69,10 +69,11 @@ object BenchScreen {
           lit(" with words that never appeared in any stored document "),
           col("id") * 7919L).as("text"))
     val batchL = recrawls.unionByName(novels).localCheckpoint()
-    val batchS = batchL.filter(
-      (col("doc_id") < 900000005L && col("doc_id") >= 900000000L) ||
-      (col("doc_id") < 910000005L && col("doc_id") >= 910000000L))
-      .localCheckpoint() // 5 re-crawls + 5 novels
+    // 5 re-crawls + 5 novels, derived by limit from each side — never by
+    // hardcoded id windows, which assume copy-0 doc_ids start at 0
+    val batchS = recrawls.orderBy("doc_id").limit(5)
+      .unionByName(novels.orderBy("doc_id").limit(5))
+      .localCheckpoint()
     def sigsOf(b: org.apache.spark.sql.DataFrame) =
       Dedup.minHashSignatures(b, "doc_id", "text", 32, 3).localCheckpoint()
     val sigsL = sigsOf(batchL)

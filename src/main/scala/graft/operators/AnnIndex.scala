@@ -423,45 +423,177 @@ object AnnIndex {
                          autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
                          autoCompactFactor: Int = AutoCompact.DefaultFactor)
                         (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
-    val cents = loadCentroids(spark, indexDir)
     val fs0 = new Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     healPrecompact(spark, indexDir)
     healScreenStaging(fs0, indexDir, streamTag)
+    val cents = loadCentroids(spark, indexDir)
     val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
     (batch: DataFrame, epoch: Long) => {
-      val fs = new Path(indexDir).getFileSystem(
-        batch.sparkSession.sparkContext.hadoopConfiguration)
-      val marker = new Path(screenMarkerPath(indexDir, streamTag, epoch))
-      if (fs.exists(marker)) {
-        healScreenStaging(fs, indexDir, streamTag)
-      } else if (!batch.isEmpty) {
-        val stage = new Path(screenStagePath(indexDir, streamTag, epoch))
-        fs.delete(stage, true)
-        val b = batch.localCheckpoint()
-        val flagged = probeStoredVectors(spark, indexDir, b, idCol, vecCol,
-            threshold, nprobe)
-          .select(col("id").as(idCol)).localCheckpoint()
-        val survivors = b.join(broadcast(flagged), Seq(idCol), "left_anti")
-          .localCheckpoint()
-        // CONTRACT: a pre-marker crash replays this epoch and re-invokes
-        // `out` with identical survivors — `out` must be idempotent under
-        // epoch re-delivery (marker-protected, like every sink here).
-        out(survivors)
-        survivors.select(col(idCol).cast("long").as("cid"),
-            col(vecCol).cast("array<double>").as("cvec"))
-          .select(
-            element_at(NearestCentroids.column(col("cvec"), cents, 1), 1)
-              .as("list_id"),
-            col("cid"), col("cvec"))
-          .write.partitionBy("list_id").parquet(s"$stage/lists")
-        fs.create(marker, true).close()
-        publishScreenStage(fs, indexDir, stage)
-        // epoch fully committed: the between-epochs single-writer window
-        auto.tick(listFileCount(spark, indexDir), cents.length)(
-          compact(spark, indexDir))
+      screenEpoch(spark, indexDir, idCol, vecCol, threshold, nprobe,
+        streamTag, cents, auto)(out)(batch, epoch)
+      ()
+    }
+  }
+
+  /** One screen trigger (shared by [[semanticScreenSink]] and
+    * [[recenteringScreenSink]]): probe → `out(survivors)` →
+    * stage→marker→publish → auto-compact tick. Returns the survivors when
+    * the epoch actually ran, None when its marker said skip (or the batch
+    * was empty) — so a caller's post-epoch bookkeeping (the recentering
+    * sink's drift feed) never double-counts a re-delivered epoch. */
+  private def screenEpoch(spark: SparkSession, indexDir: String,
+                          idCol: String, vecCol: String, threshold: Double,
+                          nprobe: Int, streamTag: String,
+                          cents: Array[Array[Double]], auto: AutoCompact)
+                         (out: DataFrame => Unit)
+                         (batch: DataFrame, epoch: Long): Option[DataFrame] = {
+    val fs = new Path(indexDir).getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new Path(screenMarkerPath(indexDir, streamTag, epoch))
+    if (fs.exists(marker)) {
+      healScreenStaging(fs, indexDir, streamTag)
+      None
+    } else if (!batch.isEmpty) {
+      val stage = new Path(screenStagePath(indexDir, streamTag, epoch))
+      fs.delete(stage, true)
+      val b = batch.localCheckpoint()
+      val flagged = probeStoredVectors(spark, indexDir, b, idCol, vecCol,
+          threshold, nprobe)
+        .select(col("id").as(idCol)).localCheckpoint()
+      val survivors = b.join(broadcast(flagged), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      // CONTRACT: a pre-marker crash replays this epoch and re-invokes
+      // `out` with identical survivors — `out` must be idempotent under
+      // epoch re-delivery (marker-protected, like every sink here).
+      out(survivors)
+      survivors.select(col(idCol).cast("long").as("cid"),
+          col(vecCol).cast("array<double>").as("cvec"))
+        .select(
+          element_at(NearestCentroids.column(col("cvec"), cents, 1), 1)
+            .as("list_id"),
+          col("cid"), col("cvec"))
+        .write.partitionBy("list_id").parquet(s"$stage/lists")
+      fs.create(marker, true).close()
+      publishScreenStage(fs, indexDir, stage)
+      // epoch fully committed: the between-epochs single-writer window
+      auto.tick(listFileCount(spark, indexDir), cents.length)(
+        compact(spark, indexDir))
+      Some(survivors)
+    } else None
+  }
+
+  /** [[semanticScreenSink]] that RECENTERS ITSELF under embedding drift —
+    * closing the loop between the engine's drift-detection heritage (DDM,
+    * SURVEY §2.6) and its store layer. The plain screen's coarse centroids
+    * are frozen at mount; when the embedding distribution drifts (a new
+    * encoder version, a topic shift), fresh vectors quantize badly — they
+    * crowd into a few far-away cells, the probe's nprobe cells stop
+    * covering true neighbors, and paraphrase recall decays. The documented
+    * remedy was a MANUAL rebuild under a new variant token; this sink
+    * watches for the drift and performs the rebuild itself.
+    *
+    * Drift signal: per admitted survivor, a Bernoulli "quantization miss"
+    * — cosine to its nearest coarse centroid < `fitCosine` — fed into a
+    * driver-side [[Drift.Ddm]] (zeros before ones within a trigger, a
+    * fixed order so the scan is deterministic). Re-delivered epochs feed
+    * NOTHING ([[screenEpoch]] returns None), so the detector composes with
+    * the marker replay discipline. On a DDM drift signal whose trigger
+    * error rate also clears `minErrRate` (one bad doc after a long clean
+    * run must not thrash a petabyte index), the sink — in the SAME
+    * between-epochs single-writer window auto-compaction already owns —
+    * retrains k-means on the store's CURRENT vectors and swaps lists +
+    * centroids under the staged [[Takedown]] protocol: both sub-tables
+    * rewrite aside, a marker commits them, and every crash point heals
+    * (pre-marker → old index intact, the detector simply refires later;
+    * post-marker → the next mount's [[Takedown.heal]] finishes the swap) —
+    * the [[graft.streaming.ModelRefit]] publish discipline (train, persist,
+    * then swap; never a half-built model) applied to an on-disk index.
+    * Epoch markers are untouched, so replay idempotence survives the
+    * rebuild. The DDM resets after a rebuild (new regime, fresh baseline).
+    *
+    * `onRebuild(epoch)` is telemetry (tests, ops counters) — called after
+    * the swap commits. Single screen stream per index, as ever. */
+  def recenteringScreenSink(spark: SparkSession, indexDir: String,
+                            idCol: String, vecCol: String, threshold: Double,
+                            nprobe: Int = 4, streamTag: String = "stream",
+                            fitCosine: Double = 0.7,
+                            minErrRate: Double = 0.3,
+                            kmIters: Int = 3, kmSeed: Long = 42L,
+                            autoCompactEvery: Int =
+                              AutoCompact.DefaultCheckEvery,
+                            autoCompactFactor: Int = AutoCompact.DefaultFactor,
+                            onRebuild: Long => Unit = _ => ())
+                           (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    val fs0 = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Takedown.heal(spark, indexDir) // a crashed recenter owns lists+centroids
+    healPrecompact(spark, indexDir)
+    healScreenStaging(fs0, indexDir, streamTag)
+    val cents = new java.util.concurrent.atomic.AtomicReference(
+      loadCentroids(spark, indexDir))
+    val ddm = new Drift.Ddm()
+    val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
+    (batch: DataFrame, epoch: Long) => {
+      val c = cents.get()
+      screenEpoch(spark, indexDir, idCol, vecCol, threshold, nprobe,
+          streamTag, c, auto)(out)(batch, epoch).foreach { survivors =>
+        val vec = col(vecCol).cast("array<double>")
+        val centTable = typedLit(c.map(_.toSeq).toSeq)
+        val fitRow = survivors.select(
+            (VecFns.cosine(vec, element_at(centTable,
+              element_at(NearestCentroids.column(vec, c, 1), 1)))
+              < fitCosine).cast("long").as("miss"))
+          .agg(sum("miss"), count(lit(1))).head()
+        val bad = if (fitRow.isNullAt(0)) 0L else fitRow.getLong(0)
+        val n = fitRow.getLong(1)
+        var fire = false
+        (1L to (n - bad)).foreach(_ =>
+          if (ddm.addElement(0.0) == "D") fire = true)
+        (1L to bad).foreach(_ =>
+          if (ddm.addElement(1.0) == "D") fire = true)
+        if (fire && n > 0 && bad.toDouble / n >= minErrRate) {
+          cents.set(rebuildScreen(spark, indexDir, c.length, kmIters,
+            kmSeed + epoch))
+          ddm.reset()
+          onRebuild(epoch)
+        }
       }
     }
+  }
+
+  /** Retrain the coarse quantizer on the store's current vectors and swap
+    * lists + centroids as ONE staged commit (see [[recenteringScreenSink]]).
+    * Deterministic per (store content, seed). Returns the new centroids. */
+  private def rebuildScreen(spark: SparkSession, indexDir: String,
+                            nlist: Int, iters: Int,
+                            seed: Long): Array[Array[Double]] = {
+    // pin the pre-rebuild rows: the swap below rewrites what we read
+    val cur = spark.read.parquet(s"$indexDir/lists")
+      .select(col("cid"), col("cvec")).localCheckpoint()
+    val newCents = graft.ml.KMeansQuantizer.fit(cur, "cid", "cvec", nlist,
+      iters, seed)
+    val spark2 = spark
+    import spark2.implicits._
+    Takedown.run(spark, indexDir, Seq("lists", "centroids")) { stage =>
+      cur.select(
+          element_at(NearestCentroids.column(col("cvec"), newCents, 1), 1)
+            .as("list_id"),
+          col("cid"), col("cvec"))
+        .repartition(col("list_id"))
+        .write.partitionBy("list_id").parquet(s"$stage/lists")
+      newCents.zipWithIndex.map { case (cv, i) => (i + 1, cv.toSeq) }.toSeq
+        .toDF("list_id", "cvec")
+        .coalesce(1).write.parquet(s"$stage/centroids")
+    }
+    // release the pinned blocks (rebuilds recur on an unbounded stream):
+    // localCheckpoint blocks live at the RDD layer — the IngestGate
+    // unpersistLeaves shape, not Dataset.unpersist
+    try cur.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () }
+    newCents
   }
 
   /** Compact the inverted file: every appended micro-batch leaves one

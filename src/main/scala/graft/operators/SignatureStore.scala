@@ -322,10 +322,23 @@ object SignatureStore {
     * semantics. The only collects are the two distinct partition-value
     * lists, bounded by NumBuckets (256) and NumShards (64). `eager=false`
     * skips the intermediate localCheckpoints so the returned plan exposes
-    * both pruned scans (plan pins); production callers keep the default. */
+    * both pruned scans (plan pins); production callers keep the default.
+    *
+    * `maxBandDf` caps the per-(band_id, band_hash) candidate group — the
+    * [[Dedup.hammingPairsFromSigs]] `maxBlockDf` guard applied to the band
+    * index: a TEMPLATED store (thousands of sub-threshold documents
+    * sharing one band, the 100 TB crawl shape) makes every probe that
+    * collides on the hot band verify against the whole family, so the
+    * probe's cost tracks the template's population instead of the batch.
+    * Groups over the cap are DROPPED before the candidate join; a true
+    * near-dup still surfaces through any of its other, cold bands — only
+    * pairs whose EVERY shared band is hot are lost (the same documented
+    * recall trade as the hamming cap; exactness keepers use the default
+    * ∞). */
   def probeStored(spark: SparkSession, dir: String, probeSigs: DataFrame,
                   numHashes: Int, bands: Int, threshold: Double,
-                  eager: Boolean = true): DataFrame = {
+                  eager: Boolean = true,
+                  maxBandDf: Int = Int.MaxValue): DataFrame = {
     // public API: a direct caller probing with mismatched numHashes/bands
     // must get the module's promised loud error, not silent zero-overlap
     // (band hashes that never collide admit everything). shingleSize is
@@ -338,8 +351,18 @@ object SignatureStore {
     val buckets = bandsI.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ NumBuckets rows
     val storeBands = readBands(spark, dir)
-    val cands = pin((if (buckets.isEmpty) storeBands.limit(0)
-                 else storeBands.filter(col("bucket").isin(buckets: _*)))
+    val slice0 = if (buckets.isEmpty) storeBands.limit(0)
+                 else storeBands.filter(col("bucket").isin(buckets: _*))
+    // a (band_id, band_hash) group lives entirely inside one bucket, so the
+    // slice's group df IS the store-wide df — the cap never needs a scan
+    // beyond the already-pruned buckets
+    val slice = if (maxBandDf == Int.MaxValue) slice0 else {
+      val hot = slice0.groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("__df")).filter(col("__df") > maxBandDf)
+      slice0.join(hot.select("band_id", "band_hash"),
+        Seq("band_id", "band_hash"), "left_anti")
+    }
+    val cands = pin(slice
       .select(col("id").as("id_base"), col("band_id"), col("band_hash"))
       .join(broadcast(bandsI.select("band_id", "band_hash", "id_in")),
         Seq("band_id", "band_hash"))
@@ -384,7 +407,8 @@ object SignatureStore {
                  numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
                  streamTag: String = "stream",
                  autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
-                 autoCompactFactor: Int = AutoCompact.DefaultFactor)
+                 autoCompactFactor: Int = AutoCompact.DefaultFactor,
+                 maxBandDf: Int = Int.MaxValue)
                 (out: DataFrame => Unit): (DataFrame, Long) => Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     healStaging(fsOf(spark, dir), dir, "sigscr", streamTag)
@@ -402,7 +426,7 @@ object SignatureStore {
         val sigsI = Dedup.minHashSignatures(b, idCol, textCol, numHashes,
           shingleSize).localCheckpoint()
         val flagged = probeStored(spark, dir, sigsI, numHashes, bands,
-            threshold)
+            threshold, maxBandDf = maxBandDf)
           .select(col("doc_id").as(idCol)).localCheckpoint()
         val survivors = b.join(broadcast(flagged), Seq(idCol), "left_anti")
           .localCheckpoint()

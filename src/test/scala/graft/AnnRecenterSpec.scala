@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AnnIndex
+
+/** The drift-triggered self-recentering semantic screen
+  * ([[AnnIndex.recenteringScreenSink]]): a planted embedding-distribution
+  * shift must fire the DDM and rebuild the index IN PLACE (staged
+  * lists+centroids swap), after which a paraphrase of the drifted content
+  * is still killed and every stored row's assignment is consistent with
+  * the new centroids. Crash windows ride the Takedown protocol: a
+  * committed-but-unswapped rebuild finishes at the next mount, a
+  * pre-commit orphan stage is discarded. */
+class AnnRecenterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vec(axis: Int, off: Double, offAxis: Int): Seq[Double] =
+    (0 until 16).map(i =>
+      (if (i == axis) 1.0 else 0.0) + (if (i == offAxis) off else 0.0))
+  private def nudge(v: Seq[Double], axis: Int): Seq[Double] =
+    v.zipWithIndex.map { case (x, i) => if (i == axis) x + 0.01 else x }
+
+  // in-distribution seed: axes 0..7 (the FrontDoorSpec design)
+  private def mkIndex(tag: String): String = {
+    val seed = (for (c <- 0 until 8; k <- 0 until 6) yield
+      ((100 + c * 6 + k).toLong, vec(c, 0.15 * k, (c + 1) % 8)))
+      .toDF("doc_id", "embedding")
+    AnnIndex.ivfIndexDir(seed, s"mem://recenter_$tag", "doc_id", "embedding",
+      nlist = 8, iters = 3, seed = 42L,
+      variant = s"${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+  }
+
+  // drifted distribution: axes 8..15, unique (axis, offAxis) combos so no
+  // pair is a semantic near-dup (same-axis pairs sit at cos = 0.8) while
+  // every one misses the axes-0..7 centroids entirely (cos 0 < fitCosine)
+  private def drifted(g: Int): (Long, Seq[Double]) =
+    (2000L + g, vec(8 + g % 8, 0.5, 8 + (g % 8 + 1 + g / 8) % 8))
+
+  test("planted distribution shift fires the DDM, the index recenters in " +
+    "place, and a paraphrase of drifted content is killed post-rebuild") {
+    val dir = mkIndex("rc1")
+    val rebuilds = scala.collection.mutable.ArrayBuffer[Long]()
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink = AnnIndex.recenteringScreenSink(spark, dir, "doc_id",
+      "embedding", threshold = 0.99, nprobe = 2, streamTag = "rc",
+      fitCosine = 0.7, minErrRate = 0.3,
+      onRebuild = e => { rebuilds += e; () }) { df =>
+      admitted ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+    // trigger 0: 20 in-distribution docs — the DDM's clean baseline
+    // (distinct off-axis from the seeds, so none is a semantic dup)
+    val base = (0 until 20).map(i =>
+      (1000L + i, vec(i % 8, 0.3 + 0.01 * i, (i + 3) % 8)))
+    sink(base.toDF("doc_id", "embedding"), 0L)
+    assert(admitted.size == 20 && rebuilds.isEmpty)
+    // triggers 1-2: drifted docs — all quantization misses; DDM warm-up
+    // (30 samples) completes during trigger 1, the drift level during 2
+    sink((0 until 15).map(drifted).toDF("doc_id", "embedding"), 1L)
+    assert(rebuilds.isEmpty, "drift must not fire inside the warm-up window")
+    sink((15 until 30).map(drifted).toDF("doc_id", "embedding"), 2L)
+    assert(rebuilds.toSeq == Seq(2L),
+      s"the shift must fire exactly one rebuild: ${rebuilds.mkString(",")}")
+    assert(admitted.size == 50, "every drifted doc is novel → admitted")
+
+    // post-rebuild: every stored row's list assignment is the nearest NEW
+    // centroid (the staged swap left no stale assignment behind)
+    val cents = spark.read.parquet(s"$dir/centroids").orderBy("list_id")
+      .select(col("cvec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val rows = spark.read.parquet(s"$dir/lists")
+      .select(col("list_id").cast("int"), col("cid"),
+        col("cvec").cast("array<double>")).collect()
+    assert(rows.length == 48 + 50)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](2).toArray
+      def cos(c: Array[Double]) = {
+        val dot = v.zip(c).map { case (a, b) => a * b }.sum
+        dot / (math.sqrt(v.map(x => x * x).sum) *
+          math.sqrt(c.map(x => x * x).sum))
+      }
+      val best = (1 to cents.length).maxBy(l => cos(cents(l - 1)))
+      assert(r.getInt(0) == best,
+        s"cid ${r.get(1)}: stored in list ${r.getInt(0)}, nearest is $best")
+    }
+
+    // trigger 3: a paraphrase of a drifted doc (admitted pre-rebuild) must
+    // be killed by the recentered probe; a genuinely new drifted-axis doc
+    // admits — and, post-reset, must not re-fire the detector
+    admitted.clear()
+    val para = nudge(drifted(0)._2, 0)
+    val novel = (9000L, vec(8, 0.5, 14))
+    sink(Seq((3000L, para), novel).toDF("doc_id", "embedding"), 3L)
+    assert(admitted.toSeq == Seq(9000L),
+      s"paraphrase must die, novel must admit: ${admitted.mkString(",")}")
+    assert(rebuilds.toSeq == Seq(2L))
+
+    // a re-delivered epoch is a marker skip: no admissions, no DDM feed
+    admitted.clear()
+    sink((0 until 15).map(drifted).toDF("doc_id", "embedding"), 1L)
+    assert(admitted.isEmpty && rebuilds.toSeq == Seq(2L))
+  }
+
+  test("recenter crash windows: a committed rebuild heals at the next " +
+    "mount; a pre-commit orphan stage is discarded") {
+    val dir = mkIndex("rc2")
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // hand-crafted COMMITTED rebuild residue: staged lists + recognizable
+    // staged centroids, marker naming both subs — the state a crash right
+    // after the marker commit leaves behind
+    val stage = s"$dir/.retract_stage"
+    val staged = (1 to 8).map(l => (l, vec(7 + l, 0.25, 8).map(_ * 2.0)))
+    staged.toDF("list_id", "cvec").coalesce(1)
+      .write.parquet(s"$stage/centroids")
+    spark.read.parquet(s"$dir/lists")
+      .write.partitionBy("list_id").parquet(s"$stage/lists")
+    val out = fs.create(new Path(s"$dir/_retract_pending"), true)
+    try out.write("lists,centroids".getBytes("UTF-8")) finally out.close()
+
+    AnnIndex.recenteringScreenSink(spark, dir, "doc_id", "embedding",
+      threshold = 0.99, streamTag = "rch1")(_ => ())
+    val healed = spark.read.parquet(s"$dir/centroids").orderBy("list_id")
+      .select(col("cvec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0))
+    assert(healed.toSeq == staged.map(_._2),
+      "mount must finish the committed swap")
+    assert(!fs.exists(new Path(stage)))
+
+    // pre-commit orphan: a stage with NO marker is discarded at mount and
+    // the live tables stay exactly as they were
+    Seq((1, Seq.fill(16)(9.9))).toDF("list_id", "cvec").coalesce(1)
+      .write.parquet(s"$stage/centroids")
+    AnnIndex.recenteringScreenSink(spark, dir, "doc_id", "embedding",
+      threshold = 0.99, streamTag = "rch2")(_ => ())
+    assert(!fs.exists(new Path(stage)))
+    val after = spark.read.parquet(s"$dir/centroids").orderBy("list_id")
+      .select(col("cvec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0))
+    assert(after.toSeq == staged.map(_._2))
+  }
+}

@@ -167,6 +167,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\n]*shard".r.findFirstIn(p).isDefined, p)
   }
 
+  test("signature store: maxBandDf drops hot-band candidate groups — a " +
+    "cold-band dup still flags, a dup whose every band is hot is the " +
+    "documented recall trade") {
+    import graft.operators.SignatureStore
+    val dir = java.nio.file.Files.createTempDirectory("sigbandcap").toString
+    val template = (0 until 40).map(k => s"tmplw$k").mkString(" ")
+    // 30 byte-identical templated docs (identical sigs → every band value
+    // df=30, hot past the cap) + one unique doc X (every band df=1, cold)
+    val store = ((0L until 30L).map(i => (i, template)) :+
+        (100L, "a unique page with entirely distinct words never shared " +
+          "by anything else stored here today"))
+      .toDF("doc_id", "text")
+    SignatureStore.seed(store, "doc_id", "text", dir)
+    val freshTail = (0 until 10).map(j => s"fresh$j").mkString(" ")
+    val probes = Seq(
+      (200L, store.filter(col("doc_id") === 100L) // exact copy of X:
+        .head().getString(1)),                    //   cold bands, must flag
+      (201L, s"$template $freshTail"),            // templated but
+                                                  //   sub-threshold
+      (202L, template))                           // exact copy of the
+      .toDF("doc_id", "text")                     //   family: every band hot
+    val sigsI = Dedup.minHashSignatures(probes, "doc_id", "text", 32, 3)
+      .localCheckpoint()
+    def flagged(cap: Int): Set[Long] =
+      SignatureStore.probeStored(spark, dir, sigsI, 32, 8, 0.9,
+        maxBandDf = cap).select("doc_id").collect().map(_.getLong(0)).toSet
+    // uncapped: both exact copies flag (family bands included)
+    assert(flagged(Int.MaxValue) == Set(200L, 202L))
+    // capped below the family size: X's copy still flags through its cold
+    // bands; the family-internal copy is the documented recall trade
+    assert(flagged(5) == Set(200L))
+  }
+
   test("signature store: stage-then-publish — a committed-but-unpublished " +
     "epoch heals on restart; an uncommitted stage is discarded; a sibling " +
     "tag's staging is never touched") {
