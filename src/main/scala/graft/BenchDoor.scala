@@ -86,9 +86,14 @@ object BenchDoor {
       s"need $PerClass gate-passing seeded docs with vectors")
     val dim = seeds(0)._3.length
 
+    // component-wise INDEPENDENT hash values — an arithmetic progression
+    // mod 2000 would make every "novel" vector a shifted sawtooth of the
+    // others (pairwise cos ≈ 1) and the semantic layer would kill them
     def novelVec(t: Int, i: Int): Seq[Double] =
-      (0 until dim).map(j =>
-        ((t * 7919 + i * 104729 + j * 31) % 2000) / 1000.0 - 1.0)
+      (0 until dim).map { j =>
+        val h = scala.util.hashing.MurmurHash3.productHash((t, i, j))
+        math.floorMod(h, 2000) / 1000.0 - 1.0
+      }
     def nudged(v: Seq[Double]): Seq[Double] =
       v.zipWithIndex.map { case (x, i) => if (i == 0) x + 1e-3 else x }
     def freshText(cls: String, t: Int, i: Int): String =
@@ -117,7 +122,7 @@ object BenchDoor {
       "gate_fp_sig" -> 40L, "full" -> 20L)
 
     def runCfg(cfg: String, dc: DataFrame, ec: DataFrame,
-               scaleTag: String): Double = {
+               scaleTag: String, nlist: Int = 64): Double = {
       val run = java.util.UUID.randomUUID().toString.take(8)
       val acc = new AtomicLong(0L)
       val quar = new AtomicLong(0L)
@@ -149,7 +154,7 @@ object BenchDoor {
             { (df, e) => cur.set(e); fp(df, e) })((df, _) => qcount(df))
         case "full" =>
           val ivfDir = AnnIndex.ivfIndexDir(ec, s"$sfDir/embeddings.parquet",
-            "vec_id", "embedding", nlist = 64, iters = 3, seed = 42L,
+            "vec_id", "embedding", nlist = nlist, iters = 3, seed = 42L,
             variant = s"door_${scaleTag}_$run")
           FrontDoor.sink(spark, gate, seedFp(), seedSig(), ivfDir,
             "doc_id", "text", "embedding", sigThreshold = 0.45,
@@ -189,6 +194,11 @@ object BenchDoor {
     val smallRows = smallDocs.count()
     val (jsonS, fullS) = scale("small", smallDocs, smallEmb)
     val (jsonL, fullL) = scale("large", allDocs, allEmb)
+    // the documented IVF sizing rule IN ACTION: at 10× the store, nlist
+    // grows ~sqrt(10)× so each probed list stays batch-footprint-sized —
+    // the knob BENCH_semscreen's header names, validated composed
+    val fullScaled = runCfg("full", allDocs, allEmb, "large_nl202",
+      nlist = 202)
     val json =
       f"""{"metric":"door_trigger_cost","unit":"sec","sf":"$sfDir",""" +
       f""""batch_docs":${5 * PerClass},""" +
@@ -197,7 +207,9 @@ object BenchDoor {
       f""""small_store_docs":$smallRows,""" +
       f""""large_store_docs":${allDocs.count()},""" +
       jsonS + "," + jsonL + "," +
-      f""""composed_probe_ratio":${fullL / fullS}%.3f}"""
+      f""""large_store_full_nlist202":$fullScaled%.4f,""" +
+      f""""composed_probe_ratio":${fullL / fullS}%.3f,""" +
+      f""""composed_probe_ratio_nlist_scaled":${fullScaled / fullS}%.3f}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_door.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))

@@ -40,7 +40,7 @@ object BenchSkewSig {
   private val HammingSmallN = 10000L
   private val BlockCap = 1000
   private val HotSig = 0x5a5a1234abcdL
-  private val StoreDocs = 50000L
+  private val StoreDocs = 200000L
   private val BandCap = 200
   private val Threshold = 0.7
 
@@ -102,9 +102,11 @@ object BenchSkewSig {
       concat_ws(" ", (0 until n).map(j => concat(lit(s"$prefix"),
         col("id"), lit(s"w$j"))): _*)
     val template = (0 until 40).map(k => s"tmplw$k").mkString(" ")
-    // uniform store: every doc 30 unique words
+    // uniform store: every doc 30 unique words — the SAME generator as the
+    // templated store's unique branch, so the re-delivery target X exists
+    // in BOTH stores and the flag invariant holds in every configuration
     val uniStore = spark.range(StoreDocs)
-      .select(col("id").as("doc_id"), words("u", 30).as("text"))
+      .select(col("id").as("doc_id"), words("x", 30).as("text"))
       .localCheckpoint()
     // templated store: 80 % = template + 12 unique words; 20 % unique.
     // doc 0 (unique branch is ids % 5 == 4) is the re-delivery target X

@@ -115,6 +115,34 @@ object SignatureStore {
       .withColumn("bucket", bucketCol(col("band_hash")))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
     writeParams(fs, dir, numHashes, shingleSize, bands)
+    writeBandCensus(spark, dir)
+  }
+
+  /** Band-value CENSUS sidecar: every (band_id, band_hash) group with
+    * df > [[CensusMinDf]], refreshed at the store's natural full-scan
+    * moments — seed, compact (which auto-compaction runs periodically on
+    * live sinks), retract. [[probeStored]]'s `maxBandDf` guard reads this
+    * tiny table instead of re-scanning the band index per probe — without
+    * it the cap costs one extra band-table pass per trigger, more than the
+    * candidate explosion it prevents at moderate store sizes. Staleness
+    * (epochs appended since the last refresh) only costs cap PRECISION: an
+    * undercounted group stays cold and merely costs probe time; flagged
+    * results are exact-estimate-verified either way, so the sidecar can
+    * never corrupt a result. Atomic tmp+rename overwrite. */
+  private val CensusMinDf = 32
+
+  private def writeBandCensus(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(new Path(s"$dir/bands"))) return
+    val tmp = new Path(s"$dir/.hotbands.tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(s"$dir/bands")
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > CensusMinDf)
+      .coalesce(1).write.parquet(tmp.toString)
+    val dest = new Path(s"$dir/hotbands")
+    fs.delete(dest, true)
+    require(fs.rename(tmp, dest), s"SignatureStore: cannot publish $dest")
   }
 
   /** The stored signature table: (id, sig, shard). Empty frame (same
@@ -353,13 +381,21 @@ object SignatureStore {
     val storeBands = readBands(spark, dir)
     val slice0 = if (buckets.isEmpty) storeBands.limit(0)
                  else storeBands.filter(col("bucket").isin(buckets: _*))
-    // a (band_id, band_hash) group lives entirely inside one bucket, so the
-    // slice's group df IS the store-wide df — the cap never needs a scan
-    // beyond the already-pruned buckets
+    // The hot list comes from the census sidecar when it can answer the
+    // asked cap (tiny broadcast, zero extra band-table scans); a store
+    // without one — or a cap below the census floor — falls back to an
+    // on-the-fly group count over the already-pruned slice (a (band_id,
+    // band_hash) group lives entirely inside one bucket, so the slice's
+    // group df IS the store-wide df).
     val slice = if (maxBandDf == Int.MaxValue) slice0 else {
-      val hot = slice0.groupBy("band_id", "band_hash")
-        .agg(count(lit(1)).as("__df")).filter(col("__df") > maxBandDf)
-      slice0.join(hot.select("band_id", "band_hash"),
+      val censusP = new Path(s"$dir/hotbands")
+      val hot =
+        if (maxBandDf >= CensusMinDf && fsOf(spark, dir).exists(censusP))
+          spark.read.parquet(censusP.toString)
+            .filter(col("df") > maxBandDf)
+        else slice0.groupBy("band_id", "band_hash")
+          .agg(count(lit(1)).as("df")).filter(col("df") > maxBandDf)
+      slice0.join(broadcast(hot.select("band_id", "band_hash")),
         Seq("band_id", "band_hash"), "left_anti")
     }
     val cands = pin(slice
@@ -467,6 +503,7 @@ object SignatureStore {
     Takedown.heal(spark, dir) // a crashed retract finishes before we rewrite
     compactTable(spark, dir, "sigs", "shard")
     compactTable(spark, dir, "bands", "bucket")
+    writeBandCensus(spark, dir) // the census' periodic refresh point
   }
 
   private def compactTable(spark: SparkSession, dir: String, sub: String,
@@ -522,6 +559,7 @@ object SignatureStore {
           .repartition(col("bucket"))
           .write.partitionBy("bucket").parquet(s"$stage/bands")
     }
+    writeBandCensus(spark, dir) // retracted rows must leave the census too
   }
 
   /** Live partition-dir count across both tables — the [[AutoCompact]]

@@ -173,9 +173,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     import graft.operators.SignatureStore
     val dir = java.nio.file.Files.createTempDirectory("sigbandcap").toString
     val template = (0 until 40).map(k => s"tmplw$k").mkString(" ")
-    // 30 byte-identical templated docs (identical sigs → every band value
-    // df=30, hot past the cap) + one unique doc X (every band df=1, cold)
-    val store = ((0L until 30L).map(i => (i, template)) :+
+    // 40 byte-identical templated docs (identical sigs → every band value
+    // df=40, hot past the cap AND past the census floor, so both the
+    // sidecar path and the on-the-fly fallback are exercised below) + one
+    // unique doc X (every band df=1, cold)
+    val store = ((0L until 40L).map(i => (i, template)) :+
         (100L, "a unique page with entirely distinct words never shared " +
           "by anything else stored here today"))
       .toDF("doc_id", "text")
@@ -196,7 +198,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // uncapped: both exact copies flag (family bands included)
     assert(flagged(Int.MaxValue) == Set(200L, 202L))
     // capped below the family size: X's copy still flags through its cold
-    // bands; the family-internal copy is the documented recall trade
+    // bands; the family-internal copy is the documented recall trade.
+    // cap 35 ≥ the census floor → answered from the hotbands sidecar the
+    // seed wrote; cap 5 < the floor → the on-the-fly fallback. Same answer.
+    assert(new java.io.File(dir, "hotbands").isDirectory)
+    assert(flagged(35) == Set(200L))
     assert(flagged(5) == Set(200L))
   }
 
