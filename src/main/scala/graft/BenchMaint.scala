@@ -40,8 +40,11 @@ object BenchMaint {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    // one decade's measurements: Map(store -> (seed, retract, compact))
-    def measure(sfDir: String): Map[String, (Double, Double, Double)] = {
+    // one decade's measurements: Map(store -> (seed, retract, compact)),
+    // plus the ANN recenter wall (retrain + staged swap — its own verb)
+    def measure(sfDir: String): (Map[String, (Double, Double, Double)],
+                                 Double) = {
+      var recenterSec = 0.0
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text").localCheckpoint()
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -96,6 +99,10 @@ object BenchMaint {
       val rAnn = timed(AnnIndex.retract(spark, annDir, annGone))
       val cAnn = timed(AnnIndex.compact(spark, annDir))
       out("ann_ivf") = (sAnn, rAnn, cAnn)
+      // the drift-triggered recenter's maintenance cost: retrain k-means at
+      // the index's nlist + staged lists+centroids swap (compact-class)
+      recenterSec = timed(AnnIndex.recenter(spark, annDir, kmIters = 3,
+        seed = 7L))
 
       // the packed training-shard export: takedown ids sit in copy 0 (the
       // LOWEST stream positions), so retractDocs rewrites ~the whole shard
@@ -111,10 +118,11 @@ object BenchMaint {
         budget = 4096L, binsPerShard = 64L, ids = goneIds))
       val cPk = timed(Pack.compactShards(spark, packDir))
       out("pack") = (sPk, rPk, cPk)
-      out.toMap
+      (out.toMap, recenterSec)
     }
 
-    val byDir = dirs.map(d => d -> measure(d)).toMap
+    val byDir0 = dirs.map(d => d -> measure(d)).toMap
+    val byDir = byDir0.view.mapValues(_._1).toMap
     def f(v: Double) = f"$v%.3f"
     val stores = Seq("fingerprint", "signature", "bm25", "lm", "ann_ivf",
       "pack")
@@ -135,8 +143,15 @@ object BenchMaint {
             s""""${st}_compact":${f(c10 / math.max(1e-9, c1))}""")
         }.mkString("{", ",", "}")
       } else "{}"
+    val recenterJson =
+      if (dirs.size == 2) {
+        val r1 = byDir0(dirs.head)._2; val r10 = byDir0(dirs.last)._2
+        s""","ann_recenter":{"sf1":${f(r1)},"sf10":${f(r10)},""" +
+          s""""decade_ratio":${f(r10 / math.max(1e-9, r1))}}"""
+      } else ""
     val json = s"""{"metric":"store_maintenance","unit":"sec",""" +
-      s""""batch_ids":200,"dirs":$dirJson,"decade_ratios":$ratios}"""
+      s""""batch_ids":200,"dirs":$dirJson,"decade_ratios":$ratios""" +
+      recenterJson + "}"
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_maint.json")),
       (json + "\n").getBytes("UTF-8"))

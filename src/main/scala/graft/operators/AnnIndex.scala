@@ -231,9 +231,10 @@ object AnnIndex {
     * without this, a replayed batch would double its vectors in the lists and
     * duplicate ids would crowd true neighbors out of top-k results. One
     * maintainer stream per index (epoch ids are the stream's own).
-    * Re-centering over drift is [[graft.streaming.StreamOps.StreamingKMeans]]'s
-    * job: when its centroids wander far from the index's, rebuild with a new
-    * variant token. */
+    * Re-centering over drift: watch with
+    * [[graft.streaming.StreamOps.StreamingKMeans]] and either rebuild under
+    * a new variant token or swap in place with [[recenter]] (between
+    * epochs, appender down) — the screen sink automates the latter. */
   def ivfAppender(spark: SparkSession, indexDir: String, idCol: String,
                   vecCol: String,
                   autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
@@ -272,7 +273,9 @@ object AnnIndex {
     * which the ingest pipeline appends separately; codebook and centroids
     * are read once per sink (model-sized, plan constants thereafter).
     * Codes drift as the data does — when [[graft.streaming.StreamOps.StreamingKMeans]]
-    * reports centroid wander, rebuild under a new variant token. */
+    * reports centroid wander, rebuild under a new variant token (the PQ
+    * codebook is trained on residuals, so an in-place [[recenter]] of the
+    * coarse layer alone would orphan the codes — PQ rebuilds whole). */
   def ivfPqAppender(spark: SparkSession, indexDir: String, idCol: String,
                     vecCol: String,
                     autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
@@ -560,6 +563,23 @@ object AnnIndex {
         }
       }
     }
+  }
+
+  /** Manual recenter — the maintenance entry behind
+    * [[recenteringScreenSink]]'s drift path, for operators who want to
+    * retrain on their own schedule (a new encoder version shipped, a
+    * planned rebuild window): retrain k-means at the index's CURRENT nlist
+    * on its current vectors and swap lists + centroids as one staged
+    * [[Takedown]] commit. Run between epochs with the screen down — the
+    * single-writer compact contract; epoch markers are untouched.
+    * Compact-class cost (one fit pass × iters + one full rewrite),
+    * measured at two decades in BENCH_maint.json. */
+  def recenter(spark: SparkSession, indexDir: String, kmIters: Int = 3,
+               seed: Long = 42L): Array[Array[Double]] = {
+    Takedown.heal(spark, indexDir)
+    healPrecompact(spark, indexDir)
+    val nlist = loadCentroids(spark, indexDir).length
+    rebuildScreen(spark, indexDir, nlist, kmIters, seed)
   }
 
   /** Retrain the coarse quantizer on the store's current vectors and swap

@@ -763,26 +763,64 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
+  /** At-scale delta screen WITH the hot-band guard ENGAGED
+    * ([[graft.operators.SignatureStore.probeStored]]'s `maxBandDf`,
+    * answered from the hotbands census sidecar when present): the base
+    * snapshot carries a planted 40-copy templated BLOB (doc 1's text,
+    * ids +2·10^7) whose band groups flood past the cap, so a probe of the
+    * blob's own text surfaces NOTHING (every matching band hot — the
+    * documented recall trade at its exact boundary) while the other
+    * planted true dups keep flagging through their cold bands. The DuckDB
+    * twin replays the cap as a HAVING count(*) <= cap filter over the
+    * base side's band census — group identity is the band VALUE list, so
+    * the drop set is bit-deterministic on both sides. [SQL] */
+  val dedupDeltaMinhashCapped: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val blob = docs.filter(col("doc_id") === 1L)
+      .select(explode(sequence(lit(0L), lit(39L))).as("i"), col("text"))
+      .select((col("i") + 20000000L).as("doc_id"), col("text"))
+    val base = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L)
+      .unionByName(blob)
+    val planted = docs
+      .filter(pmod(col("doc_id"), lit(4L)) === 1L && col("doc_id") < 40)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val incoming = docs.filter(pmod(col("doc_id"), lit(4L)) === 0L)
+      .unionByName(planted)
+    val sigDir = graft.operators.SignatureStore.storeDir(base,
+      s"$dir/documents.parquet", "doc_id", "text", numHashes = 32,
+      shingleSize = 3, variant = "deltabase_mod4_blob40")
+    val probeSigs = Dedup.minHashSignatures(incoming, "doc_id", "text",
+      32, 3)
+    graft.operators.SignatureStore.probeStored(s, sigDir, probeSigs,
+        numHashes = 32, bands = 8, threshold = 0.5, maxBandDf = 20)
+      .orderBy("doc_id")
+  }
+
   /** DuckDB twin of [[dedupDeltaMinhash]]: the [[dedupMinhashLshSql]]
     * signature machinery over the side-tagged corpus; candidates are
     * in-side × base-side band-VALUE matches (band-hash collisions are the
     * only divergence from Spark's xxhash64 bucket key, astronomically
-    * unlikely), verified by per-k signature agreement / 32. */
-  val dedupDeltaMinhashSql: String = {
+    * unlikely), verified by per-k signature agreement / 32. Parameterized
+    * over the corpus CTE and an optional hot-band cap so the capped twin
+    * ([[dedupDeltaMinhashCapped]]) replays the same machinery with a
+    * census filter on the base side's band groups. */
+  private def deltaMinhashSqlFor(corpusCte: String,
+                                 maxBandDf: Option[Int]): String = {
     val kseeds = Duck.stagedSql(
       "SELECT CAST(unnest(range(0, 32)) AS HUGEINT) AS k",
       Duck.xxhashIntStages("k", "42", "seedk", "i"))
     val khash = Duck.stagedSql(
       "SELECT s.doc_id, s.h0, ks.k, ks.seedk FROM sh0 s CROSS JOIN kseeds ks",
       Duck.xxhashLongStages("h0", "seedk", "hk", "k"))
+    val censusCte = maxBandDf.fold("")(cap =>
+      s"""banddf AS (SELECT b.band_id, b.band
+         |  FROM bands b JOIN corpus c ON c.doc_id = b.doc_id AND c.side = 'base'
+         |  GROUP BY b.band_id, b.band HAVING count(*) <= $cap),
+         |""".stripMargin)
+    val candJoin = if (maxBandDf.isDefined)
+      "\n  JOIN banddf d ON d.band_id = a.band_id AND d.band = a.band" else ""
     s"""WITH RECURSIVE
-       |corpus AS (
-       |  SELECT doc_id, text,
-       |    CASE WHEN doc_id % 4 = 0 THEN 'in' ELSE 'base' END AS side
-       |  FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 10000000 AS doc_id, text, 'in' AS side
-       |  FROM documents WHERE doc_id % 4 = 1 AND doc_id < 40),
+       |corpus AS ($corpusCte),
        |${toksCteFrom("corpus")},
        |shing AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
@@ -797,9 +835,9 @@ object Pipelines {
        |  FROM khash GROUP BY doc_id, k),
        |bands AS (SELECT doc_id, k // 4 AS band_id, list(mh ORDER BY k) AS band
        |  FROM sig GROUP BY doc_id, k // 4),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_in, b.doc_id AS id_base
+       |${censusCte}cand AS (SELECT DISTINCT a.doc_id AS id_in, b.doc_id AS id_base
        |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band = b.band
+       |    ON a.band_id = b.band_id AND a.band = b.band$candJoin
        |  JOIN corpus ca ON ca.doc_id = a.doc_id AND ca.side = 'in'
        |  JOIN corpus cb ON cb.doc_id = b.doc_id AND cb.side = 'base'),
        |est AS (SELECT c.id_in, c.id_base,
@@ -812,6 +850,26 @@ object Pipelines {
        |FROM est WHERE est_jaccard >= 0.5
        |GROUP BY id_in ORDER BY doc_id""".stripMargin
   }
+
+  private val DeltaCorpusCte =
+    """SELECT doc_id, text,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'in' ELSE 'base' END AS side
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, text, 'in' AS side
+      |  FROM documents WHERE doc_id % 4 = 1 AND doc_id < 40""".stripMargin
+
+  val dedupDeltaMinhashSql: String =
+    deltaMinhashSqlFor(DeltaCorpusCte, None)
+
+  val dedupDeltaMinhashCappedSql: String =
+    deltaMinhashSqlFor(DeltaCorpusCte +
+      """
+        |  UNION ALL
+        |  SELECT 20000000 + q.r AS doc_id, d.text, 'base' AS side
+        |  FROM documents d CROSS JOIN
+        |    (SELECT unnest(range(0, 40)) AS r) q
+        |  WHERE d.doc_id = 1""".stripMargin, Some(20))
 
   /** Embedding-cosine near-dups via sign-LSH buckets (rows-only).
     *
@@ -3432,6 +3490,7 @@ object Pipelines {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_capped" -> dedupSimhashCapped,
     "dedup_delta_minhash" -> dedupDeltaMinhash,
+    "dedup_delta_minhash_capped" -> dedupDeltaMinhashCapped,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters" -> dedupClusters,
     "dedup_best_of_cluster" -> dedupBestOfCluster,
@@ -3511,6 +3570,7 @@ object Pipelines {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_capped" -> dedupSimhashCappedSql,
     "dedup_delta_minhash" -> dedupDeltaMinhashSql,
+    "dedup_delta_minhash_capped" -> dedupDeltaMinhashCappedSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_cross_source_matrix" -> dedupCrossSourceMatrixSql,
     "dedup_embedding" -> dedupEmbeddingSql,

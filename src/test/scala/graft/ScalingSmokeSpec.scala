@@ -39,7 +39,8 @@ class ScalingSmokeSpec extends AnyFunSuite {
     "dedup_span_fraction", "text_unigram_score", "layout_zorder",
     "chunk_windows", "chunk_dedup", "dsir_select", "sketch_heavy_hitters",
     "gate_admission", "bpe_tokenize", "lm_fluency",
-    "dedup_simhash_capped", "pack_bpe_sequences",
+    "dedup_simhash_capped", "dedup_delta_minhash_capped",
+    "pack_bpe_sequences",
     "text_bm25_topk", "decontam_fuzzy", "quality_classifier",
     "dedup_span_removal", "quality_ppl_buckets", "mix_cluster_weights",
     "text_bm25_appended", "lm_fluency_stored", "lm_fluency_appended",
