@@ -48,9 +48,11 @@ final case class CorpusStores(
   *     LM store's own [[Takedown]] marker ([[LmStore.retract]]'s `receipt`)
   *     — a crash at any instruction of the LM step replays to exactly one
   *     applied subtraction;
-  *  4. the pending marker deletes (the commit point), then tokens, receipt
-  *     and request sweep. reqIds are single-use nonces, so residue from a
-  *     crash mid-sweep is dead weight the next call clears — never a stale
+  *  4. an AUDIT tombstone (`audit/<reqId>`: the retracted ids + configured
+  *     stores + completion time — never the text) writes, the pending
+  *     marker deletes (the commit point), then tokens, receipt and request
+  *     sweep. reqIds are single-use nonces, so residue from a crash
+  *     mid-sweep is dead weight the next call clears — never a stale
   *     token that could mask a LATER identical request (forget X, re-admit
   *     X, forget X again must re-run every store).
   *
@@ -193,9 +195,30 @@ object Forget {
   /** Commit point first, then garbage: the pending marker must outlive the
     * tokens and receipt (deleting a receipt while the marker stands would
     * replay the LM subtraction), and everything left after the marker falls
-    * is keyed by a never-reused nonce. */
+    * is keyed by a never-reused nonce. The AUDIT tombstone writes BEFORE
+    * the marker falls — every store has already forgotten at that point,
+    * and a crash in between replays to an identical rewrite — so a
+    * completed request always leaves its record. The tombstone carries the
+    * retracted IDS and the configured stores, NEVER the text: retaining
+    * the work's content in an audit log would defeat the takedown. */
   private def complete(spark: SparkSession, fs: FileSystem, forgetDir: String,
                        stores: CorpusStores, reqId: String): Unit = {
+    val ids = spark.read.parquet(s"$forgetDir/request_$reqId")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val configured = Seq(
+      stores.fpDir.map(_ => "fp"), stores.sigDir.map(_ => "sig"),
+      stores.ivfDir.map(_ => "ann"), stores.bm25Dir.map(_ => "bm25"),
+      stores.lmDir.map(_ => "lm"), stores.pack.map(_ => "pack")).flatten
+    val audit = new Path(s"$forgetDir/audit/$reqId")
+    fs.mkdirs(audit.getParent)
+    val atmp = new Path(s"$forgetDir/audit/.$reqId.tmp")
+    fs.delete(atmp, false)
+    val out = fs.create(atmp, true)
+    try out.write(
+      (s"ids=${ids.mkString(",")}\nstores=${configured.mkString(",")}\n" +
+        s"completed_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(atmp, audit), s"Forget: cannot publish $audit")
     fs.delete(new Path(s"$forgetDir/$MarkerName"), false)
     Steps.foreach(k =>
       fs.delete(new Path(s"$forgetDir/.done_${reqId}_$k"), false))

@@ -120,7 +120,11 @@ object FrontDoor {
     * states. Each store's own staged/heal discipline applies unchanged, so
     * a crash mid-sequence leaves at worst SOME stores already forgetting
     * the docs — re-running the same takedown batch is idempotent and
-    * finishes the rest. */
+    * finishes the rest. For a deployment that also runs BM25/LM stores and
+    * packed training shards, [[graft.operators.Forget]] composes this
+    * sequence with those stores under a durable request ledger — ONE call
+    * for the whole corpus footprint, every cross-store crash window
+    * pinned. */
   def retract(spark: SparkSession, fpDir: String, sigDir: String,
               ivfDir: String, docs: DataFrame, idCol: String,
               textCol: String): Unit = {

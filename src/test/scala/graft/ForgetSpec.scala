@@ -144,6 +144,15 @@ class ForgetSpec extends AnyFunSuite {
       .filter(n => n.startsWith("_forget") || n.startsWith("request_") ||
         n.startsWith(".done_"))
     assert(residue.isEmpty, residue.mkString(","))
+    // …except the audit tombstone: ids + configured stores, never text
+    val audits = new java.io.File(ledger, "audit").listFiles()
+      .filterNot(_.getName.startsWith("."))
+    assert(audits.length == 1)
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      audits.head.toPath), "UTF-8")
+    assert(audit.contains("ids=1\n") &&
+      audit.contains("stores=fp,sig,ann,bm25,lm,pack"), audit)
+    assert(!audit.contains("alpha"), "an audit record must never retain text")
     Forget.heal(spark, ledger, stores)
     // re-admission: doc 1's exact bytes and a fresh-text paraphrase of its
     // vector pass all four layers again
