@@ -273,9 +273,10 @@ object AnnIndex {
     * which the ingest pipeline appends separately; codebook and centroids
     * are read once per sink (model-sized, plan constants thereafter).
     * Codes drift as the data does — when [[graft.streaming.StreamOps.StreamingKMeans]]
-    * reports centroid wander, rebuild under a new variant token (the PQ
+    * reports centroid wander, run [[recenterPq]] between epochs (the PQ
     * codebook is trained on residuals, so an in-place [[recenter]] of the
-    * coarse layer alone would orphan the codes — PQ rebuilds whole). */
+    * coarse layer alone would orphan the codes — recenterPq retrains
+    * coarse + codebook and re-encodes as one staged swap). */
   def ivfPqAppender(spark: SparkSession, indexDir: String, idCol: String,
                     vecCol: String,
                     autoCompactEvery: Int = AutoCompact.DefaultCheckEvery,
@@ -550,11 +551,10 @@ object AnnIndex {
           .agg(sum("miss"), count(lit(1))).head()
         val bad = if (fitRow.isNullAt(0)) 0L else fitRow.getLong(0)
         val n = fitRow.getLong(1)
-        var fire = false
-        (1L to (n - bad)).foreach(_ =>
-          if (ddm.addElement(0.0) == "D") fire = true)
-        (1L to bad).foreach(_ =>
-          if (ddm.addElement(1.0) == "D") fire = true)
+        // two-segment batch feed, zeros before ones (deterministic order):
+        // the detector's addRun keeps the reference recurrence bit-exact
+        var fire = ddm.addRun(0.0, n - bad)
+        if (ddm.addRun(1.0, bad)) fire = true
         if (fire && n > 0 && bad.toDouble / n >= minErrRate) {
           cents.set(rebuildScreen(spark, indexDir, c.length, kmIters,
             kmSeed + epoch))
@@ -580,6 +580,89 @@ object AnnIndex {
     healPrecompact(spark, indexDir)
     val nlist = loadCentroids(spark, indexDir).length
     rebuildScreen(spark, indexDir, nlist, kmIters, seed)
+  }
+
+  /** Recenter verb for the PQ-coded (residual IVFADC) index — the
+    * [[recenter]] protocol applied to the layout whose lists hold CODES,
+    * not vectors. Under the same embedding drift that decays the raw
+    * screen, this index decays TWICE: freshly appended vectors crowd into
+    * far coarse cells AND their residuals fall outside what the codebook's
+    * codewords cover, so ADC distances go mushy and the shortlist stops
+    * containing true neighbors; until this verb the only remedy was a full
+    * manual rebuild under a new variant token (discarding epoch markers
+    * and the dir identity).
+    *
+    * Protocol: reconstruct every stored vector from its own codes — coarse
+    * centroid + per-subspace codeword, the PQ decode, exact up to
+    * quantization error — then retrain the coarse quantizer on the
+    * reconstructions, recompute residuals against the NEW centroids,
+    * retrain the codebook on those residuals (IVFADC: bits spend on local
+    * displacement), re-encode, and swap lists + centroids + codebook as
+    * ONE staged [[Takedown]] commit: a pre-marker crash leaves the old
+    * index intact, a post-marker crash finishes at the next mount's heal —
+    * identical crash surface to [[recenter]], one more sub-table. Training
+    * on decoded vectors is the FAISS reconstruct-and-retrain shape;
+    * quantization noise is near-zero-mean within a cell, so cluster means
+    * track the true drift. Run between epochs with the appender down
+    * (single-writer); epoch markers are untouched. m/ksub are preserved
+    * from the stored codebook (the on-disk bytes-per-code contract).
+    * Returns the new coarse centroids. Cost is compact-class: one decode
+    * pass + k-means fits (driver-sampled) + one full list rewrite —
+    * measured at two store decades in BENCH_maint.json (`ann_pq_recenter`). */
+  def recenterPq(spark: SparkSession, indexDir: String, kmIters: Int = 3,
+                 seed: Long = 42L): Array[Array[Double]] = {
+    Takedown.heal(spark, indexDir)
+    healPrecompact(spark, indexDir)
+    val cents = loadCentroids(spark, indexDir)
+    val cb = loadCodebook(spark, indexDir)
+    val m = cb.length
+    val ksub = cb(0).length
+    // decode: vec ≈ coarse(list_id) + concat_b cb(b)(code_b) — codes are
+    // 1-based (NearestCentroids indices), element_at is 1-based: aligned
+    val cbLits = (0 until m).map(b => typedLit(cb(b).map(_.toSeq).toSeq))
+    val recon = zip_with(
+      element_at(typedLit(cents.map(_.toSeq).toSeq),
+        col("list_id").cast("int")),
+      concat((0 until m).map(b => element_at(cbLits(b), col(s"c$b"))): _*),
+      (coarse, res) => coarse + res)
+    // pin the pre-rebuild reconstruction: the swap rewrites what we read
+    val cur = spark.read.parquet(s"$indexDir/lists")
+      .select(col("cid"), recon.as("cvec")).localCheckpoint()
+    val newCents = graft.ml.KMeansQuantizer.fit(cur, "cid", "cvec",
+      cents.length, kmIters, seed)
+    val assigned = cur.select(
+        element_at(NearestCentroids.column(col("cvec"), newCents, 1), 1)
+          .as("list_id"),
+        col("cid"), col("cvec"))
+      .withColumn("res", residualCol(col("cvec"), newCents, col("list_id")))
+      .localCheckpoint()
+    val newCb = graft.ml.KMeansQuantizer.fitProduct(assigned, "cid", "res",
+      m, ksub, kmIters, seed)
+    val codeCols = Similarity.pqCodeCols(col("res"), newCb).map(_.cast("int"))
+    val spark2 = spark
+    import spark2.implicits._
+    Takedown.run(spark, indexDir, Seq("lists", "centroids", "codebook")) {
+      stage =>
+        assigned.select(Seq(col("list_id"), col("cid")) ++ codeCols: _*)
+          .repartition(col("list_id"))
+          .write.partitionBy("list_id").parquet(s"$stage/lists")
+        newCents.zipWithIndex.map { case (cv, i) => (i + 1, cv.toSeq) }.toSeq
+          .toDF("list_id", "cvec")
+          .coalesce(1).write.parquet(s"$stage/centroids")
+        newCb.zipWithIndex.flatMap { case (sub, b) =>
+            sub.zipWithIndex.map { case (cent, j) => (b, j, cent.toSeq) }
+          }.toSeq
+          .toDF("b", "j", "cent")
+          .coalesce(1).write.parquet(s"$stage/codebook")
+    }
+    // release the pinned blocks (the rebuildScreen unpersist discipline)
+    Seq(cur, assigned).foreach { df =>
+      try df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
+    newCents
   }
 
   /** Retrain the coarse quantizer on the store's current vectors and swap

@@ -73,6 +73,29 @@ object Drift {
         inWarningZone = true; "W"
       } else "N"
     }
+
+    /** Feed a RUN of `k` identical error values; returns true iff any
+      * element of the run fired "D". The batch-aggregate entry for
+      * foreachBatch callers that only hold per-trigger (bad, n) counts —
+      * the per-element recurrence is retained DELIBERATELY: a closed-form
+      * two-segment fold exists for the running mean (it telescopes to
+      * p·(sc−1)/(sc+k−1)), but it reorders the floating-point ops, and the
+      * detector's fire decisions are threshold comparisons on those exact
+      * bits — a closed form could flip a marginal decision vs the
+      * sequential reference semantics this class pins bit-exactly
+      * (AnnRecenterSpec pins addRun ≡ an addElement loop, state and
+      * signals). Cost is ~10 ns/element of pure driver arithmetic, bounded
+      * by the caller's trigger size — no per-element allocation, Range
+      * boxing, or closure dispatch. */
+    def addRun(x: Double, k: Long): Boolean = {
+      var fired = false
+      var i = 0L
+      while (i < k) {
+        if (addElement(x) == "D") fired = true
+        i += 1
+      }
+      fired
+    }
   }
 
   /** One detector-scan output row. */

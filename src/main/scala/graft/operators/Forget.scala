@@ -9,17 +9,37 @@ import org.apache.spark.sql.functions.col
 final case class PackTarget(dir: String, orderCol: String, tokCol: String,
                             budget: Long, binsPerShard: Long)
 
+/** A LEARNED artifact of the deployment — a model whose PARAMETERS were
+  * trained on corpus text and therefore still embed retracted documents
+  * after every store has forgotten them (Word2Vec vectors, a quality
+  * classifier, DSIR bucket stats, BPE merges). A takedown cannot subtract
+  * a document from trained weights; what it CAN do is (a) say so in the
+  * audit tombstone and (b) retrain on the post-forget corpus. `retrain`,
+  * when wired, runs as the forget's final store step and returns the new
+  * version tag — deployments back it with
+  * [[graft.streaming.ModelRefit.refitNow]], whose versioned store keeps
+  * the superseded (still-embedding) version readable for audit. An
+  * artifact WITHOUT a retrain hook is recorded in the tombstone as STALE:
+  * the honest unlearning boundary, instead of an audit record that
+  * implies the deployment has fully forgotten. */
+final case class LearnedArtifact(name: String,
+                                 retrain: Option[SparkSession => Long] = None)
+
 /** The full persisted-store footprint of one corpus deployment — every dir
   * is optional, so a deployment wires exactly the stores it runs. The door
   * trio (fp/sig/ivf) is [[graft.streaming.FrontDoor]]'s store set; bm25/lm
-  * are the text-scoring stores; `pack` the training-shard export. */
+  * are the text-scoring stores; `pack` the training-shard export;
+  * `learned` the model artifacts trained ON the corpus (see
+  * [[LearnedArtifact]] — recorded in every audit tombstone, retrained
+  * post-forget when a hook is wired). */
 final case class CorpusStores(
   fpDir: Option[String] = None,
   sigDir: Option[String] = None,
   ivfDir: Option[String] = None,
   bm25Dir: Option[String] = None,
   lmDir: Option[String] = None,
-  pack: Option[PackTarget] = None)
+  pack: Option[PackTarget] = None,
+  learned: Seq[LearnedArtifact] = Seq.empty)
 
 /** ONE-CALL corpus-wide takedown: a DMCA/GDPR request against a deployment
   * that runs the four-layer front door PLUS the BM25 store, the LM store,
@@ -40,7 +60,8 @@ final case class CorpusStores(
   *     gone by replay time;
   *  2. `_forget_pending` commits (atomic rename; content = reqId);
   *  3. each configured store's retract runs in door order (fp → sig → ann
-  *     → bm25 → lm → pack). The exclude-by-key retracts are re-run
+  *     → bm25 → lm → pack), then [[LearnedArtifact]] retrains (model).
+  *     The exclude-by-key retracts are re-run
   *     idempotent, so their ledger `.done_` tokens are replay SHORTCUTS,
   *     not correctness; the LM subtraction is NOT re-run idempotent
   *     (shared-bigram counts would silently double-subtract), so its token
@@ -49,7 +70,9 @@ final case class CorpusStores(
   *     — a crash at any instruction of the LM step replays to exactly one
   *     applied subtraction;
   *  4. an AUDIT tombstone (`audit/<reqId>`: the retracted ids + configured
-  *     stores + completion time — never the text) writes, the pending
+  *     stores + the learned-artifact unlearning boundary (which models
+  *     were retrained post-forget, which still embed the docs) +
+  *     completion time — never the text) writes, the pending
   *     marker deletes (the commit point), then tokens, receipt and request
   *     sweep. reqIds are single-use nonces, so residue from a crash
   *     mid-sweep is dead weight the next call clears — never a stale
@@ -67,8 +90,10 @@ object Forget {
 
   private val MarkerName = "_forget_pending"
 
-  /** Step keys, in execution order — also the `.done_` token suffixes. */
-  private val Steps = Seq("fp", "sig", "ann", "bm25", "lm", "pack")
+  /** Step keys, in execution order — also the `.done_` token suffixes.
+    * `model` runs LAST: a post-forget retrain must train on stores that
+    * have already forgotten. */
+  private val Steps = Seq("fp", "sig", "ann", "bm25", "lm", "pack", "model")
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -190,6 +215,24 @@ object Forget {
       Pack.retractDocs(spark, p.dir, p.orderCol, p.tokCol, p.budget,
         p.binsPerShard, ids)
     })
+    // Learned-artifact retrains run LAST (they train on the now-forgotten
+    // stores) and their published version tags persist to the ledger — the
+    // tombstone writes in complete(), possibly on a different heal replay
+    // than the one that ran the retrains. Re-running a crashed retrain is
+    // SEMANTICALLY idempotent (it trains on identical post-forget content
+    // and publishes another version of the same model), so the done token
+    // is a shortcut here, like the exclude-by-key retracts.
+    if (stores.learned.exists(_.retrain.isDefined)) at("model") {
+      val vers = stores.learned.flatMap(a =>
+        a.retrain.map(r => s"${a.name}:v${r(spark)}"))
+      val rtmp = new Path(s"$forgetDir/.learned_$reqId.tmp")
+      fs.delete(rtmp, false)
+      val out = fs.create(rtmp, true)
+      try out.write(vers.mkString(",").getBytes("UTF-8")) finally out.close()
+      val rdest = new Path(s"$forgetDir/.learned_$reqId")
+      fs.delete(rdest, false)
+      require(fs.rename(rtmp, rdest), s"Forget: cannot commit $rdest")
+    }
   }
 
   /** Commit point first, then garbage: the pending marker must outlive the
@@ -209,20 +252,41 @@ object Forget {
       stores.fpDir.map(_ => "fp"), stores.sigDir.map(_ => "sig"),
       stores.ivfDir.map(_ => "ann"), stores.bm25Dir.map(_ => "bm25"),
       stores.lmDir.map(_ => "lm"), stores.pack.map(_ => "pack")).flatten
+    // The UNLEARNING BOUNDARY, stated explicitly: which learned artifacts
+    // were retrained on the post-forget corpus (their superseded versions
+    // retained for audit in their own versioned stores), and which STILL
+    // EMBED the retracted documents. Without these lines a GDPR officer
+    // reading the tombstone would wrongly conclude the deployment has
+    // fully forgotten.
+    val refitFile = new Path(s"$forgetDir/.learned_$reqId")
+    val refits =
+      if (fs.exists(refitFile)) readText(fs, refitFile)
+      else ""
+    val stale = stores.learned.filter(_.retrain.isEmpty).map(_.name)
     val audit = new Path(s"$forgetDir/audit/$reqId")
     fs.mkdirs(audit.getParent)
-    val atmp = new Path(s"$forgetDir/audit/.$reqId.tmp")
-    fs.delete(atmp, false)
-    val out = fs.create(atmp, true)
-    try out.write(
-      (s"ids=${ids.mkString(",")}\nstores=${configured.mkString(",")}\n" +
-        s"completed_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(atmp, audit), s"Forget: cannot publish $audit")
+    // Idempotent under heal replay: a crash between this rename and the
+    // marker delete below replays complete() with the tombstone already
+    // published — and rename-to-existing-destination returns FALSE on HDFS
+    // (only POSIX renameTo overwrites), so re-renaming would wedge the
+    // ledger behind a require() forever. An existing tombstone is always
+    // whole (it only ever appears via this rename), so skip the rewrite.
+    if (!fs.exists(audit)) {
+      val atmp = new Path(s"$forgetDir/audit/.$reqId.tmp")
+      fs.delete(atmp, false)
+      val out = fs.create(atmp, true)
+      try out.write(
+        (s"ids=${ids.mkString(",")}\nstores=${configured.mkString(",")}\n" +
+          s"learned_refit=$refits\nlearned_stale=${stale.mkString(",")}\n" +
+          s"completed_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(atmp, audit), s"Forget: cannot publish $audit")
+    }
     fs.delete(new Path(s"$forgetDir/$MarkerName"), false)
     Steps.foreach(k =>
       fs.delete(new Path(s"$forgetDir/.done_${reqId}_$k"), false))
     fs.delete(new Path(s"$forgetDir/request_$reqId"), true)
+    fs.delete(refitFile, false)
     stores.lmDir.foreach { d =>
       fsOf(spark, d).delete(new Path(s"$d/${lmReceipt(reqId)}"), false)
     }
@@ -235,7 +299,7 @@ object Forget {
     fs.listStatus(new Path(forgetDir)).map(_.getPath).filter { p =>
       val n = p.getName
       n.startsWith("request_") || n.startsWith(".request_") ||
-        n.startsWith(".done_")
+        n.startsWith(".done_") || n.startsWith(".learned_")
     }.foreach(p => fs.delete(p, true))
     stores.lmDir.foreach { d =>
       val lfs = fsOf(spark, d)

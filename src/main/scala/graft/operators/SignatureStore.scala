@@ -548,18 +548,30 @@ object SignatureStore {
     import spark.implicits._
     // takedown batches are request-sized by contract — broadcast the list
     val gone = ids.toDF("id")
-    Takedown.run(spark, dir, Seq("sigs", "bands")) { stage =>
+    // The census swaps ATOMICALLY with the band rewrite (a third staged
+    // sub-table under the same marker): a post-swap refresh would leave a
+    // crash window in which the census still counts retracted rows — an
+    // OVERCOUNT, which (unlike append staleness) can wrongly drop a group
+    // whose real df is under the cap, losing recall until the next
+    // compact. Computed from the staged bands rewrite, so the published
+    // census is exact for the published index by construction.
+    Takedown.runDynamic(spark, dir) { stage =>
       spark.read.parquet(s"$dir/sigs")
         .join(broadcast(gone), Seq("id"), "left_anti")
         .repartition(col("shard"))
         .write.partitionBy("shard").parquet(s"$stage/sigs")
-      if (fs.exists(new Path(s"$dir/bands")))
+      if (fs.exists(new Path(s"$dir/bands"))) {
         spark.read.parquet(s"$dir/bands")
           .join(broadcast(gone), Seq("id"), "left_anti")
           .repartition(col("bucket"))
           .write.partitionBy("bucket").parquet(s"$stage/bands")
+        spark.read.parquet(s"$stage/bands")
+          .groupBy("band_id", "band_hash").agg(count(lit(1)).as("df"))
+          .filter(col("df") > CensusMinDf)
+          .coalesce(1).write.parquet(s"$stage/hotbands")
+        Seq("sigs", "bands", "hotbands")
+      } else Seq("sigs")
     }
-    writeBandCensus(spark, dir) // retracted rows must leave the census too
   }
 
   /** Live partition-dir count across both tables — the [[AutoCompact]]

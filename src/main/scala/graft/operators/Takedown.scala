@@ -124,13 +124,15 @@ object Takedown {
   def runDynamic(spark: SparkSession, dir: String,
                  receipt: Option[String] = None)
                 (build: String => Seq[String]): Unit = {
+    // validate BEFORE heal/build: an invalid receipt must fail fast, not
+    // after the full staged rewrite has already run (and been wasted)
+    require(receipt.forall(r => !r.contains("\n") && !r.contains(",")),
+      "Takedown: receipt names must be single-line")
     val fs = fsOf(spark, dir)
     heal(spark, dir)
     val stage = new Path(s"$dir/$StageName")
     fs.delete(stage, true)
     val subs = build(stage.toString)
-    require(receipt.forall(r => !r.contains("\n") && !r.contains(",")),
-      "Takedown: receipt names must be single-line")
     val marker = new Path(s"$dir/$MarkerName")
     val tmp = new Path(s"$dir/.$MarkerName.tmp")
     fs.delete(tmp, true)

@@ -152,6 +152,26 @@ final class ModelRefit[M <: AnyRef](name: String, refitEvery: Long,
     }
   }
 
+  /** Request an out-of-band refit NOW, returning the version tag it will
+    * publish under — the post-forget retrain path
+    * ([[graft.operators.Forget]]): after a corpus-wide takedown the stores
+    * have forgotten but THIS model's parameters still embed the retracted
+    * documents, and the next periodic boundary may be hours away. Bumps the
+    * requested version strictly past everything published or pending (the
+    * tag is ordering-only, like every version here) and trains on the
+    * store's CURRENT — post-forget — contents via the same worker,
+    * versioned-store persist, and atomic publish as a boundary refit; the
+    * superseded version stays in its durable store, readable for audit.
+    * One epoch-grid boundary landing inside (published, returned tag] is
+    * absorbed by this refit (its content is newer); the grid resumes at
+    * the next boundary past the tag. */
+  def refitNow(s: SparkSession): Long = {
+    rethrowFailure()
+    val v = requested.updateAndGet(r => math.max(r, ver) + 1L)
+    startWorker(s)
+    v
+  }
+
   private def startWorker(s: SparkSession): Unit =
     if (failure.isEmpty && fitting.compareAndSet(false, true)) {
       worker.execute(() => {

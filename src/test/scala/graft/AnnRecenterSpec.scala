@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.AnnIndex
+import graft.operators.{AnnIndex, Drift}
 
 /** The drift-triggered self-recentering semantic screen
   * ([[AnnIndex.recenteringScreenSink]]): a planted embedding-distribution
@@ -102,6 +102,103 @@ class AnnRecenterSpec extends AnyFunSuite {
     admitted.clear()
     sink((0 until 15).map(drifted).toDF("doc_id", "embedding"), 1L)
     assert(admitted.isEmpty && rebuilds.toSeq == Seq(2L))
+  }
+
+  private def mix(a: Long, b: Long): Double =
+    (Math.floorMod(a * 2654435761L + b * 40503L + 12345L, 100000L)
+      .toDouble / 100000.0 - 0.5) * 2.0
+
+  test("recenterPq: after a planted embedding drift the PQ index recenters " +
+    "in place — coarse cells, codebook and codes all retrain, and recall " +
+    "over the drifted population recovers to >= 0.9") {
+    // 8 in-distribution clusters in [-1,1]^16 (the AnnIndexSpec family)
+    val base = (for (c <- 0 until 8; p <- 0 until 40) yield {
+      val id = (c * 40 + p).toLong
+      (id, (0 until 16).map(i =>
+        mix(c * 31L + 7, i) + 0.1 * mix(id * 131L + 3, i)))
+    }).toDF("vec_id", "embedding").cache()
+    val dir = AnnIndex.ivfPqIndexDir(base, "mem://pq_recenter", "vec_id",
+      "embedding", nlist = 8, m = 8, ksub = 16, iters = 3, seed = 42L,
+      variant = s"pqrc_${java.util.UUID.randomUUID().toString.take(8)}")
+    val cbBefore = spark.read.parquet(s"$dir/codebook")
+      .orderBy("b", "j").collect().map(_.toString).toSeq
+
+    // planted drift: 8 NEW clusters at 3× the magnitude with fresh
+    // directional patterns (no common offset — cosine identity per cluster
+    // stays crisp) — appended through the live appender, so their codes
+    // encode residuals against the STALE coarse centroids (the decay
+    // recenterPq exists to repair: far cells + codewords that never
+    // covered this region)
+    val drifted = (for (c <- 0 until 8; p <- 0 until 25) yield {
+      val id = (1000 + c * 25 + p).toLong
+      (id, (0 until 16).map(i =>
+        3.0 * mix(c * 77L + 13, i) + 0.1 * mix(id * 131L + 3, i)))
+    }).toDF("vec_id", "embedding").cache()
+    val append = AnnIndex.ivfPqAppender(spark, dir, "vec_id", "embedding")
+    (0 until 5).foreach(e =>
+      append(drifted.filter(pmod(col("vec_id"), lit(5)) === e), e.toLong))
+    val corpus = base.union(drifted).cache()
+    val queries = drifted.filter(col("vec_id") % 25 === 0)
+
+    def recall(): Double = {
+      val exact = graft.operators.Similarity.bruteForceTopK(queries, corpus,
+          "vec_id", "vec_id", "embedding", k = 10)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val approx = AnnIndex.queryIvfPq(spark, dir, corpus, queries,
+          "vec_id", "vec_id", "embedding", k = 10, nprobe = 2, rerank = 50)
+        .select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(approx.contains).toDouble / exact.length
+    }
+    val pre = recall()
+    val newCents = AnnIndex.recenterPq(spark, dir, kmIters = 3, seed = 7L)
+    assert(newCents.length == 8, "nlist is preserved across a recenter")
+    val post = recall()
+    assert(post >= 0.9, s"post-recenter recall $post < 0.9 (pre was $pre)")
+
+    // the swap retrained all three sub-tables: codebook rows changed, the
+    // lists still hold ONLY codes, row count intact, and no residue
+    assert(spark.read.parquet(s"$dir/codebook").orderBy("b", "j")
+      .collect().map(_.toString).toSeq != cbBefore, "codebook must retrain")
+    assert(spark.read.parquet(s"$dir/lists").columns.toSet ==
+      (Set("list_id", "cid") ++ (0 until 8).map(b => s"c$b")))
+    assert(spark.read.parquet(s"$dir/lists").count() == 320L + 200L)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dir/.retract_stage")) &&
+      !fs.exists(new Path(s"$dir/_retract_pending")))
+    Seq(base, drifted, corpus).foreach(_.unpersist())
+  }
+
+  test("Ddm.addRun ≡ an addElement loop: bit-identical state and fire " +
+    "decisions on the recentering sink's two-segment feed shape") {
+    // the planted-shift scenario's feed (clean triggers, then drifted ones)
+    // plus mixed segments spanning warm-up, min-updates, W and D zones
+    val segments = Seq((0.0, 20L), (0.0, 15L), (1.0, 15L), (1.0, 15L),
+      (0.0, 2L), (1.0, 1L), (0.0, 40L), (1.0, 3L), (0.0, 25L), (1.0, 60L),
+      (0.0, 1L), (1.0, 200L))
+    val viaRun = new Drift.Ddm()
+    val viaLoop = new Drift.Ddm()
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    segments.zipWithIndex.foreach { case ((x, k), i) =>
+      val firedRun = viaRun.addRun(x, k)
+      var firedLoop = false
+      (1L to k).foreach(_ =>
+        if (viaLoop.addElement(x) == "D") firedLoop = true)
+      assert(firedRun == firedLoop, s"segment $i: fire decision diverged")
+      assert(viaRun.sampleCount == viaLoop.sampleCount &&
+        bits(viaRun.missProb) == bits(viaLoop.missProb) &&
+        bits(viaRun.missStd) == bits(viaLoop.missStd) &&
+        bits(viaRun.missProbMin) == bits(viaLoop.missProbMin) &&
+        bits(viaRun.missSdMin) == bits(viaLoop.missSdMin) &&
+        bits(viaRun.missProbSdMin) == bits(viaLoop.missProbSdMin) &&
+        viaRun.inWarningZone == viaLoop.inWarningZone &&
+        viaRun.inConceptChange == viaLoop.inConceptChange,
+        s"segment $i: detector state diverged")
+    }
+    // the scenario must actually exercise a drift fire, not just clean runs
+    val check = new Drift.Ddm()
+    assert(segments.exists { case (x, k) => check.addRun(x, k) },
+      "feed shape never fired — parity would be vacuous")
   }
 
   test("recenter crash windows: a committed rebuild heals at the next " +

@@ -206,6 +206,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(flagged(5) == Set(200L))
   }
 
+  test("signature store: retract swaps the census atomically with the " +
+    "band rewrite — a group that cools below the floor leaves the sidecar " +
+    "in the SAME commit, and a committed crash residue heals whole") {
+    import graft.operators.{SignatureStore, Takedown}
+    val dir = java.nio.file.Files.createTempDirectory("sigcensusret").toString
+    val template = (0 until 40).map(k => s"cw$k").mkString(" ")
+    SignatureStore.seed(
+      ((0L until 40L).map(i => (i, template)) :+
+        (100L, "a unique page of entirely distinct words")).toDF(
+        "doc_id", "text"), "doc_id", "text", dir)
+    def census() = spark.read.parquet(s"$dir/hotbands")
+      .select("band_id", "band_hash", "df").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(census().forall(_._3 == 40L) && census().nonEmpty)
+    // retract 30 of the family: df drops to 10, below the census floor —
+    // the published census must already reflect it (an overcounting census
+    // would wrongly DROP the group under a cap ≥ its real df, losing the
+    // remaining copies' recall)
+    SignatureStore.retract(spark, dir, (0L until 30L))
+    assert(census().isEmpty, census().toString)
+    val sigsI = graft.operators.Dedup.minHashSignatures(
+      Seq((300L, template)).toDF("doc_id", "text"), "doc_id", "text", 32, 3)
+      .localCheckpoint()
+    // cap 35 > the family's real df 10: the probe must still flag the copy
+    assert(SignatureStore.probeStored(spark, dir, sigsI, 32, 8, 0.9,
+      maxBandDf = 35).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(300L))
+    // committed crash residue: a marker naming hotbands publishes the
+    // staged census like any other sub-table
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq((7, 1234567L, 999L)).toDF("band_id", "band_hash", "df")
+      .coalesce(1).write.parquet(s"$dir/.retract_stage/hotbands")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/_retract_pending"), true)
+    out.write("hotbands".getBytes("UTF-8")); out.close()
+    Takedown.heal(spark, dir)
+    assert(census() == Set((7, 1234567L, 999L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.retract_stage")))
+  }
+
   test("signature store: stage-then-publish — a committed-but-unpublished " +
     "epoch heals on restart; an uncommitted stage is discarded; a sibling " +
     "tag's staging is never touched") {

@@ -184,4 +184,88 @@ class ForgetSpec extends AnyFunSuite {
     assert(!new java.io.File(lmDir).listFiles()
       .exists(_.getName.startsWith("_forget_done_")))
   }
+
+  test("learned-artifact boundary: forget fires the post-forget retrain, " +
+    "the new version trains on the forgotten corpus, the superseded " +
+    "version stays readable for audit, and the tombstone records both " +
+    "sides of the boundary") {
+    val lmDir = tmp("fgl_lm"); val ledger = tmp("fgl_ledger")
+    val modelsDir = java.io.File.createTempFile("fgl_models", "")
+    modelsDir.delete(); modelsDir.mkdirs()
+    LmStore.seed(Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"),
+      "doc_id", "text", lmDir)
+    // a versioned vocab "model": fit = the LM store's CURRENT vocab — the
+    // simplest artifact whose parameters visibly embed the corpus
+    def vfile(v: Long) = new java.io.File(modelsDir, s"v$v.txt")
+    val store = graft.streaming.ModelRefit.Store[Set[String]](
+      save = (m, v) => java.nio.file.Files.write(vfile(v).toPath,
+        m.toSeq.sorted.mkString("\n").getBytes("UTF-8")),
+      loadLatest = () => modelsDir.listFiles()
+        .filter(_.getName.matches("v\\d+\\.txt"))
+        .map(f => f.getName.stripPrefix("v").stripSuffix(".txt").toLong -> f)
+        .sortBy(_._1).lastOption.map { case (v, f) =>
+          (v, new String(java.nio.file.Files.readAllBytes(f.toPath),
+            "UTF-8").split("\n").toSet)
+        })
+    val hook = new graft.streaming.ModelRefit[Set[String]](
+      "fgl_vocab", refitEvery = 4L, Some(store))({ (s, _) =>
+      s.read.parquet(s"$lmDir/vocab").select("word").collect()
+        .map(_.getString(0)).toSet
+    })
+    val v0 = hook.current(spark)
+    assert(hook.currentVersion == 0L && v0.contains(w("alpha", 4)))
+    val stores = CorpusStores(lmDir = Some(lmDir), learned = Seq(
+      LearnedArtifact("vocab_model", Some { s =>
+        val v = hook.refitNow(s); hook.awaitRefits(); v
+      }),
+      LearnedArtifact("w2v", None))) // no retrain hook: stays stale
+    Forget.forget(spark, ledger, stores,
+      Seq((1L, d1)).toDF("doc_id", "text"), "doc_id", "text")
+    // the retrain published a NEW version trained on the post-forget store:
+    // words unique to doc 1 (alpha04..alpha19) are gone, shared words stay
+    assert(hook.currentVersion == 1L)
+    val v1 = hook.current(spark)
+    assert(!v1.contains(w("alpha", 4)) && v1.contains(w("alpha", 20)), v1)
+    // …and the superseded, still-embedding version remains readable for
+    // audit in the versioned store
+    assert(vfile(0L).isFile && vfile(1L).isFile)
+    assert(new String(java.nio.file.Files.readAllBytes(vfile(0L).toPath),
+      "UTF-8").contains(w("alpha", 4)))
+    // the tombstone states the unlearning boundary explicitly
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(ledger, "audit").listFiles()
+        .filterNot(_.getName.startsWith(".")).head.toPath), "UTF-8")
+    assert(audit.contains("learned_refit=vocab_model:v1\n"), audit)
+    assert(audit.contains("learned_stale=w2v\n"), audit)
+    // ledger swept its retrain-result file with the rest
+    assert(!new java.io.File(ledger).listFiles()
+      .exists(_.getName.startsWith(".learned_")))
+  }
+
+  test("a replayed complete() with the tombstone already published skips " +
+    "the rewrite instead of wedging the ledger (rename-to-existing is not " +
+    "portable)") {
+    val lmDir = tmp("fgw_lm"); val ledger = tmp("fgw_ledger")
+    val stores = CorpusStores(lmDir = Some(lmDir))
+    LmStore.seed(Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"),
+      "doc_id", "text", lmDir)
+    intercept[IllegalStateException] {
+      Forget.forgetImpl(spark, ledger, stores,
+        Seq((1L, d1)).toDF("doc_id", "text"), "doc_id", "text", Some("lm"))
+    }
+    // simulate the crash window between the audit rename and the marker
+    // delete: publish the tombstone BY HAND while the marker still stands
+    val reqId = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(ledger, "_forget_pending").toPath), "UTF-8").trim
+    val auditDir = new java.io.File(ledger, "audit"); auditDir.mkdirs()
+    val sentinel = "ids=1\nstores=lm\nsentinel=1\n"
+    java.nio.file.Files.write(new java.io.File(auditDir, reqId).toPath,
+      sentinel.getBytes("UTF-8"))
+    Forget.heal(spark, ledger, stores) // must complete, not wedge
+    assert(!new java.io.File(ledger, "_forget_pending").exists())
+    // the already-published tombstone was preserved, never rewritten
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(auditDir, reqId).toPath), "UTF-8") == sentinel)
+    Forget.heal(spark, ledger, stores) // clean-ledger no-op
+  }
 }

@@ -104,4 +104,18 @@ class TakedownSpec extends AnyFunSuite {
     Takedown.heal(spark, dir)
     assert(vals(dir, "a") == (0L until 10L).toSet)
   }
+
+  test("an invalid receipt name fails BEFORE heal/build run — never after " +
+    "the full staged rewrite has been wasted") {
+    val dir = freshStore()
+    var built = false
+    intercept[IllegalArgumentException] {
+      Takedown.runDynamic(spark, dir, receipt = Some("bad,name")) { _ =>
+        built = true; Seq("a")
+      }
+    }
+    assert(!built, "the staged rewrite must not have run")
+    assert(vals(dir, "a") == (0L until 10L).toSet)
+    assert(!fs.exists(new Path(s"$dir/_retract_pending")))
+  }
 }
