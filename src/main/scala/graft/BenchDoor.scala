@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AnnIndex, Dsir, FingerprintStore, SignatureStore}
-import graft.streaming.{FrontDoor, IngestGate}
+import graft.streaming.{FrontDoor, IngestGate, ShardedDoor}
 
 /** Measures the COMPOSED four-layer front door ([[FrontDoor.sink]]) — the
   * empirical half of the two claims its scaladoc makes structurally:
@@ -191,6 +191,88 @@ object BenchDoor {
       (json, t("full"))
     }
 
+    // ---------- sustained throughput + k-shard scaling (r16 verdict #2/#7)
+    // N back-to-back ADMIT-ONLY triggers with the stores growing across
+    // them — the docs/sec an operator sizes ingest with (the main section
+    // measures marginal per-layer cost; this measures the serial trigger
+    // pipeline, which is what sharding multiplies). The sharded door gets
+    // the SAME batches and the SAME seeded store content split k ways; its
+    // k sinks run concurrently, one thread each, as k real streams would.
+    val SustTriggers = 10
+    val SustDocs = 400
+    def novelBatch(t: Int): DataFrame =
+      (0 until SustDocs).map(i =>
+        (860000000L + t * 10000L + i, freshText("q", t, i),
+          novelVec(t + 50, i)))
+        .toDF("doc_id", "text", "embedding").localCheckpoint()
+    val sustBatches = (0 to SustTriggers).map(novelBatch)
+    def timeOf(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    val sustRun = java.util.UUID.randomUUID().toString.take(8)
+    val acc1 = new AtomicLong(0L)
+    val singleDoor = {
+      val fpD = tmpDir("bd_sust_fp"); FingerprintStore.seed(smallDocs, "text", fpD)
+      val sigD = tmpDir("bd_sust_sig")
+      SignatureStore.seed(smallDocs, "doc_id", "text", sigD)
+      val ivfD = AnnIndex.ivfIndexDir(smallEmb, s"$sfDir/embeddings.parquet",
+        "vec_id", "embedding", nlist = 64, iters = 3, seed = 42L,
+        variant = s"door_sust_$sustRun")
+      FrontDoor.sink(spark, gate, fpD, sigD, ivfD, "doc_id", "text",
+        "embedding", sigThreshold = 0.45, semThreshold = 0.99, nprobe = 4,
+        streamTag = "bds")(df => { acc1.addAndGet(df.count()); () })(_ => ())
+    }
+    singleDoor(sustBatches(0), 0L) // warm
+    val singleSec = (1 to SustTriggers).map(t =>
+      timeOf(singleDoor(sustBatches(t), t.toLong)))
+    require(acc1.get() == (SustTriggers + 1).toLong * SustDocs,
+      s"sustained single door admitted ${acc1.get()}")
+
+    val K = 4
+    val shardRoot = tmpDir("bd_shard")
+    val sharded = ShardedDoor.create(spark, shardRoot, K, smallEmb,
+      "vec_id", "embedding", nlist = 32, iters = 3, seed = 42L)
+    (0 until K).foreach { i =>
+      val slice = smallDocs
+        .filter(ShardedDoor.shardOf(col("doc_id"), K) === i)
+      FingerprintStore.seed(slice, "text", sharded.fpDir(i))
+      SignatureStore.seed(slice, "doc_id", "text", sharded.sigDir(i))
+    }
+    val accK = new AtomicLong(0L)
+    val shardSinks = (0 until K).map(i =>
+      sharded.shardSink(i, gate, "doc_id", "text", "embedding",
+        sigThreshold = 0.45, semThreshold = 0.99, nprobe = 4,
+        streamTag = "bds")(df => { accK.addAndGet(df.count()); () })(_ => ()))
+    def shardRound(t: Int): Unit = {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until K).map { i =>
+        val th = new Thread(() =>
+          try shardSinks(i)(sustBatches(t), t.toLong)
+          catch { case e: Throwable => errs.add(e) })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+    }
+    shardRound(0) // warm
+    val shardedSec = (1 to SustTriggers).map(t => timeOf(shardRound(t)))
+    require(accK.get() == (SustTriggers + 1).toLong * SustDocs,
+      s"sustained sharded door admitted ${accK.get()}")
+
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val sustainedJson =
+      f""""sustained":{"triggers":$SustTriggers,""" +
+      f""""docs_per_trigger":$SustDocs,""" +
+      s""""single_sec":[${singleSec.map(v => f"$v%.3f").mkString(",")}],""" +
+      f""""single_docs_per_sec_first":${SustDocs / singleSec.head}%.1f,""" +
+      f""""single_docs_per_sec_last":${SustDocs / singleSec.last}%.1f,""" +
+      f""""sharded_k":$K,""" +
+      s""""sharded_sec":[${shardedSec.map(v => f"$v%.3f").mkString(",")}],""" +
+      f""""sharded_docs_per_sec_first":${SustDocs / shardedSec.head}%.1f,""" +
+      f""""sharded_docs_per_sec_last":${SustDocs / shardedSec.last}%.1f,""" +
+      f""""k4_speedup_median":${med(singleSec) / med(shardedSec)}%.2f}"""
+
     val smallRows = smallDocs.count()
     val (jsonS, fullS) = scale("small", smallDocs, smallEmb)
     val (jsonL, fullL) = scale("large", allDocs, allEmb)
@@ -206,7 +288,7 @@ object BenchDoor {
       f""""sig_kill":$PerClass,"sem_kill":$PerClass,"admit":$PerClass},""" +
       f""""small_store_docs":$smallRows,""" +
       f""""large_store_docs":${allDocs.count()},""" +
-      jsonS + "," + jsonL + "," +
+      jsonS + "," + jsonL + "," + sustainedJson + "," +
       f""""large_store_full_nlist202":$fullScaled%.4f,""" +
       f""""composed_probe_ratio":${fullL / fullS}%.3f,""" +
       f""""composed_probe_ratio_nlist_scaled":${fullScaled / fullS}%.3f}"""

@@ -41,10 +41,11 @@ object BenchMaint {
     }
 
     // one decade's measurements: Map(store -> (seed, retract, compact)),
-    // plus the ANN recenter wall (retrain + staged swap — its own verb)
+    // plus the ANN recenter walls (raw + PQ — their own verbs)
     def measure(sfDir: String): (Map[String, (Double, Double, Double)],
-                                 Double) = {
+                                 Double, Double) = {
       var recenterSec = 0.0
+      var pqRecenterSec = 0.0
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text").localCheckpoint()
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -103,6 +104,20 @@ object BenchMaint {
       // the index's nlist + staged lists+centroids swap (compact-class)
       recenterSec = timed(AnnIndex.recenter(spark, annDir, kmIters = 3,
         seed = 7L))
+      // the PQ-coded twin: decode pass + coarse/codebook retrain +
+      // re-encode + three-table staged swap (r16 verdict #3)
+      var pqDir = ""
+      val sPq = timed {
+        pqDir = AnnIndex.ivfPqIndexDir(emb, s"$sfDir/embeddings.parquet",
+          "vec_id", "embedding", nlist = 16, m = 8, ksub = 16, iters = 3,
+          seed = 42L,
+          variant = s"maintpq_${java.util.UUID.randomUUID().toString.take(8)}")
+      }
+      pqRecenterSec = timed(AnnIndex.recenterPq(spark, pqDir, kmIters = 3,
+        seed = 7L))
+      val rPq = timed(AnnIndex.retract(spark, pqDir, annGone))
+      val cPq = timed(AnnIndex.compact(spark, pqDir))
+      out("ann_ivfpq") = (sPq, rPq, cPq)
 
       // the packed training-shard export: takedown ids sit in copy 0 (the
       // LOWEST stream positions), so retractDocs rewrites ~the whole shard
@@ -118,14 +133,14 @@ object BenchMaint {
         budget = 4096L, binsPerShard = 64L, ids = goneIds))
       val cPk = timed(Pack.compactShards(spark, packDir))
       out("pack") = (sPk, rPk, cPk)
-      (out.toMap, recenterSec)
+      (out.toMap, recenterSec, pqRecenterSec)
     }
 
     val byDir0 = dirs.map(d => d -> measure(d)).toMap
     val byDir = byDir0.view.mapValues(_._1).toMap
     def f(v: Double) = f"$v%.3f"
     val stores = Seq("fingerprint", "signature", "bm25", "lm", "ann_ivf",
-      "pack")
+      "ann_ivfpq", "pack")
     val dirJson = dirs.map { d =>
       val m = byDir(d)
       val per = stores.map { st =>
@@ -146,8 +161,11 @@ object BenchMaint {
     val recenterJson =
       if (dirs.size == 2) {
         val r1 = byDir0(dirs.head)._2; val r10 = byDir0(dirs.last)._2
+        val p1 = byDir0(dirs.head)._3; val p10 = byDir0(dirs.last)._3
         s""","ann_recenter":{"sf1":${f(r1)},"sf10":${f(r10)},""" +
-          s""""decade_ratio":${f(r10 / math.max(1e-9, r1))}}"""
+          s""""decade_ratio":${f(r10 / math.max(1e-9, r1))}},""" +
+          s""""ann_pq_recenter":{"sf1":${f(p1)},"sf10":${f(p10)},""" +
+          s""""decade_ratio":${f(p10 / math.max(1e-9, p1))}}"""
       } else ""
     val json = s"""{"metric":"store_maintenance","unit":"sec",""" +
       s""""batch_ids":200,"dirs":$dirJson,"decade_ratios":$ratios""" +

@@ -40,25 +40,38 @@ object AnnIndex {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) AdaptCache.synchronized {
       if (!fs.exists(dir)) {
-        val cents = graft.ml.KMeansQuantizer.fit(corpus, idCol, vecCol,
-          nlist, iters, seed)
         val tmp = new Path(dir.getParent, s".ivf_index_$digest.tmp")
         fs.delete(tmp, true)
-        corpus.select(
-            element_at(NearestCentroids.column(col(vecCol), cents, 1), 1)
-              .as("list_id"),
-            col(idCol).as("cid"), col(vecCol).as("cvec"))
-          .write.partitionBy("list_id").parquet(s"$tmp/lists")
-        val spark2 = spark
-        import spark2.implicits._
-        cents.zipWithIndex
-          .map { case (c, i) => (i + 1, c.toSeq) }.toSeq
-          .toDF("list_id", "cvec")
-          .coalesce(1).write.parquet(s"$tmp/centroids")
+        buildIvfInto(corpus, idCol, vecCol, nlist, iters, seed, tmp.toString)
         if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost a race: reuse
       }
     }
     dir.toString
+  }
+
+  /** Build a raw-vector IVF index's lists + centroids under `dest` — the
+    * body of [[ivfIndexDir]] without the content-digest/cache-root
+    * placement, for callers that own the destination layout (the sharded
+    * front door's per-shard indexes, [[graft.streaming.ShardedDoor]]).
+    * NOT atomic by itself: write into a temp dir and rename, as both
+    * callers do. */
+  private[graft] def buildIvfInto(corpus: DataFrame, idCol: String,
+                                  vecCol: String, nlist: Int, iters: Int,
+                                  seed: Long, dest: String): Unit = {
+    val spark = corpus.sparkSession
+    val cents = graft.ml.KMeansQuantizer.fit(corpus, idCol, vecCol,
+      nlist, iters, seed)
+    corpus.select(
+        element_at(NearestCentroids.column(col(vecCol), cents, 1), 1)
+          .as("list_id"),
+        col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .write.partitionBy("list_id").parquet(s"$dest/lists")
+    val spark2 = spark
+    import spark2.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i + 1, c.toSeq) }.toSeq
+      .toDF("list_id", "cvec")
+      .coalesce(1).write.parquet(s"$dest/centroids")
   }
 
   /** Build (or reuse) a persisted IVF+PQ index: the on-disk FAISS IVFPQ

@@ -121,7 +121,11 @@ object SignatureStore {
   /** Band-value CENSUS sidecar: every (band_id, band_hash) group with
     * df > [[CensusMinDf]], refreshed at the store's natural full-scan
     * moments — seed, compact (which auto-compaction runs periodically on
-    * live sinks), retract. [[probeStored]]'s `maxBandDf` guard reads this
+    * live sinks), retract (staged INSIDE the Takedown swap: a post-swap
+    * refresh would leave an overcounting crash window) — and incrementally
+    * FOLDED per committed append/screen epoch ([[mergeBandCensus]]), so a
+    * band that becomes hot purely through appends is cappable before any
+    * compact. [[probeStored]]'s `maxBandDf` guard reads this
     * tiny table instead of re-scanning the band index per probe — without
     * it the cap costs one extra band-table pass per trigger, more than the
     * candidate explosion it prevents at moderate store sizes. Staleness
@@ -134,15 +138,66 @@ object SignatureStore {
   private def writeBandCensus(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
     if (!fs.exists(new Path(s"$dir/bands"))) return
+    publishCensus(spark, dir,
+      spark.read.parquet(s"$dir/bands")
+        .groupBy("band_id", "band_hash").agg(count(lit(1)).as("df"))
+        .filter(col("df") > CensusMinDf))
+  }
+
+  private def publishCensus(spark: SparkSession, dir: String,
+                            census: DataFrame): Unit = {
+    val fs = fsOf(spark, dir)
     val tmp = new Path(s"$dir/.hotbands.tmp")
     fs.delete(tmp, true)
-    spark.read.parquet(s"$dir/bands")
-      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("df"))
-      .filter(col("df") > CensusMinDf)
-      .coalesce(1).write.parquet(tmp.toString)
+    census.coalesce(1).write.parquet(tmp.toString)
     val dest = new Path(s"$dir/hotbands")
     fs.delete(dest, true)
     require(fs.rename(tmp, dest), s"SignatureStore: cannot publish $dest")
+  }
+
+  /** Groups below this per-epoch merged floor are dropped from the
+    * incremental census fold — see [[mergeBandCensus]]'s size bound. */
+  private val CensusMergeFloor = 4
+
+  /** INCREMENTAL census fold for one committed append/screen epoch (r16
+    * verdict #5): without it, a band that becomes hot purely through
+    * appends is invisible to [[probeStored]]'s sidecar-answered cap until
+    * the next compact — on a fast-growing templated store the capped
+    * probe's cost regresses toward the uncapped figure (the measured 1.9×
+    * of BENCH_skew_sig) for however long the compact cadence is. The fold
+    * sums the epoch's (band_id, band_hash) counts into the sidecar, so a
+    * crawl dump that lands a 45-copy template across a few epochs is
+    * droppable by the cap BEFORE any full-scan refresh.
+    *
+    * Bounds and honesty:
+    *  - runs AFTER the epoch marker commits — a crash loses at most this
+    *    epoch's fold, an UNDERCOUNT, which the census contract already
+    *    absorbs (a cold-looking group only costs probe time; flagged
+    *    results stay exact-verified). A pre-marker crash replays the whole
+    *    epoch, fold included — never applied twice.
+    *  - merged groups under [[CensusMergeFloor]] are dropped, so the
+    *    sidecar tracks only REPEATED band values (duplicate families),
+    *    never the singleton bulk: its size is bounded by the family count
+    *    appended since the last full refresh, not by ingest volume. The
+    *    cost: a group accumulating < floor per epoch with no sidecar entry
+    *    stays invisible until the compact-cadence full refresh — the
+    *    documented undercount-only staleness, now with a floor instead of
+    *    a whole-store blind spot.
+    *  - runs BEFORE the auto-compact tick: compact's full refresh then
+    *    simply overwrites the fold (the epoch's rows are in the table it
+    *    scans) — folding after it would double-count them. */
+  private def mergeBandCensus(spark: SparkSession, dir: String,
+                              epochBands: DataFrame): Unit = {
+    val fs = fsOf(spark, dir)
+    val epochCounts = epochBands.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("df"))
+    val censusP = new Path(s"$dir/hotbands")
+    val merged =
+      if (fs.exists(censusP))
+        spark.read.parquet(censusP.toString).unionByName(epochCounts)
+          .groupBy("band_id", "band_hash").agg(sum("df").as("df"))
+      else epochCounts
+    publishCensus(spark, dir, merged.filter(col("df") > CensusMergeFloor))
   }
 
   /** The stored signature table: (id, sig, shard). Empty frame (same
@@ -334,7 +389,11 @@ object SignatureStore {
         writeParams(fs, dir, numHashes, shingleSize, bands)
         fs.create(marker, true).close()
         publishStage(fs, dir, stage)
-        // epoch fully committed: the between-epochs single-writer window
+        // epoch fully committed: fold its band counts into the census (an
+        // append-grown hot band must be cappable BEFORE any compact), then
+        // the between-epochs single-writer auto-compact window
+        mergeBandCensus(spark, dir,
+          Dedup.bandedSigs(sigs, "id", numHashes, bands))
         auto.tick(fileCount(spark, dir), partitionDirCount(spark, dir))(
           compact(spark, dir))
       }
@@ -479,7 +538,11 @@ object SignatureStore {
         writeParams(fs, dir, numHashes, shingleSize, bands)
         fs.create(marker, true).close()
         publishStage(fs, dir, stage)
-        // epoch fully committed: the between-epochs single-writer window
+        // epoch fully committed: fold the survivors' band counts into the
+        // census (append-grown hot bands cappable before any compact),
+        // then the between-epochs single-writer auto-compact window
+        mergeBandCensus(spark, dir,
+          Dedup.bandedSigs(survSigs, "id", numHashes, bands))
         auto.tick(fileCount(spark, dir), partitionDirCount(spark, dir))(
           compact(spark, dir))
       }

@@ -2465,6 +2465,18 @@ object Pipelines {
     val dup = fps.join(fpCounts, Seq("fp"))
       .groupBy("source")
       .agg(sum(when(col("txt_n") > 1, 1L).otherwise(0L)).as("n_dup"))
+    // NEAR-dup involvement per source (r16 verdict #8): the
+    // dedup_cross_source_matrix LSH spine rolled per source — distinct doc
+    // ids appearing in any verified near-dup pair, id-keyed against the
+    // (id, source) dim exactly like the matrix (pairs ≪ corpus after
+    // banding; a card that only reports exact-dup involvement undersells
+    // contamination by whatever the re-crawl/templating rate is)
+    val pairs = graft.operators.Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
+    val near = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_near"))
     val tk = docs.select(col("source"),
       TextFns.words(TextFns.cleanText(col("text"), removePunctuation = true))
         .as("toks")).localCheckpoint()
@@ -2474,6 +2486,7 @@ object Pipelines {
       .groupBy("source").agg(countDistinct("tok").as("uniq_toks"))
     per.crossJoin(broadcast(tot))
       .join(q, Seq("source")).join(dup, Seq("source"))
+      .join(near, Seq("source"), "left")
       .join(st, Seq("source")).join(ut, Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") /
@@ -2482,6 +2495,8 @@ object Pipelines {
           col("n_docs").cast("double"), 6).as("quality_pass_rate"),
         round(col("n_dup").cast("double") /
           col("n_docs").cast("double"), 6).as("dup_doc_rate"),
+        round(coalesce(col("n_near"), lit(0L)).cast("double") /
+          col("n_docs").cast("double"), 6).as("near_dup_doc_rate"),
         round(col("uniq_toks").cast("double") /
           col("tot_toks").cast("double"), 6).as("ttr"))
       .orderBy("source")
@@ -2512,7 +2527,13 @@ object Pipelines {
        |st AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS tot_toks
        |  FROM tk GROUP BY source),
        |ut AS (SELECT source, count(DISTINCT tok) AS uniq_toks
-       |  FROM (SELECT source, unnest(toks) AS tok FROM tk) GROUP BY source)
+       |  FROM (SELECT source, unnest(toks) AS tok FROM tk) GROUP BY source),
+       |nearp AS (SELECT id_a, id_b FROM ($dedupMinhashLshSql) lsh),
+       |ninv AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT id_a AS doc_id FROM nearp
+       |   UNION ALL SELECT id_b AS doc_id FROM nearp)),
+       |nd AS (SELECT d2.source, count(*) AS n_near FROM ninv
+       |  JOIN documents d2 USING (doc_id) GROUP BY d2.source)
        |SELECT per.source, n_docs, n_tokens,
        |  round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
        |    AS token_share,
@@ -2520,10 +2541,13 @@ object Pipelines {
        |    AS quality_pass_rate,
        |  round(CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
        |    AS dup_doc_rate,
+       |  round(CAST(coalesce(n_near, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    AS near_dup_doc_rate,
        |  round(CAST(uniq_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE), 6) AS ttr
        |FROM per CROSS JOIN tot JOIN q USING (source) JOIN dup USING (source)
-       |JOIN st USING (source) JOIN ut USING (source)
-       |ORDER BY source""".stripMargin
+       |LEFT JOIN nd ON nd.source = per.source
+       |JOIN st ON st.source = per.source JOIN ut ON ut.source = per.source
+       |ORDER BY per.source""".stripMargin
   }
 
   /** Curriculum-ordered training export: phase 1 = the most fluent tercile

@@ -206,6 +206,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(flagged(5) == Set(200L))
   }
 
+  test("signature store: a band grown hot PURELY through appends is " +
+    "droppable by the capped probe before any compact — the census folds " +
+    "per committed epoch") {
+    import graft.operators.{Dedup, SignatureStore}
+    val dir = java.nio.file.Files.createTempDirectory("sigcensusapp").toString
+    SignatureStore.seed(
+      Seq((100L, "a unique page of entirely distinct words stored first"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val template = (0 until 40).map(k => s"aw$k").mkString(" ")
+    // auto-compact disabled: the fold alone must surface the hot band
+    val app = SignatureStore.appender(spark, dir, "doc_id", "text",
+      streamTag = "capp", autoCompactEvery = 1000000)
+    // 3 epochs × 15 fresh-id template copies: per-epoch df 15 (under the
+    // full census floor of 32), cumulative 45 — hot only via accumulation
+    for (e <- 0 until 3)
+      app((0 until 15).map(i => (1000L + e * 100L + i, template))
+        .toDF("doc_id", "text"), e.toLong)
+    // the folded census carries the exact cumulative counts
+    val census = spark.read.parquet(s"$dir/hotbands")
+      .select("band_id", "band_hash", "df").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val exact = spark.read.parquet(s"$dir/bands")
+      .groupBy("band_id", "band_hash").count()
+      .filter(col("count") > 4L).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(census == exact && census.values.exists(_ == 45L),
+      s"census=$census exact=$exact")
+    // capped probe (cap 35 < the accumulated 45, >= the sidecar gate): the
+    // template copy dies through the hot-band drop, the unique doc's copy
+    // still flags through its cold bands — all BEFORE any compact
+    val probes = Seq(
+      (200L, "a unique page of entirely distinct words stored first"),
+      (202L, template)).toDF("doc_id", "text")
+    val sigsI = Dedup.minHashSignatures(probes, "doc_id", "text", 32, 3)
+      .localCheckpoint()
+    assert(SignatureStore.probeStored(spark, dir, sigsI, 32, 8, 0.9,
+      maxBandDf = 35).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(200L))
+    // a replayed epoch is a marker skip: the census must not double-fold
+    app((0 until 15).map(i => (1000L + i, template)).toDF("doc_id", "text"),
+      0L)
+    assert(spark.read.parquet(s"$dir/hotbands")
+      .agg(max("df")).head().getLong(0) == 45L)
+  }
+
   test("signature store: retract swaps the census atomically with the " +
     "band rewrite — a group that cools below the floor leaves the sidecar " +
     "in the SAME commit, and a committed crash residue heals whole") {

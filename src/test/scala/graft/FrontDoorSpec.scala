@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{AnnIndex, Dsir, SignatureStore}
-import graft.streaming.{FrontDoor, IngestGate}
+import graft.streaming.{FrontDoor, IngestGate, ShardedDoor}
 
 /** The composed four-layer ingest door ([[FrontDoor.sink]]): one sink, each
   * layer's kill demonstrably ITS OWN — gate reject quarantined, exact dup /
@@ -153,6 +153,134 @@ class FrontDoorSpec extends AnyFunSuite {
     assert(ingest("p2",
       Seq((8L, doc("alpha", 4), v1),
         (9L, doc("alpha", 30), nudge(v1, 5)))) == Seq(8L, 9L))
+  }
+
+  test("sharded door: no cross-shard traffic, bit-identical admissions to " +
+    "the single door on co-routing input, and a crash in one shard never " +
+    "blocks the others") {
+    val K = 4
+    // id → shard, precomputed so the fixture can CHOOSE co-routing ids (a
+    // re-delivery/re-crawl carries its original's stable key in production;
+    // here we pick fresh ids from the same shard)
+    val shardMap: Map[Long, Int] = spark.range(1L, 600L)
+      .select(col("id"), ShardedDoor.shardOf(col("id"), K).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val byShard: Map[Int, Seq[Long]] =
+      shardMap.groupBy(_._2).map { case (s, m) => s -> m.keys.toSeq.sorted }
+    def ids(shard: Int, from: Int, n: Int): Seq[Long] =
+      byShard(shard).slice(from, from + n)
+
+    // fully disjoint vocab per shard original (no accidental sig overlap in
+    // the single door), distinct axes; the gate is permissive-affinity so
+    // admission is vocabulary-free — quality kills the 1-token page only
+    def sdoc(tag: String, salt: Int) =
+      (0 until 24).map(j => s"$tag${salt + j}").mkString(" ")
+    val origText = (0 until K).map(i => sdoc(s"s${i}w", 0))
+    val origVec = (0 until K).map(i => vec(i, 0.5, i + 2))
+    val refStats = Dsir.bucketStats(
+      origText.zipWithIndex.map { case (t, i) => (i.toLong, t, i % 2 == 0) }
+        .toDF("doc_id", "text", "is_target"),
+      "doc_id", "text", col("is_target"))
+    def mkGate() = new IngestGate(refStats, minAffinity = -1e18)
+
+    val seed = (for (c <- 0 until 8; k <- 0 until 6) yield
+      ((100 + c * 6 + k).toLong, vec(c, 0.15 * k, (c + 1) % 8)))
+      .toDF("doc_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("shdoor").toString
+    val door = ShardedDoor.create(spark, root, K, seed, "doc_id",
+      "embedding", nlist = 8, iters = 3, seed = 42L)
+    // mounting with the wrong k is a loud error, not silent misrouting
+    assert(intercept[IllegalArgumentException] {
+      ShardedDoor.mount(spark, root, expectK = 8)
+    }.getMessage.contains("migration"))
+
+    // single-door control over its own store trio, same seed vectors
+    val ivf1 = AnnIndex.ivfIndexDir(seed, "mem://sharded_ctl", "doc_id",
+      "embedding", nlist = 8, iters = 3, seed = 42L,
+      variant = s"ctl_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fp1 = java.nio.file.Files.createTempDirectory("shctl_fp").toString
+    val sig1 = java.nio.file.Files.createTempDirectory("shctl_sig").toString
+    val accSingle = scala.collection.mutable.ArrayBuffer[Long]()
+    val single = FrontDoor.sink(spark, mkGate(), fp1, sig1, ivf1,
+      "doc_id", "text", "embedding", sigThreshold = 0.45,
+      semThreshold = 0.99, nprobe = 2, streamTag = "ctl") { df =>
+      accSingle ++= df.select("doc_id").collect().map(_.getLong(0))
+    } { _ => () }
+    val accShard = Array.fill(K)(scala.collection.mutable.ArrayBuffer[Long]())
+    def mkShardSink(i: Int, boom: Boolean = false) =
+      door.shardSink(i, mkGate(), "doc_id", "text", "embedding",
+        sigThreshold = 0.45, semThreshold = 0.99, nprobe = 2,
+        streamTag = "sd") { df =>
+        if (boom) throw new IllegalStateException("injected shard crash")
+        accShard(i) ++= df.select("doc_id").collect().map(_.getLong(0))
+      } { _ => () }
+    val shardSinks = (0 until K).map(mkShardSink(_)).toArray
+
+    // epoch 0: one original per shard + one quality reject per shard
+    val e0 = (0 until K).flatMap { i =>
+      Seq((ids(i, 0, 1).head, origText(i), origVec(i)),
+        (ids(i, 1, 1).head, "x", vec(7, 0.9, 6)))
+    }.toDF("doc_id", "text", "embedding").localCheckpoint()
+    // epoch 1: per shard — exact re-delivery (fp), one-token re-crawl
+    // (sig), fresh-text paraphrase (sem), genuinely new page (admit); all
+    // dup ids co-route with their originals by construction
+    val e1 = (0 until K).flatMap { i =>
+      Seq(
+        (ids(i, 2, 1).head, origText(i), origVec(i)),
+        (ids(i, 3, 1).head,
+          (0 until 23).map(j => s"s${i}w$j").mkString(" ") + s" s${i}w40",
+          nudge(origVec(i), 14)),
+        (ids(i, 4, 1).head, sdoc(s"p${i}w", 0), nudge(origVec(i), 15)),
+        (ids(i, 5, 1).head, sdoc(s"n${i}w", 0), vec(4 + i, 0.5, (i + 6) % 8)))
+    }.toDF("doc_id", "text", "embedding").localCheckpoint()
+
+    single(e0, 0L); single(e1, 1L)
+    shardSinks.foreach(s => s(e0, 0L))
+    shardSinks.foreach(s => s(e1, 1L))
+    // (b) bit-identical admissions, epoch-wise: originals then new pages
+    val expect0 = (0 until K).map(i => ids(i, 0, 1).head).sorted
+    val expect1 = (0 until K).map(i => ids(i, 5, 1).head).sorted
+    assert(accSingle.sorted.toSeq == (expect0 ++ expect1).sorted)
+    assert(accShard.flatten.sorted.toSeq == accSingle.sorted.toSeq,
+      s"sharded admissions diverge: ${accShard.flatten.sorted.mkString(",")}" +
+        s" vs ${accSingle.sorted.mkString(",")}")
+
+    // (a) no cross-shard traffic: every stored row in shard i hashes to i
+    (0 until K).foreach { i =>
+      val sigIds = SignatureStore.read(spark, door.sigDir(i))
+        .select("id").collect().map(_.getLong(0))
+      assert(sigIds.nonEmpty && sigIds.forall(shardMap(_) == i),
+        s"shard $i sig store holds foreign ids: ${sigIds.mkString(",")}")
+      val cids = spark.read.parquet(s"${door.ivfDir(i)}/lists")
+        .select("cid").collect().map(_.getLong(0))
+      assert(cids.forall(shardMap(_) == i),
+        s"shard $i index holds foreign ids")
+    }
+
+    // (c) crash isolation: shard 1's accept explodes on epoch 2 — shards
+    // 0/2/3 commit theirs, and shard 1 replays to completion on remount
+    // (the screen's out runs pre-marker: a crashed epoch replays whole)
+    val e2 = (0 until K).map(i =>
+      (ids(i, 6, 1).head, sdoc(s"z${i}w", 0), vec((i + 2) % 4, 0.5, i + 9)))
+      .toDF("doc_id", "text", "embedding").localCheckpoint()
+    val crashing = mkShardSink(1, boom = true)
+    Seq(0, 2, 3).foreach(i => shardSinks(i)(e2, 2L))
+    intercept[IllegalStateException] { crashing(e2, 2L) }
+    assert(!accShard(1).contains(ids(1, 6, 1).head))
+    Seq(0, 2, 3).foreach(i => assert(accShard(i).contains(ids(i, 6, 1).head),
+      s"a crash in shard 1 must not block shard $i"))
+    mkShardSink(1)(e2, 2L) // remount + replay
+    assert(accShard(1).sorted.toSeq ==
+      Seq(ids(1, 0, 1), ids(1, 5, 1), ids(1, 6, 1)).flatten.sorted)
+
+    // takedown routes by the same hash: retract shard 2's original, then
+    // its exact bytes re-admit through shard 2's full chain
+    door.retract(Seq((ids(2, 0, 1).head, origText(2)))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    accShard(2).clear()
+    mkShardSink(2)(Seq((ids(2, 7, 1).head, origText(2), origVec(2)))
+      .toDF("doc_id", "text", "embedding"), 3L)
+    assert(accShard(2).toSeq == Seq(ids(2, 7, 1).head))
   }
 
   test("a mis-wired store chain (layer fed with no gate epoch) fails " +

@@ -18,7 +18,10 @@ Tolerance default 1.5: BENCH_ab.json measured same-box window jitter at
 regression still trips it. Budgets only apply to snapshots at the budget
 table's sf (the driver's sf0.1 runs); pass a different sf and the script
 refuses rather than comparing apples to melons. Exit 1 on any family
-over budget.
+over budget — INCLUDING families with no budget row: an unknown-prefix
+query gets the tolerance headroom of an average budgeted family
+((tol - 1) x total / n_families) and trips the gate past it, so new
+surface cannot silently ride outside the check until the next rebase.
 """
 import json
 import os
@@ -99,10 +102,23 @@ def main():
             over.append(fam)
         print(f"{fam:12s} {b['budget_sec']:8.2f} {actual:8.2f} "
               f"{ratio:6.2f} {tol:6.2f}  {'OVER' if flag else ''}")
+    # Families in the snapshot with NO budget row (an "other"-bucket query
+    # or a brand-new prefix) are a gate, not an FYI: a future expensive
+    # query under an unknown prefix must not escape the hard check. Each
+    # unbudgeted family gets the tolerance headroom of an AVERAGE budgeted
+    # family — (tol - 1) x total / n_families — generous enough for a small
+    # new query riding to the next rebase, hard against a regression-sized
+    # one.
+    table_total = sum(b["budget_sec"] for b in table["families"].values())
+    allowance = (tol - 1.0) * table_total / max(1, len(table["families"]))
     extra = sorted(set(sums) - set(table["families"]))
-    if extra:
-        print(f"new families (no budget yet, informational): "
-              + ", ".join(f"{f}={sums[f]['sec']:.2f}s" for f in extra))
+    for fam in extra:
+        actual = sums[fam]["sec"]
+        flag = actual > allowance
+        if flag:
+            over.append(fam)
+        print(f"{fam:12s} {'(none)':>8s} {actual:8.2f} {'':>6s} "
+              f"{allowance:6.2f}s {'OVER (unbudgeted)' if flag else '(unbudgeted)'}")
     print(f"families over budget: {len(over)}"
           + (f" ({', '.join(over)})" if over else ""))
     return 1 if over else 0
