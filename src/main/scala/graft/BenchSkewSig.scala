@@ -152,14 +152,30 @@ object BenchSkewSig {
       Int.MaxValue)
     val (jHC, tHC) = probeJson("probe_templated_capped", hotDir, BandCap)
 
+    // APPEND-GROWN templated store (r16 verdict #5): identical final
+    // content to hotDir, but the template family arrives through the
+    // APPENDER with compaction disabled — no full-scan census refresh ever
+    // runs, so only the per-epoch incremental census fold can surface the
+    // hot bands to the capped probe. Before the fold existed this probe
+    // measured at the uncapped figure until the next compact.
+    val appDir = java.nio.file.Files.createTempDirectory("sks_app").toString
+    SignatureStore.seed(hotStore.filter(pmod(col("doc_id"), lit(5L)) === 4L),
+      "doc_id", "text", appDir)
+    val appSink = SignatureStore.appender(spark, appDir, "doc_id", "text",
+      streamTag = "sks", autoCompactEvery = 1000000)
+    (0 until 4).foreach(e =>
+      appSink(hotStore.filter(pmod(col("doc_id"), lit(5L)) === e), e.toLong))
+    val (jAC, tAC) = probeJson("probe_append_grown_capped", appDir, BandCap)
+
     val json =
       f"""{"metric":"skew_sig","unit":"sec",""" +
       h416 + "," + h321 + "," + hUnc + "," +
       f""""band_probe":{"store_docs":$StoreDocs,"cap":$BandCap,""" +
       f""""threshold":$Threshold,""" +
-      jUU + "," + jUC + "," + jHU + "," + jHC + "," +
+      jUU + "," + jUC + "," + jHU + "," + jHC + "," + jAC + "," +
       f""""templated_capped_over_uniform":${tHC / tUU}%.3f,""" +
-      f""""templated_uncapped_over_uniform":${tHU / tUU}%.3f}}"""
+      f""""templated_uncapped_over_uniform":${tHU / tUU}%.3f,""" +
+      f""""append_grown_capped_over_uniform":${tAC / tUU}%.3f}}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_skew_sig.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))

@@ -322,6 +322,91 @@ object AnnIndex {
     }
   }
 
+  /** [[ivfPqAppender]] that RECENTERS ITSELF under embedding drift — the
+    * [[recenteringScreenSink]] discipline applied to the PQ-coded
+    * retrieval index, closing the last store-maintenance loop the engine
+    * had open: the raw-vector screen self-recenters, the PQ index now has
+    * the [[recenterPq]] verb, and this sink wires the §2.6 detector to it
+    * so the index repairs itself instead of waiting for an operator.
+    *
+    * Drift signal: per ingested vector, a quantization-miss Bernoulli —
+    * cosine to its nearest coarse centroid < `fitCosine` — folded into a
+    * driver-side [[Drift.Ddm]] as two deterministic runs (zeros before
+    * ones). The feed runs AFTER the epoch marker commits: a re-delivered
+    * epoch feeds nothing, and a crash between the append commit and the
+    * feed loses only that epoch's detector samples (an undercount the
+    * detector absorbs — it just fires an epoch later). On a DDM fire whose
+    * trigger error rate also clears `minErrRate`, [[recenterPq]] retrains
+    * coarse + codebook + codes in the same between-epochs single-writer
+    * window and swaps all three sub-tables as one staged [[Takedown]]
+    * commit; the sink then reloads both model sidecars and resets the
+    * detector (new regime, fresh baseline). Epoch markers are untouched —
+    * replay idempotence survives the rebuild. Single maintainer stream per
+    * index, sharing [[ivfPqAppender]]'s marker namespace. */
+  def recenteringPqAppender(spark: SparkSession, indexDir: String,
+                            idCol: String, vecCol: String,
+                            fitCosine: Double = 0.7,
+                            minErrRate: Double = 0.3,
+                            kmIters: Int = 3, kmSeed: Long = 42L,
+                            autoCompactEvery: Int =
+                              AutoCompact.DefaultCheckEvery,
+                            autoCompactFactor: Int = AutoCompact.DefaultFactor,
+                            onRebuild: Long => Unit = _ => ()):
+      (DataFrame, Long) => Unit = {
+    Takedown.heal(spark, indexDir) // a crashed recenter owns all three subs
+    healPrecompact(spark, indexDir)
+    val cents = new java.util.concurrent.atomic.AtomicReference(
+      loadCentroids(spark, indexDir))
+    val cb = new java.util.concurrent.atomic.AtomicReference(
+      loadCodebook(spark, indexDir))
+    val ddm = new Drift.Ddm()
+    val auto = new AutoCompact(autoCompactEvery, autoCompactFactor)
+    (batch: DataFrame, epoch: Long) => {
+      val marker = new Path(s"$indexDir/_ingested_epoch_$epoch")
+      val fs = marker.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker) && !batch.isEmpty) {
+        val c = cents.get()
+        val vec = col(vecCol).cast("array<double>")
+        val assigned = batch.select(
+            element_at(NearestCentroids.column(vec, c, 1), 1).as("list_id"),
+            col(idCol).cast("long").as("cid"), vec.as("cvec"))
+          .withColumn("res", residualCol(col("cvec"), c, col("list_id")))
+          .localCheckpoint() // two consumers: the append and the drift feed
+        val codeCols = Similarity.pqCodeCols(col("res"), cb.get())
+          .map(_.cast("int"))
+        assigned.select(Seq(col("list_id"), col("cid")) ++ codeCols: _*)
+          .write.mode("append").partitionBy("list_id")
+          .parquet(s"$indexDir/lists")
+        fs.create(marker, true).close()
+        // epoch committed — now the drift feed (see scaladoc for ordering)
+        val centTable = typedLit(c.map(_.toSeq).toSeq)
+        val fitRow = assigned.select(
+            (VecFns.cosine(col("cvec"),
+              element_at(centTable, col("list_id").cast("int")))
+              < fitCosine).cast("long").as("miss"))
+          .agg(sum("miss"), count(lit(1))).head()
+        val bad = if (fitRow.isNullAt(0)) 0L else fitRow.getLong(0)
+        val n = fitRow.getLong(1)
+        var fire = ddm.addRun(0.0, n - bad)
+        if (ddm.addRun(1.0, bad)) fire = true
+        if (fire && n > 0 && bad.toDouble / n >= minErrRate) {
+          cents.set(recenterPq(spark, indexDir, kmIters, kmSeed + epoch))
+          cb.set(loadCodebook(spark, indexDir))
+          ddm.reset()
+          onRebuild(epoch)
+        }
+        auto.tick(listFileCount(spark, indexDir), cents.get().length)(
+          compact(spark, indexDir))
+        // release the pinned batch (appends recur on an unbounded stream)
+        try assigned.queryExecution.logical.collect {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+        }.foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+
   // ------------------------------------------------------ semantic screen
 
   private def screenMarkerPath(indexDir: String, tag: String,

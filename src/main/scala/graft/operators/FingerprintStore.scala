@@ -119,8 +119,15 @@ object FingerprintStore {
     val n = fps.count()
     val oldBlooms = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("bloom_")).toSeq
-    writeBloom(fs, dir, s"compact_${java.util.UUID.randomUUID().toString.take(8)}",
-      fps.stat.bloomFilter("fp", math.max(1024L, 2 * n), 0.01))
+    // n == 0 (a takedown retracted the store's every fingerprint — a small
+    // shard of a sharded door hits this routinely): Spark's bloomFilter
+    // aggregate over zero rows yields a null buffer, so build the empty
+    // filter directly — the screen then correctly rejects nothing
+    val bloom =
+      if (n == 0L) BloomFilter.create(1024L, 0.01)
+      else fps.stat.bloomFilter("fp", math.max(1024L, 2 * n), 0.01)
+    writeBloom(fs, dir,
+      s"compact_${java.util.UUID.randomUUID().toString.take(8)}", bloom)
     oldBlooms.foreach(fs.delete(_, false))
     val tmp = new Path(s"$dir/.fps_compact.tmp")
     fs.delete(tmp, true)

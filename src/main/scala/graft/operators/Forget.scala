@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions.col
 final case class PackTarget(dir: String, orderCol: String, tokCol: String,
                             budget: Long, binsPerShard: Long)
 
+/** One shard of a sharded front door's store trio
+  * ([[graft.streaming.ShardedDoor]] layout: `root/shard=i/{fp,sig,ivf}`). */
+final case class DoorShardDirs(fpDir: String, sigDir: String, ivfDir: String)
+
+/** The sharded door's ROUTE — canonical here (operators) so [[Forget]] and
+  * [[graft.streaming.ShardedDoor]] use literally the same expression and
+  * can never diverge: a takedown that routed differently than ingest would
+  * rewrite the wrong shard and leave the document retrievable. */
+object DoorRoute {
+  def shardOf(id: org.apache.spark.sql.Column,
+              k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(id),
+      org.apache.spark.sql.functions.lit(k))
+}
+
 /** A LEARNED artifact of the deployment — a model whose PARAMETERS were
   * trained on corpus text and therefore still embed retracted documents
   * after every store has forgotten them (Word2Vec vectors, a quality
@@ -39,7 +55,14 @@ final case class CorpusStores(
   bm25Dir: Option[String] = None,
   lmDir: Option[String] = None,
   pack: Option[PackTarget] = None,
-  learned: Seq[LearnedArtifact] = Seq.empty)
+  learned: Seq[LearnedArtifact] = Seq.empty,
+  /** A SHARDED door's k store trios, in shard order — mutually exclusive
+    * with the single-door fpDir/sigDir/ivfDir. The forget routes the
+    * request by [[DoorRoute.shardOf]] (ingest's own route) and runs each
+    * affected shard's retracts under the same fp/sig/ann progress tokens
+    * as the single door — a GDPR request against a sharded deployment
+    * stays ONE call. */
+  doorShards: Seq[DoorShardDirs] = Seq.empty)
 
 /** ONE-CALL corpus-wide takedown: a DMCA/GDPR request against a deployment
   * that runs the four-layer front door PLUS the BM25 store, the LM store,
@@ -117,6 +140,11 @@ object Forget {
                                 stores: CorpusStores, docs: DataFrame,
                                 idCol: String, textCol: String,
                                 crash: Option[String]): Unit = {
+    require(stores.doorShards.isEmpty ||
+      (stores.fpDir.isEmpty && stores.sigDir.isEmpty && stores.ivfDir.isEmpty),
+      "Forget: configure the door either single (fpDir/sigDir/ivfDir) or " +
+        "sharded (doorShards), never both — double-configured layers would " +
+        "run twice")
     val fs = fsOf(spark, forgetDir)
     fs.mkdirs(new Path(forgetDir))
     heal(spark, forgetDir, stores)
@@ -199,6 +227,27 @@ object Forget {
     stores.ivfDir.foreach(d => at("ann") {
       AnnIndex.retract(spark, d, ids)
     })
+    // sharded door: the same three layers, each step walking the AFFECTED
+    // shards (request routed by ingest's own hash — [[DoorRoute]]); a crash
+    // mid-walk replays the whole layer, which is safe because every
+    // per-shard retract is exclude-by-key idempotent
+    if (stores.doorShards.nonEmpty) {
+      val k = stores.doorShards.length
+      val routed = req.withColumn("__shard", DoorRoute.shardOf(col("id"), k))
+        .localCheckpoint()
+      val idsByShard: Map[Int, Seq[Long]] = routed.select("id", "__shard")
+        .collect().groupBy(_.getLong(1).toInt)
+        .view.mapValues(_.map(_.getLong(0)).toSeq).toMap
+      val affected = stores.doorShards.zipWithIndex
+        .filter { case (_, i) => idsByShard.contains(i) }
+      at("fp") { affected.foreach { case (s, i) =>
+        FingerprintStore.retract(spark, s.fpDir,
+          routed.filter(col("__shard") === i).drop("__shard"), "text") } }
+      at("sig") { affected.foreach { case (s, i) =>
+        SignatureStore.retract(spark, s.sigDir, idsByShard(i)) } }
+      at("ann") { affected.foreach { case (s, i) =>
+        AnnIndex.retract(spark, s.ivfDir, idsByShard(i)) } }
+    }
     stores.bm25Dir.foreach(d => at("bm25") {
       Bm25Store.retract(spark, d, ids)
     })
@@ -248,10 +297,14 @@ object Forget {
                        stores: CorpusStores, reqId: String): Unit = {
     val ids = spark.read.parquet(s"$forgetDir/request_$reqId")
       .select("id").collect().map(_.getLong(0)).sorted
+    val door = stores.doorShards.nonEmpty
     val configured = Seq(
-      stores.fpDir.map(_ => "fp"), stores.sigDir.map(_ => "sig"),
-      stores.ivfDir.map(_ => "ann"), stores.bm25Dir.map(_ => "bm25"),
-      stores.lmDir.map(_ => "lm"), stores.pack.map(_ => "pack")).flatten
+      (stores.fpDir.nonEmpty || door) -> "fp",
+      (stores.sigDir.nonEmpty || door) -> "sig",
+      (stores.ivfDir.nonEmpty || door) -> "ann",
+      stores.bm25Dir.nonEmpty -> "bm25",
+      stores.lmDir.nonEmpty -> "lm",
+      stores.pack.nonEmpty -> "pack").collect { case (true, n) => n }
     // The UNLEARNING BOUNDARY, stated explicitly: which learned artifacts
     // were retrained on the post-forget corpus (their superseded versions
     // retained for audit in their own versioned stores), and which STILL
@@ -277,6 +330,7 @@ object Forget {
       val out = fs.create(atmp, true)
       try out.write(
         (s"ids=${ids.mkString(",")}\nstores=${configured.mkString(",")}\n" +
+          (if (door) s"door_shards=${stores.doorShards.length}\n" else "") +
           s"learned_refit=$refits\nlearned_stale=${stale.mkString(",")}\n" +
           s"completed_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
       finally out.close()

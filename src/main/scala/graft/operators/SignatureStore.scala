@@ -139,7 +139,7 @@ object SignatureStore {
     val fs = fsOf(spark, dir)
     if (!fs.exists(new Path(s"$dir/bands"))) return
     publishCensus(spark, dir,
-      spark.read.parquet(s"$dir/bands")
+      spark.read.schema(BandsSchema).parquet(s"$dir/bands")
         .groupBy("band_id", "band_hash").agg(count(lit(1)).as("df"))
         .filter(col("df") > CensusMinDf))
   }
@@ -226,19 +226,32 @@ object SignatureStore {
       require(fs.rename(prev, root), s"SignatureStore: cannot heal $prev")
   }
 
+  /** The two tables' FIXED schemas, supplied on every read: a takedown
+    * that retracts a store's every row swaps in an EMPTY partitioned table
+    * (no data files → nothing to infer from), and a schema-less read would
+    * throw where the correct answer is simply zero rows. */
+  private val SigsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("id", LongType),
+      StructField("sig", ArrayType(LongType)),
+      StructField("shard", LongType)))
+  }
+  private val BandsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("id", LongType),
+      StructField("band_id", IntegerType),
+      StructField("band_hash", LongType),
+      StructField("bucket", LongType)))
+  }
+
   private def readSigsRaw(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
     healCompactAside(fs, dir, "sigs")
     if (fs.exists(new Path(s"$dir/sigs")))
-      spark.read.parquet(s"$dir/sigs")
-    else {
-      import org.apache.spark.sql.types._
+      spark.read.schema(SigsSchema).parquet(s"$dir/sigs")
+    else
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("id", LongType),
-          StructField("sig", ArrayType(LongType)),
-          StructField("shard", LongType))))
-    }
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SigsSchema)
   }
 
   /** The stored band index: (id, band_id, band_hash, bucket); empty frame
@@ -251,20 +264,14 @@ object SignatureStore {
     healCompactAside(fs, dir, "sigs") // the pre-index check below must not
                                       // misread a mid-compact sigs table
     if (fs.exists(new Path(s"$dir/bands")))
-      spark.read.parquet(s"$dir/bands")
+      spark.read.schema(BandsSchema).parquet(s"$dir/bands")
     else if (fs.exists(new Path(s"$dir/sigs")))
       throw new IllegalStateException(
         s"SignatureStore $dir holds sigs but no band index — a pre-index " +
           "store; run backfillBands before probing")
-    else {
-      import org.apache.spark.sql.types._
+    else
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("id", LongType),
-          StructField("band_id", IntegerType),
-          StructField("band_hash", LongType),
-          StructField("bucket", LongType))))
-    }
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BandsSchema)
   }
 
   /** Rebuild the band index from the stored sigs in one pass (migration
@@ -579,7 +586,10 @@ object SignatureStore {
     val tmp = new Path(s"$dir/.${sub}_compact.tmp")
     fs.delete(tmp, true)
     fs.delete(prev, true)
-    spark.read.parquet(root.toString)
+    // schema supplied: compacting a table a takedown emptied must rewrite
+    // zero rows, not fail schema inference
+    val schema = if (sub == "sigs") SigsSchema else BandsSchema
+    spark.read.schema(schema).parquet(root.toString)
       .repartition(col(partCol))
       .write.partitionBy(partCol).parquet(tmp.toString)
     require(fs.rename(root, prev), s"compact: cannot move $root aside")
@@ -619,16 +629,16 @@ object SignatureStore {
     // compact. Computed from the staged bands rewrite, so the published
     // census is exact for the published index by construction.
     Takedown.runDynamic(spark, dir) { stage =>
-      spark.read.parquet(s"$dir/sigs")
+      readSigsRaw(spark, dir)
         .join(broadcast(gone), Seq("id"), "left_anti")
         .repartition(col("shard"))
         .write.partitionBy("shard").parquet(s"$stage/sigs")
       if (fs.exists(new Path(s"$dir/bands"))) {
-        spark.read.parquet(s"$dir/bands")
+        readBands(spark, dir)
           .join(broadcast(gone), Seq("id"), "left_anti")
           .repartition(col("bucket"))
           .write.partitionBy("bucket").parquet(s"$stage/bands")
-        spark.read.parquet(s"$stage/bands")
+        spark.read.schema(BandsSchema).parquet(s"$stage/bands")
           .groupBy("band_id", "band_hash").agg(count(lit(1)).as("df"))
           .filter(col("df") > CensusMinDf)
           .coalesce(1).write.parquet(s"$stage/hotbands")

@@ -101,8 +101,11 @@ object ShardedDoor {
 
   /** The route: stable doc-key hash mod k — xxhash64, the engine's
     * partitioning hash everywhere else ([[graft.operators.SignatureStore]]
-    * shards, [[graft.operators.FingerprintStore]] shards). */
-  def shardOf(id: Column, k: Int): Column = pmod(xxhash64(id), lit(k))
+    * shards, [[graft.operators.FingerprintStore]] shards). Delegates to
+    * the canonical [[graft.operators.DoorRoute]] so [[graft.operators.Forget]]'s
+    * takedown routing can never diverge from ingest's. */
+  def shardOf(id: Column, k: Int): Column =
+    graft.operators.DoorRoute.shardOf(id, k)
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

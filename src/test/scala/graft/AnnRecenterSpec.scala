@@ -169,6 +169,81 @@ class AnnRecenterSpec extends AnyFunSuite {
     Seq(base, drifted, corpus).foreach(_.unpersist())
   }
 
+  test("recenteringPqAppender: planted drift arriving through the live " +
+    "appender fires exactly one in-place rebuild, recall over the drifted " +
+    "population recovers, and re-delivered epochs feed nothing") {
+    val base = (for (c <- 0 until 8; p <- 0 until 40) yield {
+      val id = (c * 40 + p).toLong
+      (id, (0 until 16).map(i =>
+        mix(c * 31L + 7, i) + 0.1 * mix(id * 131L + 3, i)))
+    }).toDF("vec_id", "embedding").cache()
+    val dir = AnnIndex.ivfPqIndexDir(base, "mem://pq_autorc", "vec_id",
+      "embedding", nlist = 8, m = 8, ksub = 16, iters = 3, seed = 42L,
+      variant = s"pqau_${java.util.UUID.randomUUID().toString.take(8)}")
+    val rebuilds = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink = AnnIndex.recenteringPqAppender(spark, dir, "vec_id",
+      "embedding", fitCosine = 0.7, minErrRate = 0.3,
+      onRebuild = e => { rebuilds += e; () })
+    // trigger 0: 20 fresh IN-distribution points — the clean baseline
+    val fresh = (0 until 20).map { i =>
+      val id = 3000L + i
+      (id, (0 until 16).map(j =>
+        mix((i % 8) * 31L + 7, j) + 0.1 * mix(id * 131L + 3, j)))
+    }
+    sink(fresh.toDF("vec_id", "embedding"), 0L)
+    assert(rebuilds.isEmpty)
+    // the drifted population (the recenterPq fixture's 8 scaled clusters)
+    val driftedRows = (for (c <- 0 until 8; p <- 0 until 25) yield {
+      val id = (1000 + c * 25 + p).toLong
+      (id, (0 until 16).map(i =>
+        3.0 * mix(c * 77L + 13, i) + 0.1 * mix(id * 131L + 3, i)))
+    })
+    sink(driftedRows.slice(0, 15).toDF("vec_id", "embedding"), 1L)
+    assert(rebuilds.isEmpty, "no fire inside the DDM warm-up window")
+    sink(driftedRows.slice(15, 30).toDF("vec_id", "embedding"), 2L)
+    assert(rebuilds.toSeq == Seq(2L),
+      s"exactly one rebuild: ${rebuilds.mkString(",")}")
+    // trigger 3 ships the REST of the drifted population. The first
+    // rebuild trained on only 30 drifted reconstructions among 370 — under
+    // CONTINUING drift the detector may legitimately re-fire once more and
+    // retrain with the drifted mass now dominant; what must hold is that
+    // the fires all trace to this shift (none before it, none after the
+    // store absorbs it below).
+    sink(driftedRows.slice(30, 200).toDF("vec_id", "embedding"), 3L)
+    assert(rebuilds.head == 2L && rebuilds.size <= 2,
+      s"rebuilds must trace to the shift: ${rebuilds.mkString(",")}")
+    val rebuildsAfterShift = rebuilds.size
+
+    val drifted = driftedRows.toDF("vec_id", "embedding").cache()
+    val corpus = base
+      .union(fresh.toDF("vec_id", "embedding")).union(drifted).cache()
+    val queries = drifted.filter(col("vec_id") % 25 === 0)
+    val exact = graft.operators.Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val approx = AnnIndex.queryIvfPq(spark, dir, corpus, queries,
+        "vec_id", "vec_id", "embedding", k = 10, nprobe = 2, rerank = 50)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.length
+    assert(recall >= 0.9, s"post-auto-recenter recall $recall < 0.9")
+
+    // a small in-regime trigger post-absorption: appended, no new fire
+    sink(Seq(
+      (9000L, (0 until 16).map(i => 3.0 * mix(2 * 77L + 13, i) + 0.02)),
+      (9001L, (0 until 16).map(i => 3.0 * mix(5 * 77L + 13, i) - 0.02)))
+      .toDF("vec_id", "embedding"), 4L)
+    assert(rebuilds.size == rebuildsAfterShift,
+      "an in-regime trigger must not re-fire the reset detector")
+
+    // re-delivered epoch: marker skip — no rows doubled, no detector feed
+    val rows = spark.read.parquet(s"$dir/lists").count()
+    sink(driftedRows.slice(0, 15).toDF("vec_id", "embedding"), 1L)
+    assert(spark.read.parquet(s"$dir/lists").count() == rows &&
+      rebuilds.size == rebuildsAfterShift)
+    Seq(base, drifted, corpus).foreach(_.unpersist())
+  }
+
   test("Ddm.addRun ≡ an addElement loop: bit-identical state and fire " +
     "decisions on the recentering sink's two-segment feed shape") {
     // the planted-shift scenario's feed (clean triggers, then drifted ones)

@@ -242,6 +242,80 @@ class ForgetSpec extends AnyFunSuite {
       .exists(_.getName.startsWith(".learned_")))
   }
 
+  test("sharded-door forget: ONE call routes the request by ingest's own " +
+    "hash — only the owning shard's stores forget, the other shard is " +
+    "untouched, and the tombstone records the layout") {
+    import graft.streaming.ShardedDoor
+    val K = 2
+    val shardMap: Map[Long, Int] = spark.range(1L, 100L)
+      .select(col("id"), ShardedDoor.shardOf(col("id"), K).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val idA = shardMap.collectFirst { case (id, 0) => id }.get
+    val idB = shardMap.collectFirst { case (id, 1) => id }.get
+    val seed = (for (c <- 0 until 8; k <- 0 until 6) yield
+      ((100 + c * 6 + k).toLong, vec(c, 0.15 * k, (c + 1) % 8)))
+      .toDF("doc_id", "embedding")
+    val root = tmp("fgs_door")
+    val door = ShardedDoor.create(spark, root, K, seed, "doc_id",
+      "embedding", nlist = 8, iters = 3, seed = 42L)
+    def sinkFor(i: Int, tag: String) =
+      door.shardSink(i, mkGate(), "doc_id", "text", "embedding",
+        sigThreshold = 0.45, semThreshold = 0.99, nprobe = 2,
+        streamTag = tag)(_ => ())(_ => ())
+    val both = Seq((idA, d1, v1), (idB, d2, v2))
+      .toDF("doc_id", "text", "embedding")
+    (0 until K).foreach(i => sinkFor(i, "fg1")(both, 0L))
+    assert(SignatureStore.read(spark, door.sigDir(0)).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(idA))
+    assert(SignatureStore.read(spark, door.sigDir(1)).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(idB))
+
+    val lmDir = tmp("fgs_lm"); val ledger = tmp("fgs_ledger")
+    LmStore.seed(Seq((idA, d1), (idB, d2)).toDF("doc_id", "text"),
+      "doc_id", "text", lmDir)
+    val stores = CorpusStores(lmDir = Some(lmDir),
+      doorShards = (0 until K).map(i =>
+        DoorShardDirs(door.fpDir(i), door.sigDir(i), door.ivfDir(i))))
+    Forget.forget(spark, ledger, stores,
+      Seq((idA, d1)).toDF("doc_id", "text"), "doc_id", "text")
+
+    // shard 0 forgot idA across all three layers…
+    assert(SignatureStore.read(spark, door.sigDir(0)).count() == 0L)
+    assert(spark.read.parquet(s"${door.ivfDir(0)}/lists")
+      .filter(col("cid") === idA).count() == 0L)
+    // …shard 1's stores are byte-for-byte untouched
+    assert(SignatureStore.read(spark, door.sigDir(1)).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(idB))
+    assert(spark.read.parquet(s"${door.ivfDir(1)}/lists")
+      .filter(col("cid") === idB).count() == 1L)
+    // the LM store subtracted exactly doc A
+    val freshDir = tmp("fgs_lm_fresh")
+    LmStore.seed(Seq((idB, d2)).toDF("doc_id", "text"), "doc_id", "text",
+      freshDir)
+    assert(lmState(lmDir) == lmState(freshDir))
+    // tombstone records the sharded layout and the door layers
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(ledger, "audit").listFiles()
+        .filterNot(_.getName.startsWith(".")).head.toPath), "UTF-8")
+    assert(audit.contains(s"ids=$idA\n") &&
+      audit.contains("stores=fp,sig,ann,lm\n") &&
+      audit.contains("door_shards=2\n"), audit)
+    // idA's exact bytes re-admit through shard 0's full chain
+    val acc = scala.collection.mutable.ArrayBuffer[Long]()
+    door.shardSink(0, mkGate(), "doc_id", "text", "embedding",
+      sigThreshold = 0.45, semThreshold = 0.99, nprobe = 2,
+      streamTag = "fg2") { df =>
+      acc ++= df.select("doc_id").collect().map(_.getLong(0))
+    }(_ => ())(Seq((idA, d1, v1)).toDF("doc_id", "text", "embedding"), 0L)
+    assert(acc.toSeq == Seq(idA))
+    // mixing single and sharded door config is a loud error
+    assert(intercept[IllegalArgumentException] {
+      Forget.forget(spark, ledger,
+        stores.copy(fpDir = Some(tmp("fgs_bad"))),
+        Seq((idB, d2)).toDF("doc_id", "text"), "doc_id", "text")
+    }.getMessage.contains("never both"))
+  }
+
   test("a replayed complete() with the tombstone already published skips " +
     "the rewrite instead of wedging the ledger (rename-to-existing is not " +
     "portable)") {
