@@ -37,6 +37,34 @@ import graft.streaming.{FrontDoor, IngestGate, ShardedDoor}
   *
   * Emits ONE JSON line to `SPARK_GRAFT_BENCH_OUT` (default
   * BENCH_door.json). Run against a [[ScaleCorpus]]-scaled dir. */
+/** Deterministic admit-only batch shapes shared by [[BenchDoor]]'s parent
+  * process and its per-shard child drivers ([[BenchDoorOneShard]]) — both
+  * sides MUST generate bit-identical batches or the process-isolated
+  * sharded run would admit different documents than the single door. */
+private[graft] object DoorBenchData {
+  def novelVec(dim: Int, t: Int, i: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      val h = scala.util.hashing.MurmurHash3.productHash((t, i, j))
+      math.floorMod(h, 2000) / 1000.0 - 1.0
+    }
+  /** 24 doc-unique words, LENGTH-FLAT across any (t, i) range: a decimal
+    * `t`/`i` splice makes words grow with the index and large batches trip
+    * the gate's mean-word-length quality bound — a kill that has nothing
+    * to do with what this bench measures. */
+  def freshText(cls: String, t: Int, i: Int): String = {
+    val h = java.lang.Long.toHexString(t.toLong * 1000000L + i)
+    (0 until 24).map(j => s"$cls${h}w$j").mkString(" ")
+  }
+  def novelBatch(spark: SparkSession, t: Int, n: Int,
+                 dim: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (860000000L + t * 10000L + i, freshText("q", t, i),
+        novelVec(dim, t + 50, i)))
+      .toDF("doc_id", "text", "embedding").localCheckpoint()
+  }
+}
+
 object BenchDoor {
   private val Reps = 5
   private val PerClass = 20
@@ -200,12 +228,8 @@ object BenchDoor {
     // k sinks run concurrently, one thread each, as k real streams would.
     val SustTriggers = 10
     val SustDocs = 400
-    def novelBatch(t: Int): DataFrame =
-      (0 until SustDocs).map(i =>
-        (860000000L + t * 10000L + i, freshText("q", t, i),
-          novelVec(t + 50, i)))
-        .toDF("doc_id", "text", "embedding").localCheckpoint()
-    val sustBatches = (0 to SustTriggers).map(novelBatch)
+    val sustBatches = (0 to SustTriggers)
+      .map(t => DoorBenchData.novelBatch(spark, t, SustDocs, dim))
     def timeOf(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
@@ -228,6 +252,31 @@ object BenchDoor {
       timeOf(singleDoor(sustBatches(t), t.toLong)))
     require(acc1.get() == (SustTriggers + 1).toLong * SustDocs,
       s"sustained single door admitted ${acc1.get()}")
+    // the same door at 4x the trigger size — per-trigger cost is dominated
+    // by the chain's FIXED per-layer latency (many small sequential jobs),
+    // so bigger batches amortize it: the first throughput lever, measured
+    // so the sharded row below is read against it honestly
+    val acc4 = new AtomicLong(0L)
+    val singleDoor4 = {
+      val fpD = tmpDir("bd_sust4_fp")
+      FingerprintStore.seed(smallDocs, "text", fpD)
+      val sigD = tmpDir("bd_sust4_sig")
+      SignatureStore.seed(smallDocs, "doc_id", "text", sigD)
+      val ivfD = AnnIndex.ivfIndexDir(smallEmb, s"$sfDir/embeddings.parquet",
+        "vec_id", "embedding", nlist = 64, iters = 3, seed = 42L,
+        variant = s"door_sust4_$sustRun")
+      FrontDoor.sink(spark, gate, fpD, sigD, ivfD, "doc_id", "text",
+        "embedding", sigThreshold = 0.45, semThreshold = 0.99, nprobe = 4,
+        streamTag = "bds4")(df => { acc4.addAndGet(df.count()); () })(_ => ())
+    }
+    val SustK = 4
+    val sustBatches4 = (0 to SustTriggers)
+      .map(t => DoorBenchData.novelBatch(spark, t, SustDocs * SustK, dim))
+    singleDoor4(sustBatches4(0), 0L) // warm
+    val singleSec4 = (1 to SustTriggers).map(t =>
+      timeOf(singleDoor4(sustBatches4(t), t.toLong)))
+    require(acc4.get() == (SustTriggers + 1).toLong * SustDocs * SustK,
+      s"sustained 4x single door admitted ${acc4.get()}")
 
     val K = 4
     val shardRoot = tmpDir("bd_shard")
@@ -260,6 +309,84 @@ object BenchDoor {
     require(accK.get() == (SustTriggers + 1).toLong * SustDocs,
       s"sustained sharded door admitted ${accK.get()}")
 
+    // ---- process-isolated sharded door: ONE DRIVER PER SHARD ----
+    // The in-JVM row above shares a single DAGScheduler event loop across
+    // all k sinks, so concurrent triggers serialize their scheduling —
+    // which is precisely why the deployment shape is one stream = one
+    // driver. Each shard here runs in its OWN JVM at local[cpus/k] (same
+    // total worker threads as the single door's local[cpus]); layout,
+    // gate, and batches are shared and deterministic (DoorBenchData).
+    val procRoot = tmpDir("bd_shardp")
+    val doorP = ShardedDoor.create(spark, procRoot, K, smallEmb, "vec_id",
+      "embedding", nlist = 32, iters = 3, seed = 42L)
+    (0 until K).foreach { i =>
+      val slice = smallDocs
+        .filter(ShardedDoor.shardOf(col("doc_id"), K) === i)
+      FingerprintStore.seed(slice, "text", doorP.fpDir(i))
+      SignatureStore.seed(slice, "doc_id", "text", doorP.sigDir(i))
+    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val moduleFlags = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val classesDir = new java.io.File(getClass.getProtectionDomain
+      .getCodeSource.getLocation.toURI).getPath
+    // explicit jar list, not a `*` wildcard: wildcard expansion is the
+    // JVM's, and a mis-derived dir fails silently as ClassNotFound in the
+    // child — enumerate and require the scala runtime is actually there
+    val sparkJarsDir = Seq(
+      Option(classOf[SparkSession].getProtectionDomain.getCodeSource)
+        .map(cs => new java.io.File(cs.getLocation.toURI).getParent)
+        .getOrElse(""),
+      "/opt/spark/jars")
+      .find { d =>
+        val f = new java.io.File(d)
+        f.isDirectory && f.listFiles().exists(
+          _.getName.startsWith("scala-library"))
+      }
+      .getOrElse(sys.error("cannot locate the Spark jars directory"))
+    val sparkJars = new java.io.File(sparkJarsDir).listFiles()
+      .filter(_.getName.endsWith(".jar")).map(_.getPath).sorted
+    val childCp = (classesDir +: sparkJars).mkString(":")
+    System.err.println(s"[BenchDoor] child classpath: $classesDir + " +
+      s"${sparkJars.length} jars from $sparkJarsDir")
+    val outFiles = (0 until K).map(i => s"$procRoot/child_$i.txt")
+    import scala.jdk.CollectionConverters._
+    val procs = (0 until K).map { i =>
+      // each child consumes its shard's slice of a K-times-larger firehose
+      // (the deployment shape: k streams, each at the single door's trigger
+      // size) — NOT the single door's batch split k ways, which only
+      // re-measures the fixed per-trigger latency at a quarter the data
+      val cmd = Seq(javaBin) ++ moduleFlags ++ Seq("-Xmx12g", "-cp",
+        childCp, "graft.BenchDoorOneShard", procRoot, sfDir, i.toString,
+        K.toString, (cpus.toInt / K).toString, SustTriggers.toString,
+        (SustDocs * K).toString, dim.toString, outFiles(i))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(s"$procRoot/child_$i.log"))
+      pb.start()
+    }
+    procs.zipWithIndex.foreach { case (p, i) =>
+      require(p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES) &&
+        p.exitValue() == 0,
+        s"shard child $i failed — see $procRoot/child_$i.log")
+    }
+    case class Child(admitted: Long, startMs: Long, endMs: Long,
+                     totalSec: Double)
+    val children = outFiles.map { f =>
+      val kv = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8").trim.split(" ")
+        .map(_.split("=", 2)).collect { case Array(a, b) => a -> b }.toMap
+      Child(kv("admitted").toLong, kv("start_ms").toLong,
+        kv("end_ms").toLong, kv("total_sec").toDouble)
+    }
+    require(children.map(_.admitted).sum ==
+      (SustTriggers + 1).toLong * SustDocs * K,
+      s"process shards admitted ${children.map(_.admitted).sum}")
+    // wall of the CONCURRENT timed segments (children warm before timing,
+    // so JVM/session startup is outside the window)
+    val procWall = (children.map(_.endMs).max -
+      children.map(_.startMs).min) / 1000.0
+
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val sustainedJson =
       f""""sustained":{"triggers":$SustTriggers,""" +
@@ -271,7 +398,18 @@ object BenchDoor {
       s""""sharded_sec":[${shardedSec.map(v => f"$v%.3f").mkString(",")}],""" +
       f""""sharded_docs_per_sec_first":${SustDocs / shardedSec.head}%.1f,""" +
       f""""sharded_docs_per_sec_last":${SustDocs / shardedSec.last}%.1f,""" +
-      f""""k4_speedup_median":${med(singleSec) / med(shardedSec)}%.2f}"""
+      f""""k4_same_jvm_speedup_median":${med(singleSec) / med(shardedSec)}%.2f,""" +
+      s""""single_sec_4x_batch":[${singleSec4.map(v =>
+        f"$v%.3f").mkString(",")}],""" +
+      f""""single_docs_per_sec_4x_batch":${SustDocs * SustK / med(singleSec4)}%.1f,""" +
+      s""""proc_child_total_sec":[${children.map(c =>
+        f"${c.totalSec}%.3f").mkString(",")}],""" +
+      f""""proc_wall_sec":$procWall%.3f,""" +
+      f""""proc_docs_per_sec":${SustTriggers.toLong * SustDocs * K / procWall}%.1f,""" +
+      f""""single_docs_per_sec":${SustDocs / med(singleSec)}%.1f,""" +
+      f""""k4_process_throughput_vs_single":${
+        (SustTriggers.toLong * SustDocs * K / procWall) /
+          (SustDocs / med(singleSec))}%.2f}"""
 
     val smallRows = smallDocs.count()
     val (jsonS, fullS) = scale("small", smallDocs, smallEmb)

@@ -165,17 +165,24 @@ object BenchSkewSig {
       streamTag = "sks", autoCompactEvery = 1000000)
     (0 until 4).foreach(e =>
       appSink(hotStore.filter(pmod(col("doc_id"), lit(5L)) === e), e.toLong))
+    // capped vs uncapped on the SAME append-grown store separates the two
+    // costs: the epoch-file fragmentation (flat across both, cured by the
+    // compact this scenario deliberately withholds) vs the hot-family
+    // candidate explosion (what the census-answered cap removes)
     val (jAC, tAC) = probeJson("probe_append_grown_capped", appDir, BandCap)
+    val (jAU, tAU) = probeJson("probe_append_grown_uncapped", appDir,
+      Int.MaxValue)
 
     val json =
       f"""{"metric":"skew_sig","unit":"sec",""" +
       h416 + "," + h321 + "," + hUnc + "," +
       f""""band_probe":{"store_docs":$StoreDocs,"cap":$BandCap,""" +
       f""""threshold":$Threshold,""" +
-      jUU + "," + jUC + "," + jHU + "," + jHC + "," + jAC + "," +
+      jUU + "," + jUC + "," + jHU + "," + jHC + "," + jAC + "," + jAU + "," +
       f""""templated_capped_over_uniform":${tHC / tUU}%.3f,""" +
       f""""templated_uncapped_over_uniform":${tHU / tUU}%.3f,""" +
-      f""""append_grown_capped_over_uniform":${tAC / tUU}%.3f}}"""
+      f""""append_grown_capped_over_uniform":${tAC / tUU}%.3f,""" +
+      f""""append_grown_capped_over_uncapped":${tAC / tAU}%.3f}}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_skew_sig.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))

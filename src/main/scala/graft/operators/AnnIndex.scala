@@ -65,6 +65,7 @@ object AnnIndex {
         element_at(NearestCentroids.column(col(vecCol), cents, 1), 1)
           .as("list_id"),
         col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .repartition(col("list_id")) // one file per list, not per (task, list)
       .write.partitionBy("list_id").parquet(s"$dest/lists")
     val spark2 = spark
     import spark2.implicits._
@@ -136,6 +137,7 @@ object AnnIndex {
         val codeCols = Similarity.pqCodeCols(col("res"), cb)
           .map(_.cast("int"))
         assigned.select(Seq(col("list_id"), col("cid")) ++ codeCols: _*)
+          .repartition(col("list_id"))
           .write.partitionBy("list_id").parquet(s"$tmp/lists")
         val spark2 = spark
         import spark2.implicits._
@@ -267,6 +269,7 @@ object AnnIndex {
             element_at(NearestCentroids.column(col("cvec"), cents, 1), 1)
               .as("list_id"),
             col("cid"), col("cvec"))
+          .repartition(col("list_id")) // one file per touched list per epoch
           .write.mode("append").partitionBy("list_id")
           .parquet(s"$indexDir/lists")
         fs.create(marker, true).close()
@@ -312,6 +315,7 @@ object AnnIndex {
           .withColumn("res", residualCol(col("cvec"), cents, col("list_id")))
         val codeCols = Similarity.pqCodeCols(col("res"), cb).map(_.cast("int"))
         assigned.select(Seq(col("list_id"), col("cid")) ++ codeCols: _*)
+          .repartition(col("list_id")) // one file per touched list per epoch
           .write.mode("append").partitionBy("list_id")
           .parquet(s"$indexDir/lists")
         fs.create(marker, true).close()
@@ -376,6 +380,7 @@ object AnnIndex {
         val codeCols = Similarity.pqCodeCols(col("res"), cb.get())
           .map(_.cast("int"))
         assigned.select(Seq(col("list_id"), col("cid")) ++ codeCols: _*)
+          .repartition(col("list_id")) // one file per touched list per epoch
           .write.mode("append").partitionBy("list_id")
           .parquet(s"$indexDir/lists")
         fs.create(marker, true).close()
@@ -575,6 +580,7 @@ object AnnIndex {
           element_at(NearestCentroids.column(col("cvec"), cents, 1), 1)
             .as("list_id"),
           col("cid"), col("cvec"))
+        .repartition(col("list_id")) // one file per touched list per epoch
         .write.partitionBy("list_id").parquet(s"$stage/lists")
       fs.create(marker, true).close()
       publishScreenStage(fs, indexDir, stage)
@@ -858,6 +864,15 @@ object AnnIndex {
       // bounded takedown batch: the id list rides as a NOT-IN predicate
       // (never a corpus-sized literal — takedowns are request-sized)
       else kept0.filter(!col("cid").isin(exclude: _*))
+    // a retract must never EMPTY the index: an empty partitioned write
+    // leaves a schema-less table every later probe chokes on, and the
+    // trained centroids would be a model of nothing — deleting the index
+    // dir (and reseeding) is the right verb for that request. Loud here
+    // beats a silently broken store later.
+    if (exclude.nonEmpty)
+      require(!kept.isEmpty,
+        s"AnnIndex.retract would remove $indexDir's every vector — delete " +
+          "the index dir and reseed instead of retracting the whole store")
     kept.repartition(col("list_id"))
       .write.partitionBy("list_id").parquet(tmp.toString)
     require(fs.rename(lists, prev), s"compact: cannot move $lists aside")

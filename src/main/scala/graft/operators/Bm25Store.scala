@@ -103,9 +103,13 @@ object Bm25Store {
     val spark = docs.sparkSession
     val fs = fsOf(spark, dir)
     val (postings, dfPart, nDocs, nTok) = batchParts(docs, idCol, textCol)
-    postings.write.mode("overwrite").partitionBy("wb")
+    // one word-sorted file per bucket from birth (compact's layout): an
+    // unrepartitioned partitioned write emits tasks x buckets files
+    postings.repartition(col("wb")).sortWithinPartitions("word")
+      .write.mode("overwrite").partitionBy("wb")
       .parquet(s"$dir/postings")
-    dfPart.write.mode("overwrite").partitionBy("wb").parquet(s"$dir/df")
+    dfPart.repartition(col("wb")).sortWithinPartitions("word")
+      .write.mode("overwrite").partitionBy("wb").parquet(s"$dir/df")
     writeText(fs, new Path(s"$dir/scalars/base"), s"$nDocs,$nTok")
     writeText(fs, new Path(s"$dir/_params"), ParamsToken)
   }
@@ -258,8 +262,10 @@ object Bm25Store {
         fs.delete(stage, true)
         val (postings, dfPart, nDocs, nTok) =
           batchParts(batch, idCol, textCol)
-        postings.write.partitionBy("wb").parquet(s"$stage/postings")
-        dfPart.write.partitionBy("wb").parquet(s"$stage/df")
+        postings.repartition(col("wb")).sortWithinPartitions("word")
+          .write.partitionBy("wb").parquet(s"$stage/postings")
+        dfPart.repartition(col("wb")).sortWithinPartitions("word")
+          .write.partitionBy("wb").parquet(s"$stage/df")
         writeText(fs, new Path(stage, "scalars_delta"), s"$nDocs,$nTok")
         fs.create(marker, true).close()
         publishStage(fs, dir, stage, streamTag, epoch)

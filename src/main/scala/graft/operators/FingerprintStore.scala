@@ -53,7 +53,10 @@ object FingerprintStore {
     val fps = docs.select(fpCol(textCol).as("fp"))
       .withColumn("shard", pmod(col("fp"), lit(NumShards)))
       .distinct().localCheckpoint()
-    fps.write.mode("append").partitionBy("shard").parquet(s"$dir/fps")
+    // one file per touched shard (the repartition-before-partitioned-write
+    // layout rule — without it each write task emits a file per shard)
+    fps.repartition(col("shard"))
+      .write.mode("append").partitionBy("shard").parquet(s"$dir/fps")
     val n = fps.count()
     if (n > 0) {
       val tag = s"seed_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -103,6 +106,14 @@ object FingerprintStore {
   def compact(spark: SparkSession, dir: String): Unit =
     rewriteFps(spark, dir, exclude = None)
 
+  /** The fps table's FIXED schema, supplied on every read: a takedown can
+    * retract the store's every fingerprint, and an empty partitioned table
+    * (no data files) must read as zero rows, not fail schema inference. */
+  private val FpsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("fp", LongType), StructField("shard", LongType)))
+  }
+
   private def rewriteFps(spark: SparkSession, dir: String,
                          exclude: Option[DataFrame]): Unit = {
     val root = new Path(dir)
@@ -111,7 +122,7 @@ object FingerprintStore {
     val prev = new Path(s"$dir/.fps_precompact")
     if (!fs.exists(fpsDir) && fs.exists(prev)) require(fs.rename(prev, fpsDir))
     if (!fs.exists(fpsDir)) return
-    val kept0 = spark.read.parquet(fpsDir.toString)
+    val kept0 = spark.read.schema(FpsSchema).parquet(fpsDir.toString)
       .select("fp", "shard").distinct()
     val fps = exclude.fold(kept0)(gone =>
         kept0.join(broadcast(gone.select("fp")), Seq("fp"), "left_anti"))
@@ -236,7 +247,7 @@ object FingerprintStore {
         // filter); the semi-join keeps one store row per confirmed dup
         val confirmed: DataFrame =
           if (shards.isEmpty) cand.select("fp")
-          else spark.read.parquet(s"$dir/fps")
+          else spark.read.schema(FpsSchema).parquet(s"$dir/fps")
             .filter(col("shard").isin(shards: _*))
             .join(broadcast(cand.select("fp")), Seq("fp"), "left_semi")
         val survivors = firsts
@@ -247,7 +258,8 @@ object FingerprintStore {
         val newFps = survivors
           .select(col("__fp").as("fp"),
             pmod(col("__fp"), lit(NumShards)).as("shard"))
-        newFps.write.mode("append").partitionBy("shard").parquet(s"$dir/fps")
+        newFps.repartition(col("shard"))
+          .write.mode("append").partitionBy("shard").parquet(s"$dir/fps")
         val n = survivors.count()
         if (n > 0) {
           val epochBloom = newFps.stat.bloomFilter("fp",

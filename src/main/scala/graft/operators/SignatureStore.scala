@@ -109,10 +109,17 @@ object SignatureStore {
     checkParams(fs, dir, numHashes, shingleSize, bands)
     val sigs = Dedup.minHashSignatures(docs, idCol, textCol, numHashes,
       shingleSize).localCheckpoint()
+    // repartition on the partition column BEFORE the partitioned write:
+    // without it every write task emits a file into every partition dir it
+    // touches (tasks x partitions files per pass — measured 40k files and
+    // a 5x probe penalty on a 5-write store in BENCH_skew_sig), and the
+    // store is born needing the compaction that should be rare
     sigs.withColumn("shard", shardCol(col("id")))
+      .repartition(col("shard"))
       .write.mode("append").partitionBy("shard").parquet(s"$dir/sigs")
     Dedup.bandedSigs(sigs, "id", numHashes, bands)
       .withColumn("bucket", bucketCol(col("band_hash")))
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
     writeParams(fs, dir, numHashes, shingleSize, bands)
     writeBandCensus(spark, dir)
@@ -314,10 +321,13 @@ object SignatureStore {
     * `stage/sigs`, band-index rows under `stage/bands`. */
   private def writeStage(sigs: DataFrame, numHashes: Int, bands: Int,
                          stage: String): Unit = {
+    // one file per touched partition per epoch (see seed's layout note)
     sigs.withColumn("shard", shardCol(col("id")))
+      .repartition(col("shard"))
       .write.partitionBy("shard").parquet(s"$stage/sigs")
     Dedup.bandedSigs(sigs, "id", numHashes, bands)
       .withColumn("bucket", bucketCol(col("band_hash")))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(s"$stage/bands")
   }
 

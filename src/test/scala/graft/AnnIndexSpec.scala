@@ -152,6 +152,24 @@ class AnnIndexSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("a retract that would empty the index fails loudly (delete + " +
+    "reseed is the verb for that) and leaves the store intact") {
+    val two = Seq((1L, Seq.fill(16)(1.0)), (2L, (0 until 16).map(_.toDouble)))
+      .toDF("vec_id", "embedding")
+    val dir = AnnIndex.ivfIndexDir(two, "mem://ann_empty_guard", "vec_id",
+      "embedding", nlist = 2, iters = 2, seed = 42L,
+      variant = s"eg_${java.util.UUID.randomUUID().toString.take(8)}")
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.retract(spark, dir, Seq(1L, 2L))
+    }
+    assert(ex.getMessage.contains("every vector"))
+    assert(spark.read.parquet(s"$dir/lists").count() == 2L,
+      "the refused retract must leave the store untouched")
+    AnnIndex.retract(spark, dir, Seq(1L)) // a non-emptying retract still works
+    assert(spark.read.parquet(s"$dir/lists").select("cid")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("semantic probe flags stored near-duplicates through a statically " +
     "pruned list scan") {
     val corpus = clustered.cache()

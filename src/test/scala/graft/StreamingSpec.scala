@@ -2245,6 +2245,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/fps")))
     assert(admitted(15L, "another keeper", "r5"))
     assert(!admitted(16L, "keep this page", "r6"))
+    // a takedown that retracts the store's EVERY fingerprint (a small
+    // shard of a sharded door hits this routinely): the store stays
+    // readable, screens admit everything again, and a fresh seed extends it
+    FingerprintStore.retract(spark, dir,
+      Seq((0L, "takedown target"), (1L, "keep this page"),
+        (2L, "another keeper")).toDF("doc_id", "text"), "text")
+    assert(admitted(17L, "keep this page", "r7"),
+      "an emptied store must admit everything again")
+    assert(!admitted(18L, "keep this page", "r8"), "…and re-store it")
+    FingerprintStore.compact(spark, dir) // compacting the small store works
+    assert(!admitted(19L, "keep this page", "r9"))
   }
 
   /** Axis-separated test vectors for the semantic screen: unit mass on
