@@ -251,6 +251,12 @@ object SignatureStore {
       StructField("bucket", LongType)))
   }
 
+  /** Id projection of the sigs table (schema-supplied, heal-adjacent like
+    * every read) — the [[Fsck]] membership checks' view of this store. */
+  private[operators] def readSigsIds(spark: SparkSession,
+                                     dir: String): DataFrame =
+    readSigsRaw(spark, dir).select("id")
+
   private def readSigsRaw(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
     healCompactAside(fs, dir, "sigs")

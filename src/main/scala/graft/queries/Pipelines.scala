@@ -796,6 +796,43 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
+  /** Cross-store consistency audit ([[graft.operators.Fsck]]) driven
+    * through the oracle gate: the signature store seeds from the
+    * `doc_id % 4 != 0` slice while the semantic index builds over
+    * `vec_id % 5 != 0` — a deliberately MIS-WIRED door trio (the
+    * deployment error fsck exists to catch), so `door_membership` must
+    * name exactly the ids stored in ann but absent from sig, and every
+    * internal check (sigs⟷bands agreement, census overcount, orphan ann
+    * lists, crash residue) must report CLEAN over API-built stores. The
+    * DuckDB twin recomputes the membership set-difference from the same
+    * slices. [SQL] */
+  val storeFsck: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sigSlice = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L)
+    val sigDir = graft.operators.SignatureStore.storeDir(sigSlice,
+      s"$dir/documents.parquet", "doc_id", "text", numHashes = 32,
+      shingleSize = 3, variant = "fsck_mod4")
+    val embs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val annSlice = embs.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+    val ivfDir = graft.operators.AnnIndex.ivfIndexDir(annSlice,
+      s"$dir/embeddings.parquet", "vec_id", "embedding", nlist = 16,
+      iters = 3, variant = "fsck_mod5")
+    graft.operators.Fsck.report(s, graft.operators.CorpusStores(
+        sigDir = Some(sigDir), ivfDir = Some(ivfDir)))
+      .orderBy("check_name", "layer", "id")
+  }
+
+  /** DuckDB twin of [[storeFsck]]: the only findings a mis-wired but
+    * internally clean trio can produce are the ann-not-sig memberships. */
+  val storeFsckSql: String =
+    """SELECT 'door_membership' AS check_name, 'ann' AS layer,
+      |       CAST(vec_id AS BIGINT) AS id,
+      |       'stored in ann but not in sig' AS detail
+      |FROM embeddings
+      |WHERE vec_id % 5 != 0
+      |  AND vec_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 4 != 0)
+      |ORDER BY check_name, layer, id""".stripMargin
+
   /** DuckDB twin of [[dedupDeltaMinhash]]: the [[dedupMinhashLshSql]]
     * signature machinery over the side-tagged corpus; candidates are
     * in-side × base-side band-VALUE matches (band-hash collisions are the
@@ -889,6 +926,54 @@ object Pipelines {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
   }
+
+  /** The AT-SCALE embedding near-dup: [[dedupEmbedding]]'s planted corpus
+    * through [[graft.operators.Dedup.embeddingNearDupBanded]] — 4 bands of
+    * [[graft.operators.Dedup.adaptiveSignBits]]-deep sign-LSH keys, so
+    * bucket occupancy (and with it the candidate pair count) stays flat as
+    * the corpus grows, where the fixed-plane [[dedupEmbedding]] measured
+    * 31× cost for 100× data at the sf10 decade. The DuckDB twin derives
+    * the SAME adaptive depth from the same count via integer bit-length
+    * (`length(bin(...))` — no float log2) and replays the band keys as
+    * `(sig // 2^(j·15)) % 2^r`, so the recall/efficiency trade sits inside
+    * the hash gate, not beside it. [SQL] */
+  val dedupEmbeddingBanded: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      graft.functions.VecFns.addPseudoNoise(
+        col("embedding"), col("vec_id"), lit(0.05)).as("embedding"))
+    Dedup.embeddingNearDupBanded(base.unionByName(planted), "vec_id",
+        "embedding", bands = 4, bitsPerBand = 15, targetBucket = 32L,
+        threshold = 0.9)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twin of [[dedupEmbeddingBanded]] — same corpus, same 60-plane
+    * signature, same integer-derived band depth. */
+  val dedupEmbeddingBandedSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding AS vec FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000 AS vec_id,
+       |         ${Duck.pseudoNoise("embedding", "vec_id", "0.05")} AS vec
+       |  FROM embeddings WHERE vec_id < 20),
+       |par AS (SELECT least(15, greatest(8,
+       |    length(bin((count(*) + 31) // 32)))) AS r FROM corpus),
+       |b AS (SELECT vec_id, vec, ${Duck.signBucket("vec", 60)} AS sig
+       |      FROM corpus),
+       |e AS (SELECT b.vec_id, b.vec, j.band,
+       |        (b.sig // (CAST(1 AS BIGINT) << (j.band * 15)))
+       |          % (CAST(1 AS BIGINT) << p.r) AS bucket
+       |      FROM b CROSS JOIN par p
+       |      CROSS JOIN (SELECT unnest(range(0, 4)) AS band) j),
+       |p2 AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+       |        ${Duck.cosine("a.vec", "c.vec")} AS cos
+       |       FROM e a JOIN e c ON a.band = c.band AND a.bucket = c.bucket
+       |         AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, round(cos, 4) AS cos FROM p2 WHERE cos >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** SemDeDup over the same planted corpus as [[dedupEmbedding]]:
     * deterministic first-16 coarse centroids (the [[simIvfTopK]] pick),
@@ -3515,12 +3600,14 @@ object Pipelines {
     "dedup_simhash_capped" -> dedupSimhashCapped,
     "dedup_delta_minhash" -> dedupDeltaMinhash,
     "dedup_delta_minhash_capped" -> dedupDeltaMinhashCapped,
+    "store_fsck" -> storeFsck,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_clusters" -> dedupClusters,
     "dedup_best_of_cluster" -> dedupBestOfCluster,
     "dedup_keep_best" -> dedupKeepBest,
     "corpus_build" -> corpusBuild,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_banded" -> dedupEmbeddingBanded,
     "dedup_semantic" -> dedupSemantic,
     "sim_brute_topk" -> simBruteTopK,
     "sim_lsh_topk" -> simLshTopK,
@@ -3595,9 +3682,11 @@ object Pipelines {
     "dedup_simhash_capped" -> dedupSimhashCappedSql,
     "dedup_delta_minhash" -> dedupDeltaMinhashSql,
     "dedup_delta_minhash_capped" -> dedupDeltaMinhashCappedSql,
+    "store_fsck" -> storeFsckSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_cross_source_matrix" -> dedupCrossSourceMatrixSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_embedding_banded" -> dedupEmbeddingBandedSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_brute_topk" -> simBruteSql,
     "sim_lsh_topk" -> simLshSql,

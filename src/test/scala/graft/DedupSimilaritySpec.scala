@@ -716,6 +716,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("adaptiveSignBits: integer bit-length depth, clamped to [8, max]") {
+    // r = bitLength(ceil(n / 32)) clamped to [8, 15]
+    assert(Dedup.adaptiveSignBits(1) == 8) // floor clamp
+    assert(Dedup.adaptiveSignBits(32) == 8) // m = 1 -> bitlen 1 -> floor
+    assert(Dedup.adaptiveSignBits(2020) == 8) // the sf0.1 planted corpus
+    assert(Dedup.adaptiveSignBits(8192) == 9) // m = 256 -> bitlen 9
+    assert(Dedup.adaptiveSignBits(8193) == 9) // m = 257 (ceil div)
+    assert(Dedup.adaptiveSignBits(200000) == 13) // the sf10 decade corpus
+    assert(Dedup.adaptiveSignBits(1L << 40) == 15) // ceiling clamp
+  }
+
+  test("embeddingNearDupBanded: verified pairs are a subset of the exact " +
+    "cosine pairs, planted near-identicals are recalled, and cross-band " +
+    "collisions emit each pair once") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 400L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val planted = base.take(12).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * (x.hashCode % 3)))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupBanded(corpus, "vec_id", "embedding",
+        bands = 4, bitsPerBand = 15, targetBucket = 32L, threshold = 0.95)
+      .collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // once each, even when a pair collides in several of the 4 bands
+    assert(pairs.distinct.size == pairs.size)
+    // every emitted pair truly clears the exact-cosine threshold (the LSH
+    // only GENERATES candidates; verification is exact)
+    assert(got.forall(_.getDouble(2) >= 0.95))
+    // the planted near-identical pairs all surface: per-plane agreement is
+    // ~1 at this noise level, and 4 bands OR the 15-bit keys together
+    val want = planted.map { case (id, _) => (id - 1000L, id) }.toSet
+    assert(want.subsetOf(pairs.toSet))
+  }
+
   test("semanticDedup prunes within-cluster near-dups, keeps min id, " +
     "and is blind across clusters by design") {
     // two tight clusters on orthogonal axes + a near-dup pair inside each
