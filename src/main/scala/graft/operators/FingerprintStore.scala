@@ -89,6 +89,34 @@ object FingerprintStore {
       }.toSeq
   }
 
+  /** The ONE sanctioned udf in the engine: Bloom membership over a
+    * broadcast sidecar list has no native-expression equivalent (the
+    * filters are opaque sketch objects). Shared by the ingest screen and
+    * the [[Fsck]] audit so the probe semantics can never diverge. */
+  private def bloomProbe(bc: org.apache.spark.broadcast.Broadcast[Array[BloomFilter]]) =
+    udf((fp: Long) => bc.value.exists(_.mightContainLong(fp)))
+
+  /** Audit view for [[Fsck]]: stored fingerprints NO Bloom sidecar claims.
+    * Such rows are screen FALSE NEGATIVES — the ingest sink's Bloom pass
+    * would wave their duplicates through to disk verification that never
+    * triggers, re-admitting known content. A consistent store has zero
+    * (Bloom filters have no false-negative side); a lost/partial sidecar
+    * (or fps rows appended outside the sink protocol) shows up here.
+    * Read-only; one broadcast probe per stored row. */
+  private[operators] def bloomMisses(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fps =
+      if (fs.exists(new Path(s"$dir/fps")))
+        spark.read.schema(FpsSchema).parquet(s"$dir/fps")
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FpsSchema)
+    val bc = spark.sparkContext.broadcast(loadBlooms(spark, dir).toArray)
+    fps.filter(!bloomProbe(bc)(col("fp"))).select("fp")
+  }
+
   /** Compact a long-lived store in place: fold the per-epoch Bloom sidecars
     * into ONE filter sized to the store's true distinct count, and rewrite
     * the fps table one file per shard (each epoch appends a file per touched
@@ -233,10 +261,8 @@ object FingerprintStore {
         val bc = bloomBc
         val candidates =
           if (bc.value.isEmpty) firsts.select("__fp").limit(0)
-          else {
-            val possib = udf((fp: Long) => bc.value.exists(_.mightContainLong(fp)))
-            firsts.select("__fp").filter(possib(col("__fp")))
-          }
+          else
+            firsts.select("__fp").filter(bloomProbe(bc)(col("__fp")))
         val cand = candidates
           .select(col("__fp").as("fp"),
             pmod(col("__fp"), lit(NumShards)).as("shard"))

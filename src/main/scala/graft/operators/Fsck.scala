@@ -42,6 +42,17 @@ import org.apache.spark.sql.types._
   *    mismatched stores or one store's takedown committed while another's
   *    never ran — precisely the cross-store drift [[Forget]] exists to
   *    prevent, surfaced per id.
+  *  - `fp_bloom_miss` — a stored fingerprint no Bloom sidecar claims:
+  *    a screen FALSE NEGATIVE (Blooms have no false-negative side, so
+  *    this only arises from a lost/partial sidecar or out-of-protocol
+  *    appends); the store would re-admit that content's duplicates.
+  *  - `bm25_df_mismatch` / `bm25_ntok_mismatch` / `bm25_ndocs_undercount`
+  *    — the BM25 store's df partials, scalars ledger, and postings
+  *    disagree: silently skewed idf / length normalization.
+  *  - `lm_prefix_mismatch` / `lm_negative_count` — the LM store's
+  *    fluency denominator drifted from its bigram numerators, or a count
+  *    went negative: the double-subtraction signature the retract
+  *    receipt protocol exists to prevent.
   *  - `misrouted` — a sharded door shard holding an id whose route hash
   *    ([[DoorRoute.shardOf]], the ingest route) names a DIFFERENT shard:
   *    a hand-copied store or a re-keyed layout; probes and takedowns for
@@ -141,6 +152,115 @@ object Fsck {
       "door_membership", layer, "stored in ann but not in sig")
   }
 
+  /** Fingerprint-store screen audit: stored fps no Bloom sidecar claims
+    * ([[FingerprintStore.bloomMisses]]) are screen FALSE NEGATIVES — their
+    * duplicates re-admit. `id` carries the fingerprint. */
+  def fpBloomAudit(spark: SparkSession, fpDir: String,
+                   layer: String = "fp"): DataFrame =
+    shape(FingerprintStore.bloomMisses(spark, fpDir)
+        .select(col("fp").as("id")),
+      "fp_bloom_miss", layer, "stored fp claimed by no Bloom sidecar")
+
+  /** BM25 store internal agreement. Three invariants, all broken only by
+    * corruption (seed/append/retract rewrite the sub-tables together):
+    *  - per word, the df partials must sum to the word's posting count
+    *    (epoch doc sets are disjoint by contract, so partial-df adds);
+    *    a mismatch silently skews idf for that word;
+    *  - the scalars ledger's nTok must equal Σ tf over postings;
+    *  - its nDocs must be ≥ the postings' distinct doc count (equality is
+    *    not required: empty documents count toward N but post nothing). */
+  def bm25Internal(spark: SparkSession, dir: String,
+                   layer: String = "bm25"): DataFrame = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(new Path(s"$dir/postings")) ||
+        !fs.exists(new Path(s"$dir/df")))
+      return emptyFindings(spark)
+    val post = spark.read.parquet(s"$dir/postings")
+    val byWord = post.groupBy("word").agg(count(lit(1)).as("n_post"))
+    val dfSum = spark.read.parquet(s"$dir/df")
+      .groupBy("word").agg(sum("df").as("n_df"))
+    val wordFindings = byWord.join(dfSum, Seq("word"), "full_outer")
+      .filter(coalesce(col("n_post"), lit(0L)) =!=
+        coalesce(col("n_df"), lit(0L)))
+      .select(lit("bm25_df_mismatch").as("check_name"),
+        lit(layer).as("layer"), lit(null).cast("long").as("id"),
+        concat(lit("word="), col("word"),
+          lit(" postings="), coalesce(col("n_post"), lit(0L)),
+          lit(" df="), coalesce(col("n_df"), lit(0L))).as("detail"))
+    // scalar ledger vs the postings aggregate (one tiny driver row)
+    val scal = new Path(s"$dir/scalars")
+    val ledger =
+      if (!fs.exists(scal)) (0L, 0L)
+      else fs.listStatus(scal).map(_.getPath).filter(!_.getName.startsWith("."))
+        .map { p =>
+          val in = fs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                    finally in.close()
+          val Array(d, t) = txt.split(",").map(_.trim.toLong)
+          (d, t)
+        }.foldLeft((0L, 0L)) { case ((d0, t0), (d, t)) => (d0 + d, t0 + t) }
+    val aggRow = post.agg(
+      countDistinct(col("doc_id")).as("nd"), sum("tf").as("nt")).collect()(0)
+    val nd = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
+    val nt = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1)
+    val scalarRows =
+      (if (ledger._2 != nt)
+        Seq(("bm25_ntok_mismatch",
+          s"scalars nTok=${ledger._2} postings sum(tf)=$nt"))
+      else Seq.empty) ++
+      (if (ledger._1 < nd)
+        Seq(("bm25_ndocs_undercount",
+          s"scalars nDocs=${ledger._1} < postings distinct docs=$nd"))
+      else Seq.empty)
+    val spark2 = spark
+    import spark2.implicits._
+    wordFindings.unionByName(scalarRows.toDF("check_name", "detail")
+      .select(col("check_name"), lit(layer).as("layer"),
+        lit(null).cast("long").as("id"), col("detail")))
+  }
+
+  /** LM store internal agreement:
+    *  - per prefix word, Σ bigram counts must equal Σ prefix partials —
+    *    the fluency denominator; a mismatch skews every P(cur|prev) under
+    *    that prefix;
+    *  - no key may sum NEGATIVE in bigrams/prefix/vocabrc — the signature
+    *    of the non-idempotent count subtraction applied twice (the exact
+    *    failure [[LmStore.retract]]'s receipt protocol exists to prevent,
+    *    so a negative here means the protocol was bypassed). */
+  def lmInternal(spark: SparkSession, dir: String,
+                 layer: String = "lm"): DataFrame = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(new Path(s"$dir/bigrams")) ||
+        !fs.exists(new Path(s"$dir/prefix")))
+      return emptyFindings(spark)
+    val bg = spark.read.parquet(s"$dir/bigrams")
+      .groupBy("prev").agg(sum("cb").as("n_bg"))
+    val pf = spark.read.parquet(s"$dir/prefix")
+      .groupBy("prev").agg(sum("cp").as("n_pf"))
+    val mismatch = bg.join(pf, Seq("prev"), "full_outer")
+      .filter(coalesce(col("n_bg"), lit(0L)) =!=
+        coalesce(col("n_pf"), lit(0L)))
+      .select(lit("lm_prefix_mismatch").as("check_name"),
+        lit(layer).as("layer"), lit(null).cast("long").as("id"),
+        concat(lit("prev="), col("prev"),
+          lit(" bigrams="), coalesce(col("n_bg"), lit(0L)),
+          lit(" prefix="), coalesce(col("n_pf"), lit(0L))).as("detail"))
+    def negatives(sub: String, keys: Seq[String], cnt: String): DataFrame =
+      if (!fs.exists(new Path(s"$dir/$sub"))) emptyFindings(spark)
+      else spark.read.parquet(s"$dir/$sub")
+        .groupBy(keys.map(col): _*).agg(sum(cnt).as("n"))
+        .filter(col("n") < 0)
+        .select(lit("lm_negative_count").as("check_name"),
+          lit(layer).as("layer"), lit(null).cast("long").as("id"),
+          concat(lit(s"$sub ") +:
+            keys.flatMap(k => Seq(col(k), lit(" "))) :+
+            lit("= ") :+ col("n"): _*).as("detail"))
+    mismatch
+      .unionByName(negatives("bigrams", Seq("prev", "cur"), "cb"))
+      .unionByName(negatives("prefix", Seq("prev"), "cp"))
+      .unionByName(negatives("vocabrc", Seq("word"), "rc"))
+  }
+
   /** Route audit for one shard of a sharded door: every id stored in the
     * shard's sig/ann stores must route there. */
   def routeAudit(spark: SparkSession, sigDir: String, ivfDir: String,
@@ -221,9 +341,14 @@ object Fsck {
       case (None, Some(v)) => Seq(annInternal(spark, v))
       case _ => Seq.empty
     }
+    val text =
+      stores.fpDir.map(fpBloomAudit(spark, _)).toSeq ++
+        stores.bm25Dir.map(bm25Internal(spark, _)).toSeq ++
+        stores.lmDir.map(lmInternal(spark, _)).toSeq
     val sharded = stores.doorShards.zipWithIndex.flatMap { case (d, i) =>
       val k = stores.doorShards.length
-      Seq(sigInternal(spark, d.sigDir, s"shard=$i/sig"),
+      Seq(fpBloomAudit(spark, d.fpDir, s"shard=$i/fp"),
+        sigInternal(spark, d.sigDir, s"shard=$i/sig"),
         censusAudit(spark, d.sigDir, s"shard=$i/sig"),
         annInternal(spark, d.ivfDir, s"shard=$i/ann"),
         doorMembership(spark, d.sigDir, d.ivfDir, s"shard=$i/ann"),
@@ -240,7 +365,7 @@ object Fsck {
           Seq(s"shard=$i/fp" -> d.fpDir, s"shard=$i/sig" -> d.sigDir,
             s"shard=$i/ann" -> d.ivfDir)
         })
-    (single ++ sharded :+ res)
+    (single ++ text ++ sharded :+ res)
       .foldLeft(emptyFindings(spark))(_.unionByName(_))
   }
 }

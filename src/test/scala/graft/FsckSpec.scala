@@ -161,6 +161,63 @@ class FsckSpec extends AnyFunSuite {
       ("misrouted", "shard=0/sig", i), ("misrouted", "shard=0/ann", i))))
   }
 
+  test("fp_bloom_miss: a fingerprint appended outside the sink protocol " +
+      "has no sidecar claiming it; an API-built store is clean") {
+    val dir = tmp("fsck_fp")
+    FingerprintStore.seed(docsDf((0L until 25L).toSeq), "text", dir)
+    assert(Fsck.fpBloomAudit(spark, dir).count() === 0L)
+    // plant: an fps row no Bloom sidecar ever saw (out-of-protocol append
+    // or a lost sidecar file) — the screen would re-admit its duplicates
+    Seq((123456789L, 123456789L % 256))
+      .toDF("fp", "shard").repartition(col("shard"))
+      .write.mode("append").partitionBy("shard").parquet(s"$dir/fps")
+    val got = findings(Fsck.fpBloomAudit(spark, dir))
+    assert(got === Set(("fp_bloom_miss", "fp", 123456789L)))
+  }
+
+  test("bm25 internal: df partials, scalars ledger and postings agree on " +
+      "an API-built store; planted drift in each is flagged") {
+    val dir = tmp("fsck_bm25")
+    Bm25Store.seed(docsDf((0L until 15L).toSeq), "id", "text", dir)
+    assert(Fsck.bm25Internal(spark, dir).count() === 0L)
+    // plant 1: an extra df partial for one real word — idf for that word
+    // silently skews
+    val word = spark.read.parquet(s"$dir/postings")
+      .select("word").limit(1).collect()(0).getString(0)
+    Seq((word, 5L, 0L)).toDF("word", "df", "wb")
+      .write.mode("append").partitionBy("wb").parquet(s"$dir/df")
+    // plant 2: a stray scalars delta (nDocs -2, nTok +7)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$dir/scalars/stray"), true)
+    out.write("-2,7".getBytes("UTF-8")); out.close()
+    val got = Fsck.bm25Internal(spark, dir)
+      .select("check_name").collect().map(_.getString(0)).toSet
+    assert(got === Set("bm25_df_mismatch", "bm25_ntok_mismatch",
+      "bm25_ndocs_undercount"))
+  }
+
+  test("lm internal: prefix marginals match bigram sums on an API-built " +
+      "store; planted denominator drift and a negative count are flagged") {
+    val dir = tmp("fsck_lm")
+    LmStore.seed(docsDf((0L until 15L).toSeq), "id", "text", dir)
+    assert(Fsck.lmInternal(spark, dir).count() === 0L)
+    // plant 1: an extra prefix partial — P(cur|prev) denominators drift
+    val prev = spark.read.parquet(s"$dir/prefix")
+      .select("prev").limit(1).collect()(0).getString(0)
+    Seq((prev, 3L, 0L)).toDF("prev", "cp", "wb")
+      .write.mode("append").partitionBy("wb").parquet(s"$dir/prefix")
+    // plant 2: a vocabrc key summing negative — the double-subtraction
+    // signature the retract receipt exists to prevent
+    Seq(("zzz_never_seen", -5L, 0L)).toDF("word", "rc", "wb")
+      .write.mode("append").partitionBy("wb").parquet(s"$dir/vocabrc")
+    val got = Fsck.lmInternal(spark, dir)
+      .select("check_name").collect().map(_.getString(0))
+    assert(got.count(_ == "lm_prefix_mismatch") === 1)
+    assert(got.count(_ == "lm_negative_count") === 1)
+    assert(got.length === 2)
+  }
+
   test("layout: shard dirs disagreeing with the _layout sidecar") {
     val root = tmp("fsck_layout")
     val fs = new Path(root).getFileSystem(
