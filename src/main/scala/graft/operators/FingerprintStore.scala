@@ -117,6 +117,35 @@ object FingerprintStore {
     fps.filter(!bloomProbe(bc)(col("fp"))).select("fp")
   }
 
+  /** READ-ONLY membership probe: ids of `docs` whose text fingerprint is
+    * already stored — the ingest screen's exact-dup question answered
+    * without the writer lock, an append, or a marker (dry-run pre-flight,
+    * dashboards, the [[graft.streaming.FrontDoor.probe]] read path). Same
+    * pipeline as the sink: Bloom screen first (definite-new rows never
+    * touch disk), then candidate verification against ONLY the candidate
+    * shards (static partition filter). Empty store → empty result. */
+  def probeTexts(spark: SparkSession, dir: String, docs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+      fpCol(textCol).as("fp")).localCheckpoint()
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/fps"))) return keyed.select("id").limit(0)
+    val bc = spark.sparkContext.broadcast(loadBlooms(spark, dir).toArray)
+    val cand = keyed.filter(bloomProbe(bc)(col("fp")))
+      .select("fp").distinct()
+      .withColumn("shard", pmod(col("fp"), lit(NumShards)))
+      .localCheckpoint()
+    val shards = cand.select("shard").distinct() // ≤ NumShards rows
+      .collect().map(_.getLong(0)).toSeq
+    if (shards.isEmpty) return keyed.select("id").limit(0)
+    val confirmed = spark.read.schema(FpsSchema).parquet(s"$dir/fps")
+      .filter(col("shard").isin(shards: _*))
+      .join(broadcast(cand.select("fp")), Seq("fp"), "left_semi")
+    keyed.join(broadcast(confirmed.select("fp")), Seq("fp"), "left_semi")
+      .select("id")
+  }
+
   /** Compact a long-lived store in place: fold the per-epoch Bloom sidecars
     * into ONE filter sized to the store's true distinct count, and rewrite
     * the fps table one file per shard (each epoch appends a file per touched

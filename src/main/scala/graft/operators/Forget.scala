@@ -136,10 +136,30 @@ object Forget {
              docs: DataFrame, idCol: String, textCol: String): Unit =
     forgetImpl(spark, forgetDir, stores, docs, idCol, textCol, None)
 
+  /** [[forget]] under a CALLER-PINNED request id — the idempotence handle
+    * a composed driver ([[ForgetQueue.drain]]) needs to make "this exact
+    * batch, exactly once" survive its own crash windows: if
+    * `audit/<reqId>` already exists the whole call is a no-op (the audit
+    * tombstone only ever appears after every store committed), otherwise
+    * the request runs under `reqId` so a replay resumes its per-store
+    * tokens instead of re-subtracting. The caller owns the nonce
+    * discipline: `reqId` must be single-use and never content-derived
+    * (the same rule [[forget]]'s internal UUIDs follow), and a replay
+    * must supply the SAME batch — the tokens are per-store shortcuts, so
+    * a replay with a bigger batch would skip stores already marked done
+    * for the smaller one. */
+  private[graft] def forgetAs(spark: SparkSession, forgetDir: String,
+                              stores: CorpusStores, docs: DataFrame,
+                              idCol: String, textCol: String,
+                              reqId: String): Unit =
+    forgetImpl(spark, forgetDir, stores, docs, idCol, textCol, None,
+      Some(reqId))
+
   private[graft] def forgetImpl(spark: SparkSession, forgetDir: String,
                                 stores: CorpusStores, docs: DataFrame,
                                 idCol: String, textCol: String,
-                                crash: Option[String]): Unit = {
+                                crash: Option[String],
+                                fixedReqId: Option[String] = None): Unit = {
     require(stores.doorShards.isEmpty ||
       (stores.fpDir.isEmpty && stores.sigDir.isEmpty && stores.ivfDir.isEmpty),
       "Forget: configure the door either single (fpDir/sigDir/ivfDir) or " +
@@ -148,14 +168,23 @@ object Forget {
     val fs = fsOf(spark, forgetDir)
     fs.mkdirs(new Path(forgetDir))
     heal(spark, forgetDir, stores)
+    // a pinned id whose tombstone already exists has fully committed —
+    // the audit only ever writes after every store's retract (see
+    // complete()), so this is the caller-visible exactly-once check
+    if (fixedReqId.exists(id => fs.exists(new Path(s"$forgetDir/audit/$id"))))
+      return
     val req = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).cast("string").as("text")).distinct()
     if (req.isEmpty) return
     // single-use nonce: never content-derived, so a completed request's
     // swept-late residue can never be mistaken for progress on a later
-    // identical request
-    val reqId = java.util.UUID.randomUUID().toString.replace("-", "")
+    // identical request; a caller-pinned id carries the same contract
+    val reqId = fixedReqId.getOrElse(
+      java.util.UUID.randomUUID().toString.replace("-", ""))
     val reqDir = new Path(s"$forgetDir/request_$reqId")
+    // pre-marker residue of a crashed pinned-id attempt (no marker, no
+    // audit — heal() ran above, so neither exists here): restage whole
+    fs.delete(reqDir, true)
     val tmp = new Path(s"$forgetDir/.request_$reqId.tmp")
     fs.delete(tmp, true)
     req.coalesce(1).write.parquet(tmp.toString) // request-sized: one file

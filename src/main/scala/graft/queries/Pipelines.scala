@@ -975,6 +975,55 @@ object Pipelines {
        |SELECT id_a, id_b, round(cos, 4) AS cos FROM p2 WHERE cos >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Depth-arithmetic pin for [[dedupEmbeddingBanded]]: at the oracle
+    * gate's corpus sizes the adaptive depth always clamps to the r = 8
+    * floor, so the DYNAMIC band-key arithmetic (r in (8, 15]) would never
+    * cross the DuckDB gate — exactly the kind of silent at-scale-only
+    * divergence this surface exists to prevent. This query inflates the
+    * COUNT (not the data: no quadratic pair work on either engine) by
+    * three synthetic deltas chosen to land r = 9, 13 and the 15 ceiling,
+    * and emits the first vectors' per-band bucket keys at each depth —
+    * both the integer bit-length depth rule and the
+    * `(sig // 2^(15j)) % 2^r` key extraction replay bit-exactly. [SQL] */
+  val dedupEmbeddingBandedDepth: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val n0 = base.count()
+    val sig = graft.operators.Similarity.signBits(col("embedding"), 60)
+    Seq(8000L, 200000L, 1000000000L).map { inf =>
+      val r = Dedup.adaptiveSignBits(n0 + inf, 32L, 15)
+      val mask = (1L << r) - 1
+      val keys = array((0 until 4).map(j =>
+        shiftright(sig, j * 15).bitwiseAND(lit(mask))): _*)
+      base.filter(col("vec_id") < 4)
+        .select(lit(inf).as("inflate"), lit(r).as("r"), col("vec_id"),
+          posexplode(keys).as(Seq("band", "bucket")))
+    }.reduce(_.unionByName(_))
+      .select(col("inflate").cast("long").as("inflate"),
+        col("r").cast("long").as("r"), col("vec_id"),
+        col("band").cast("long").as("band"), col("bucket"))
+      .orderBy("inflate", "vec_id", "band")
+  }
+
+  /** DuckDB twin of [[dedupEmbeddingBandedDepth]]. */
+  val dedupEmbeddingBandedDepthSql: String =
+    s"""WITH n0 AS (SELECT count(*) AS n FROM embeddings),
+       |infl AS (SELECT unnest([8000, 200000, 1000000000]) AS inflate),
+       |par AS (SELECT i.inflate,
+       |    least(15, greatest(8,
+       |      length(bin((n0.n + i.inflate + 31) // 32)))) AS r
+       |  FROM infl i CROSS JOIN n0),
+       |b AS (SELECT vec_id, ${Duck.signBucket("embedding", 60)} AS sig
+       |      FROM embeddings WHERE vec_id < 4)
+       |SELECT CAST(p.inflate AS BIGINT) AS inflate,
+       |  CAST(p.r AS BIGINT) AS r, b.vec_id,
+       |  CAST(j.band AS BIGINT) AS band,
+       |  (b.sig // (CAST(1 AS BIGINT) << (j.band * 15)))
+       |    % (CAST(1 AS BIGINT) << p.r) AS bucket
+       |FROM b CROSS JOIN par p
+       |CROSS JOIN (SELECT unnest(range(0, 4)) AS band) j
+       |ORDER BY inflate, vec_id, band""".stripMargin
+
   /** SemDeDup over the same planted corpus as [[dedupEmbedding]]:
     * deterministic first-16 coarse centroids (the [[simIvfTopK]] pick),
     * within-cluster cosine ≥ 0.9 prune, keep-smallest-id. Every planted
@@ -3608,6 +3657,7 @@ object Pipelines {
     "corpus_build" -> corpusBuild,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_banded" -> dedupEmbeddingBanded,
+    "dedup_embedding_banded_depth" -> dedupEmbeddingBandedDepth,
     "dedup_semantic" -> dedupSemantic,
     "sim_brute_topk" -> simBruteTopK,
     "sim_lsh_topk" -> simLshTopK,
@@ -3687,6 +3737,7 @@ object Pipelines {
     "dedup_cross_source_matrix" -> dedupCrossSourceMatrixSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_embedding_banded" -> dedupEmbeddingBandedSql,
+    "dedup_embedding_banded_depth" -> dedupEmbeddingBandedDepthSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_brute_topk" -> simBruteSql,
     "sim_lsh_topk" -> simLshSql,

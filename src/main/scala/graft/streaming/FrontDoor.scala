@@ -3,6 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 import graft.operators.{AnnIndex, FingerprintStore, SignatureStore}
 
@@ -106,6 +107,59 @@ object FrontDoor {
     val fp = FingerprintStore.dedupSink(spark, fpDir, idCol, textCol,
       streamTag = streamTag) { df => sig(df, epochNow()) }
     df => fp(df, epochNow())
+  }
+
+  /** READ-ONLY corpus-membership probe — the door's question ("have we
+    * seen this content?") answered WITHOUT the writer lock: no append, no
+    * marker, no gate. One row per input doc with a verdict per layer:
+    * `(id, dup_exact, dup_near, dup_semantic)` — the pre-flight a crawl
+    * scheduler runs before fetching, the dry-run an operator uses to see
+    * what a batch WOULD do at the door, and the read half the takedown
+    * verifiers use ("is it really gone?"). Each layer runs its store's
+    * own pruned read path (Bloom + shard-pruned fp verify, band-bucket +
+    * sig-shard pruned MinHash probe, statically pruned IVF list probe),
+    * so cost tracks the batch's collision footprint, never store age.
+    * Thresholds/params must match the door's sink wiring (same defaults)
+    * or the verdicts answer a different question than ingest asks. Safe
+    * concurrent with a live sink between ITS epochs (reads heal compact
+    * asides like every store read); not a sink replacement — it admits
+    * nothing. */
+  def probe(spark: SparkSession, fpDir: String, sigDir: String,
+            ivfDir: String, docs: DataFrame, idCol: String, textCol: String,
+            vecCol: String, sigThreshold: Double = 0.5,
+            semThreshold: Double = 0.99, nprobe: Int = 4): DataFrame = {
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"), col(vecCol).as("vec"))
+      .localCheckpoint()
+    val exact = FingerprintStore.probeTexts(spark, fpDir, keyed, "id", "text")
+      .withColumn("dup_exact", lit(true))
+    // a door whose sig store never committed an epoch (fresh shard) has
+    // nothing to collide with — probeStored's loud no-params check is for
+    // MISMATCHED stores, not empty ones
+    val sigSeeded = new org.apache.hadoop.fs.Path(s"$sigDir/sigs")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$sigDir/sigs"))
+    val near =
+      if (!sigSeeded)
+        keyed.select(col("id"), lit(true).as("dup_near")).limit(0)
+      else {
+        val sigs = graft.operators.Dedup.minHashSignatures(
+          keyed, "id", "text", numHashes = 32, shingleSize = 3)
+        SignatureStore.probeStored(spark, sigDir, sigs,
+            numHashes = 32, bands = 8, threshold = sigThreshold)
+          .select(col("doc_id").as("id"), lit(true).as("dup_near"))
+      }
+    val sem = AnnIndex.probeStoredVectors(spark, ivfDir, keyed, "id", "vec",
+        semThreshold, nprobe)
+      .select(col("id"), lit(true).as("dup_semantic"))
+    keyed.select("id")
+      .join(exact, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .join(sem, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"),
+        coalesce(col("dup_semantic"), lit(false)).as("dup_semantic"))
   }
 
   /** Takedown across the door's three stores in one call — the lifecycle

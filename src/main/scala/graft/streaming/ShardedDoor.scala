@@ -77,6 +77,28 @@ final class ShardedDoor private (spark: SparkSession, rootDir: String,
       inner(batch.filter(ShardedDoor.shardOf(col(idCol), k) === i), epoch)
   }
 
+  /** READ-ONLY corpus-membership probe across ALL shards — and the place
+    * the sharding recall trade inverts: ingest screens are shard-local
+    * (a near-dup whose twin routed elsewhere admits — the documented
+    * write-side trade for k× stream throughput), but the READ path fans
+    * every query to every shard's pruned probes and ORs the verdicts, so
+    * a probe finds the twin regardless of which shard holds it. k× probe
+    * fan-out is the read side's cost — paid per QUERY batch, off the
+    * ingest hot path, each per-shard probe as pruned as the single
+    * door's. Output: `(id, dup_exact, dup_near, dup_semantic)`, one row
+    * per input doc (FrontDoor.probe's contract, OR-folded over shards). */
+  def probe(docs: DataFrame, idCol: String, textCol: String,
+            vecCol: String, sigThreshold: Double = 0.5,
+            semThreshold: Double = 0.99, nprobe: Int = 4): DataFrame =
+    (0 until k).map { i =>
+      FrontDoor.probe(spark, fpDir(i), sigDir(i), ivfDir(i), docs,
+        idCol, textCol, vecCol, sigThreshold, semThreshold, nprobe)
+    }.reduce(_.unionByName(_))
+      .groupBy("id")
+      .agg(max("dup_exact").as("dup_exact"),
+        max("dup_near").as("dup_near"),
+        max("dup_semantic").as("dup_semantic"))
+
   /** Takedown across all shards in one call: the request batch routes by
     * the same id hash, and each affected shard runs the single door's
     * [[FrontDoor.retract]] against its own store trio. Same contract:

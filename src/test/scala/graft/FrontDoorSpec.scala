@@ -283,6 +283,98 @@ class FrontDoorSpec extends AnyFunSuite {
     assert(accShard(2).toSeq == Seq(ids(2, 7, 1).head))
   }
 
+  test("door read path: FrontDoor.probe answers every layer's question " +
+    "without admitting anything, and the sharded probe finds the " +
+    "cross-shard twin the shard-local write screen is blind to") {
+    // ---- single door: ingest one page, probe the four verdict classes
+    val ref = ((0 until 60).map(i => (i.toLong, doc("alpha", i), true)) ++
+        (0 until 60).map(i => (200L + i, doc("beta", i), false)))
+      .toDF("doc_id", "text", "is_target")
+    val gate = new IngestGate(
+      Dsir.bucketStats(ref, "doc_id", "text", col("is_target")),
+      minAffinity = -1e18)
+    val seed = (for (c <- 0 until 8; k <- 0 until 6) yield
+      ((100 + c * 6 + k).toLong, vec(c, 0.15 * k, (c + 1) % 8)))
+      .toDF("doc_id", "embedding")
+    val ivfDir = AnnIndex.ivfIndexDir(seed, "mem://fd_probe",
+      "doc_id", "embedding", nlist = 8, iters = 3, seed = 42L,
+      variant = s"fdp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fpDir = java.nio.file.Files.createTempDirectory("fdp_fp").toString
+    val sigDir = java.nio.file.Files.createTempDirectory("fdp_sig").toString
+    val acc = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink = FrontDoor.sink(spark, gate, fpDir, sigDir, ivfDir,
+      "doc_id", "text", "embedding", sigThreshold = 0.45,
+      semThreshold = 0.99, nprobe = 2, streamTag = "fdp") { df =>
+      acc ++= df.select("doc_id").collect().map(_.getLong(0))
+    } { _ => () }
+    val d0 = doc("alpha", 4); val v0 = vec(0, 0.5, 2)
+    sink(Seq((1L, d0, v0)).toDF("doc_id", "text", "embedding"), 0L)
+    assert(acc.toSeq == Seq(1L))
+    def storeState() = (
+      spark.read.parquet(s"$fpDir/fps").count(),
+      SignatureStore.read(spark, sigDir).count(),
+      spark.read.parquet(s"$ivfDir/lists").count())
+    val before = storeState()
+    val verdicts = FrontDoor.probe(spark, fpDir, sigDir, ivfDir,
+      Seq(
+        (101L, d0, v0), // the exact bytes: every layer fires
+        (102L, recrawl("alpha", 4), nudge(v0, 14)), // 1-token re-crawl
+        (103L, doc("gamma", 0), nudge(v0, 15)), // fresh-text paraphrase
+        (104L, doc("delta", 0), vec(3, 0.5, 9))) // genuinely new
+        .toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding", sigThreshold = 0.45,
+      semThreshold = 0.99, nprobe = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(verdicts(101L) == ((true, true, true)), s"exact: ${verdicts(101L)}")
+    assert(verdicts(102L) == ((false, true, true)), s"recrawl: ${verdicts(102L)}")
+    assert(verdicts(103L) == ((false, false, true)), s"para: ${verdicts(103L)}")
+    assert(verdicts(104L) == ((false, false, false)), s"new: ${verdicts(104L)}")
+    // read-only: the probe admitted and persisted NOTHING
+    assert(storeState() == before)
+
+    // ---- sharded: the write screen is shard-local (documented trade),
+    // the read probe fans to every shard and finds the foreign twin
+    val K = 2
+    val shardMap: Map[Long, Int] = spark.range(1L, 200L)
+      .select(col("id"), ShardedDoor.shardOf(col("id"), K).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val id0 = shardMap.collectFirst { case (id, 0) => id }.get
+    val id1 = shardMap.collectFirst { case (id, 1) => id }.get
+    val root = java.nio.file.Files.createTempDirectory("shprobe").toString
+    val door = ShardedDoor.create(spark, root, K, seed, "doc_id",
+      "embedding", nlist = 8, iters = 3, seed = 42L)
+    val accS = Array.fill(K)(scala.collection.mutable.ArrayBuffer[Long]())
+    def mkSink(i: Int) = door.shardSink(i, gate, "doc_id", "text",
+      "embedding", sigThreshold = 0.45, semThreshold = 0.99, nprobe = 2,
+      streamTag = "sdp") { df =>
+      accS(i) ++= df.select("doc_id").collect().map(_.getLong(0))
+    } { _ => () }
+    // shard 0 ingests the original
+    mkSink(0)(Seq((id0, d0, v0)).toDF("doc_id", "text", "embedding"), 0L)
+    assert(accS(0).toSeq == Seq(id0))
+    // the twin: a 1-token re-crawl whose id routes to shard 1
+    val twin = Seq((id1, recrawl("alpha", 4), nudge(v0, 14)))
+      .toDF("doc_id", "text", "embedding")
+    // write-side view (shard 1's own trio): blind — every verdict false
+    val local = FrontDoor.probe(spark, door.fpDir(1), door.sigDir(1),
+        door.ivfDir(1), twin, "doc_id", "text", "embedding",
+        sigThreshold = 0.45, semThreshold = 0.99, nprobe = 2)
+      .collect()(0)
+    assert(!local.getBoolean(1) && !local.getBoolean(2))
+    // read-side: the all-shard probe sees shard 0's original
+    val fanned = door.probe(twin, "doc_id", "text", "embedding",
+        sigThreshold = 0.45, semThreshold = 0.99, nprobe = 2)
+      .collect()(0)
+    assert(!fanned.getBoolean(1) && fanned.getBoolean(2) &&
+      fanned.getBoolean(3),
+      s"cross-shard twin must flag near+semantic: $fanned")
+    // and the write screen indeed ADMITS it — the documented trade the
+    // read path compensates
+    mkSink(1)(twin, 0L)
+    assert(accS(1).toSeq == Seq(id1))
+  }
+
   test("a mis-wired store chain (layer fed with no gate epoch) fails " +
     "loudly instead of running the stores at epoch -1") {
     val seed = (for (c <- 0 until 8; k <- 0 until 6) yield
