@@ -21,7 +21,12 @@ object DoorRoute {
   def shardOf(id: org.apache.spark.sql.Column,
               k: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.pmod(
-      org.apache.spark.sql.functions.xxhash64(id),
+      // the cast is part of the route definition: xxhash64 hashes an INT
+      // and a LONG of the same value differently, and Forget normalizes
+      // ids to long — an uncast ingest route over an IntegerType id
+      // column would send the takedown to a different shard than the
+      // admission, leaving the document retrievable after its "forget"
+      org.apache.spark.sql.functions.xxhash64(id.cast("long")),
       org.apache.spark.sql.functions.lit(k))
 }
 
@@ -32,8 +37,14 @@ object DoorRoute {
   * a document from trained weights; what it CAN do is (a) say so in the
   * audit tombstone and (b) retrain on the post-forget corpus. `retrain`,
   * when wired, runs as the forget's final store step and returns the new
-  * version tag — deployments back it with
-  * [[graft.streaming.ModelRefit.refitNow]], whose versioned store keeps
+  * version tag. CONTRACT: the hook must return only AFTER the new
+  * version is trained and durably published — the tombstone records the
+  * tag as an accomplished fact, and nothing replays a retrain that was
+  * merely requested (once the tombstone exists the whole forget is a
+  * no-op). With [[graft.streaming.ModelRefit]] that means `refitNow()`
+  * FOLLOWED BY `awaitRefits()` (refitNow alone only enqueues on the
+  * background worker — a driver exit right after it would leave the
+  * audit overstating the unlearning boundary); the versioned store keeps
   * the superseded (still-embedding) version readable for audit. An
   * artifact WITHOUT a retrain hook is recorded in the tombstone as STALE:
   * the honest unlearning boundary, instead of an audit record that
@@ -174,8 +185,42 @@ object Forget {
     if (fixedReqId.exists(id => fs.exists(new Path(s"$forgetDir/audit/$id"))))
       return
     val req = docs.select(col(idCol).cast("long").as("id"),
-      col(textCol).cast("string").as("text")).distinct()
+      col(textCol).cast("string").as("text")).distinct().localCheckpoint()
     if (req.isEmpty) return
+    // PRE-COMMIT validation (the Takedown receipt-validation discipline
+    // one level up): [[AnnIndex.retract]] refuses to EMPTY an index by
+    // design (delete + reseed is the verb for that request) — but
+    // discovering that MID-WALK would strand the ledger with a pending
+    // marker every later heal/forget replays into the same loud require,
+    // wedging all future takedowns. Checked here, before anything
+    // durable: the caller gets the error with a CLEAN ledger. One
+    // request-pruned lists scan per configured semantic store.
+    def wouldEmpty(ivfDir: String, ids: Seq[Long]): Boolean = {
+      val lists = new Path(s"$ivfDir/lists")
+      ids.nonEmpty && fsOf(spark, ivfDir).exists(lists) &&
+        spark.read.parquet(lists.toString)
+          .filter(!col("cid").isin(ids.map(Long.box): _*)).isEmpty
+    }
+    def refuseEmptying(ivfDir: String, ids: Seq[Long]): Unit =
+      require(!wouldEmpty(ivfDir, ids),
+        s"Forget: this request would retract $ivfDir's EVERY vector — " +
+          "an index cannot be retracted to empty (its trained centroids " +
+          "would model nothing); delete that index dir and reseed, then " +
+          "re-run the forget against the remaining stores")
+    if (stores.ivfDir.isDefined || stores.doorShards.nonEmpty) {
+      val reqIds = req.select("id").collect().map(_.getLong(0)).toSeq
+      stores.ivfDir.foreach(refuseEmptying(_, reqIds))
+      if (stores.doorShards.nonEmpty) {
+        val k = stores.doorShards.length
+        val byShard = req.select(col("id"),
+            DoorRoute.shardOf(col("id"), k).as("s")).collect()
+          .groupBy(_.getLong(1).toInt)
+          .view.mapValues(_.map(_.getLong(0)).toSeq).toMap
+        stores.doorShards.zipWithIndex.foreach { case (d, i) =>
+          refuseEmptying(d.ivfDir, byShard.getOrElse(i, Seq.empty))
+        }
+      }
+    }
     // single-use nonce: never content-derived, so a completed request's
     // swept-late residue can never be mistaken for progress on a later
     // identical request; a caller-pinned id carries the same contract

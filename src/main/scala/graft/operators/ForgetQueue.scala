@@ -72,12 +72,18 @@ object ForgetQueue {
              idCol: String, textCol: String): String = {
     val fs = fsOf(spark, queueDir)
     fs.mkdirs(new Path(queueDir))
+    val req = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text")).distinct().localCheckpoint()
+    // refuse empty batches loudly: an empty request would drain to a
+    // receipt naming an audit tombstone [[Forget]] never writes (its
+    // empty-request no-op), breaking the per-request accountability
+    // chain this queue exists to keep
+    require(!req.isEmpty,
+      "ForgetQueue.submit: empty request batch — nothing to forget")
     val reqId = java.util.UUID.randomUUID().toString.replace("-", "")
     val tmp = new Path(s"$queueDir/.queued_$reqId.tmp")
     fs.delete(tmp, true)
-    docs.select(col(idCol).cast("long").as("id"),
-        col(textCol).cast("string").as("text"))
-      .distinct().coalesce(1).write.parquet(tmp.toString)
+    req.coalesce(1).write.parquet(tmp.toString)
     require(fs.rename(tmp, new Path(s"$queueDir/queued_$reqId")),
       s"ForgetQueue: cannot commit queued_$reqId")
     reqId

@@ -92,8 +92,8 @@ object Fsck {
                   layer: String = "sig"): DataFrame = {
     if (!fsOf(spark, sigDir).exists(new Path(s"$sigDir/sigs")))
       return emptyFindings(spark)
-    val sigIds = SignatureStore.readSigsIds(spark, sigDir).distinct()
-    val bandIds = SignatureStore.readBands(spark, sigDir)
+    val sigIds = SignatureStore.readSigsIdsNoHeal(spark, sigDir).distinct()
+    val bandIds = SignatureStore.readBandsNoHeal(spark, sigDir)
       .select("id").distinct()
     shape(sigIds.join(bandIds, Seq("id"), "left_anti"),
         "sig_bands_missing", layer, "id has signatures but no band rows")
@@ -111,7 +111,7 @@ object Fsck {
     if (!fs.exists(new Path(s"$sigDir/hotbands")))
       return emptyFindings(spark)
     val census = spark.read.parquet(s"$sigDir/hotbands")
-    val actual = SignatureStore.readBands(spark, sigDir)
+    val actual = SignatureStore.readBandsNoHeal(spark, sigDir)
       .groupBy("band_id", "band_hash").agg(count(lit(1)).as("df_actual"))
     census.join(actual, Seq("band_id", "band_hash"), "left")
       .filter(col("df") > coalesce(col("df_actual"), lit(0L)))
@@ -147,7 +147,7 @@ object Fsck {
       return emptyFindings(spark)
     val annIds = spark.read.parquet(s"$ivfDir/lists")
       .select(col("cid").as("id")).distinct()
-    val sigIds = SignatureStore.readSigsIds(spark, sigDir).distinct()
+    val sigIds = SignatureStore.readSigsIdsNoHeal(spark, sigDir).distinct()
     shape(annIds.join(sigIds, Seq("id"), "left_anti"),
       "door_membership", layer, "stored in ann but not in sig")
   }
@@ -188,22 +188,33 @@ object Fsck {
           lit(" postings="), coalesce(col("n_post"), lit(0L)),
           lit(" df="), coalesce(col("n_df"), lit(0L))).as("detail"))
     // scalar ledger vs the postings aggregate (one tiny driver row)
+    // an audit tool must not crash on the corruption it audits: a
+    // malformed ledger file becomes a finding, not an exception
     val scal = new Path(s"$dir/scalars")
+    val corrupt = scala.collection.mutable.ArrayBuffer[String]()
     val ledger =
       if (!fs.exists(scal)) (0L, 0L)
       else fs.listStatus(scal).map(_.getPath).filter(!_.getName.startsWith("."))
-        .map { p =>
+        .flatMap { p =>
           val in = fs.open(p)
           val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                     finally in.close()
-          val Array(d, t) = txt.split(",").map(_.trim.toLong)
-          (d, t)
+          txt.split(",").map(_.trim) match {
+            case Array(d, t) =>
+              // Try, not a regex pre-check: "9".repeat(30) matches \d+
+              // and still overflows toLong
+              scala.util.Try((d.toLong, t.toLong)).toOption
+                .orElse { corrupt += p.getName; None }
+            case _ => corrupt += p.getName; None
+          }
         }.foldLeft((0L, 0L)) { case ((d0, t0), (d, t)) => (d0 + d, t0 + t) }
     val aggRow = post.agg(
       countDistinct(col("doc_id")).as("nd"), sum("tf").as("nt")).collect()(0)
     val nd = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
     val nt = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1)
     val scalarRows =
+      corrupt.toSeq.map(n =>
+        ("bm25_scalars_corrupt", s"unparseable ledger file: $n")) ++
       (if (ledger._2 != nt)
         Seq(("bm25_ntok_mismatch",
           s"scalars nTok=${ledger._2} postings sum(tf)=$nt"))
@@ -270,7 +281,7 @@ object Fsck {
       df.filter(DoorRoute.shardOf(col("id"), k) =!= shard)
     val sig =
       if (fsOf(spark, sigDir).exists(new Path(s"$sigDir/sigs")))
-        shape(wrong(SignatureStore.readSigsIds(spark, sigDir).distinct()),
+        shape(wrong(SignatureStore.readSigsIdsNoHeal(spark, sigDir).distinct()),
           "misrouted", s"$layer/sig", s"route hash names another shard (k=$k)")
       else emptyFindings(spark)
     val ann =
@@ -314,17 +325,26 @@ object Fsck {
     val in = fs.open(layout)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
               finally in.close()
+    val spark2 = spark
+    import spark2.implicits._
     val k = txt.split(",").map(_.split("=", 2)).collectFirst {
-      case Array("k", v) => v.toInt
-    }.getOrElse(0)
+      case Array("k", v) => v // Try, not regex: huge digit runs overflow
+    }.flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(-1)
+    // corrupt sidecar = a finding, not an exception (audit tools report
+    // the corruption they meet)
+    if (k < 1)
+      return Seq(("root", s"unparseable _layout sidecar: '$txt'"))
+        .toDF("layer", "detail")
+        .select(lit("layout").as("check_name"), col("layer"),
+          lit(null).cast("long").as("id"), col("detail"))
     val present = fs.listStatus(new Path(rootDir)).map(_.getPath.getName)
-      .filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toInt).toSet
+      .filter(_.startsWith("shard="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("shard=").toInt).toOption)
+      .toSet
     val missing = (0 until k).filterNot(present)
       .map(i => (s"shard=$i", s"layout k=$k but shard dir missing"))
     val extra = present.filter(_ >= k).toSeq.sorted
       .map(i => (s"shard=$i", s"shard dir past layout k=$k"))
-    val spark2 = spark
-    import spark2.implicits._
     (missing ++ extra).toDF("layer", "detail")
       .select(lit("layout").as("check_name"), col("layer"),
         lit(null).cast("long").as("id"), col("detail"))
@@ -332,7 +352,13 @@ object Fsck {
 
   /** Full audit of a deployment's configured stores — the one-call fsck.
     * Unions every applicable check; `orderBy` the caller's choice. */
-  def report(spark: SparkSession, stores: CorpusStores): DataFrame = {
+  /** `doorRoot`: the sharded door's root dir, when the deployment runs
+    * one — adds the `_layout` audit and the root/shard-dir residue scan
+    * (`._layout.tmp`, `shard=i/.ivf.tmp` from a crashed
+    * [[graft.streaming.ShardedDoor.create]] live ABOVE the store dirs,
+    * so a store-dir-only scan cannot see them). */
+  def report(spark: SparkSession, stores: CorpusStores,
+             doorRoot: Option[String] = None): DataFrame = {
     val single = (stores.sigDir, stores.ivfDir) match {
       case (Some(s), Some(v)) =>
         Seq(sigInternal(spark, s), censusAudit(spark, s),
@@ -364,8 +390,13 @@ object Fsck {
         stores.doorShards.zipWithIndex.flatMap { case (d, i) =>
           Seq(s"shard=$i/fp" -> d.fpDir, s"shard=$i/sig" -> d.sigDir,
             s"shard=$i/ann" -> d.ivfDir)
+        } ++
+        doorRoot.toSeq.flatMap { root =>
+          ("root" -> root) +: stores.doorShards.indices.map(i =>
+            s"shard=$i" -> s"$root/shard=$i")
         })
-    (single ++ text ++ sharded :+ res)
+    val layout = doorRoot.map(shardLayout(spark, _)).toSeq
+    (single ++ text ++ sharded ++ layout :+ res)
       .foldLeft(emptyFindings(spark))(_.unionByName(_))
   }
 }

@@ -251,11 +251,31 @@ object SignatureStore {
       StructField("bucket", LongType)))
   }
 
-  /** Id projection of the sigs table (schema-supplied, heal-adjacent like
-    * every read) — the [[Fsck]] membership checks' view of this store. */
-  private[operators] def readSigsIds(spark: SparkSession,
-                                     dir: String): DataFrame =
-    readSigsRaw(spark, dir).select("id")
+  /** NO-HEAL reads for [[Fsck]]: the audit's contract is "report, mutate
+    * nothing", but [[readBands]]/the sigs read heal `.X_precompact`
+    * asides by RENAMING on entry — running those under an audit would
+    * both change disk state mid-diagnosis and hide the very
+    * crash-residue finding the operator came for. These read the tables
+    * as they lie: live root if present, else zero rows (an aside-only
+    * crash state reads as empty here and surfaces through the audit's
+    * residue listing instead). Schema-supplied like every read. */
+  private[operators] def readSigsIdsNoHeal(spark: SparkSession,
+                                           dir: String): DataFrame =
+    readTableNoHeal(spark, dir, "sigs", SigsSchema).select("id")
+
+  private[operators] def readBandsNoHeal(spark: SparkSession,
+                                         dir: String): DataFrame =
+    readTableNoHeal(spark, dir, "bands", BandsSchema)
+
+  private def readTableNoHeal(spark: SparkSession, dir: String, sub: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val fs = fsOf(spark, dir)
+    if (fs.exists(new Path(s"$dir/$sub")))
+      spark.read.schema(schema).parquet(s"$dir/$sub")
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   private def readSigsRaw(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)

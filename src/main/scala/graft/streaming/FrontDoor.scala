@@ -128,9 +128,31 @@ object FrontDoor {
             ivfDir: String, docs: DataFrame, idCol: String, textCol: String,
             vecCol: String, sigThreshold: Double = 0.5,
             semThreshold: Double = 0.99, nprobe: Int = 4): DataFrame = {
+    val (keyed, sigs) = probePrep(docs, idCol, textCol, vecCol)
+    probeKeyed(spark, fpDir, sigDir, ivfDir, keyed, sigs, sigThreshold,
+      semThreshold, nprobe)
+  }
+
+  /** The batch-side half of [[probe]], shard-invariant: one projection +
+    * checkpoint, one MinHash signature pass. [[graft.streaming
+    * .ShardedDoor.probe]] computes this ONCE and fans only the pruned
+    * store probes across its k shards. */
+  private[streaming] def probePrep(docs: DataFrame, idCol: String,
+      textCol: String, vecCol: String): (DataFrame, DataFrame) = {
     val keyed = docs.select(col(idCol).cast("long").as("id"),
         col(textCol).cast("string").as("text"), col(vecCol).as("vec"))
       .localCheckpoint()
+    val sigs = graft.operators.Dedup.minHashSignatures(
+      keyed, "id", "text", numHashes = 32, shingleSize = 3).localCheckpoint()
+    (keyed, sigs)
+  }
+
+  /** The store-side half of [[probe]]: verdicts for one door trio from a
+    * prepared (keyed, sigs) pair. */
+  private[streaming] def probeKeyed(spark: SparkSession, fpDir: String,
+      sigDir: String, ivfDir: String, keyed: DataFrame, sigs: DataFrame,
+      sigThreshold: Double, semThreshold: Double,
+      nprobe: Int): DataFrame = {
     val exact = FingerprintStore.probeTexts(spark, fpDir, keyed, "id", "text")
       .withColumn("dup_exact", lit(true))
     // a door whose sig store never committed an epoch (fresh shard) has
@@ -142,13 +164,10 @@ object FrontDoor {
     val near =
       if (!sigSeeded)
         keyed.select(col("id"), lit(true).as("dup_near")).limit(0)
-      else {
-        val sigs = graft.operators.Dedup.minHashSignatures(
-          keyed, "id", "text", numHashes = 32, shingleSize = 3)
+      else
         SignatureStore.probeStored(spark, sigDir, sigs,
             numHashes = 32, bands = 8, threshold = sigThreshold)
           .select(col("doc_id").as("id"), lit(true).as("dup_near"))
-      }
     val sem = AnnIndex.probeStoredVectors(spark, ivfDir, keyed, "id", "vec",
         semThreshold, nprobe)
       .select(col("id"), lit(true).as("dup_semantic"))

@@ -89,15 +89,19 @@ final class ShardedDoor private (spark: SparkSession, rootDir: String,
     * per input doc (FrontDoor.probe's contract, OR-folded over shards). */
   def probe(docs: DataFrame, idCol: String, textCol: String,
             vecCol: String, sigThreshold: Double = 0.5,
-            semThreshold: Double = 0.99, nprobe: Int = 4): DataFrame =
+            semThreshold: Double = 0.99, nprobe: Int = 4): DataFrame = {
+    // batch prep (projection checkpoint + MinHash signatures) is
+    // shard-invariant: computed ONCE, only the pruned store probes fan
+    val (keyed, sigs) = FrontDoor.probePrep(docs, idCol, textCol, vecCol)
     (0 until k).map { i =>
-      FrontDoor.probe(spark, fpDir(i), sigDir(i), ivfDir(i), docs,
-        idCol, textCol, vecCol, sigThreshold, semThreshold, nprobe)
+      FrontDoor.probeKeyed(spark, fpDir(i), sigDir(i), ivfDir(i), keyed,
+        sigs, sigThreshold, semThreshold, nprobe)
     }.reduce(_.unionByName(_))
       .groupBy("id")
       .agg(max("dup_exact").as("dup_exact"),
         max("dup_near").as("dup_near"),
         max("dup_semantic").as("dup_semantic"))
+  }
 
   /** Takedown across all shards in one call: the request batch routes by
     * the same id hash, and each affected shard runs the single door's
@@ -146,7 +150,35 @@ object ShardedDoor {
     require(k >= 1, s"k must be >= 1, got $k")
     val fs = fsOf(spark, rootDir)
     val layout = new Path(s"$rootDir/$LayoutName")
-    if (fs.exists(layout)) return mount(spark, rootDir, k)
+    if (fs.exists(layout)) {
+      // layout committed: any leftover intent is post-commit residue
+      fs.delete(new Path(s"$rootDir/.$LayoutName.intent"), false)
+      return mount(spark, rootDir, k)
+    }
+    // INTENT sidecar, written before any shard builds: a create that
+    // crashed mid-build left shard indexes already sliced by ITS k — a
+    // retry with a DIFFERENT k would skip those dirs (`if !exists`) and
+    // commit a layout whose early shards hold vectors the new route
+    // never visits (silently unretrievable, untakedownable). Same-k
+    // retries resume; different-k retries fail loudly with the remedy.
+    val intent = new Path(s"$rootDir/.$LayoutName.intent")
+    if (fs.exists(intent)) {
+      val in = fs.open(intent)
+      val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+      require(prior == s"k=$k",
+        s"ShardedDoor: a crashed create at $rootDir was building '$prior', " +
+          s"this call asks k=$k — resume with the original k, or delete " +
+          "the root and create fresh")
+    } else {
+      fs.mkdirs(new Path(rootDir))
+      val tmp = new Path(s"$rootDir/.$LayoutName.intent.tmp")
+      fs.delete(tmp, false)
+      val out = fs.create(tmp, true)
+      try out.write(s"k=$k".getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, intent),
+        s"ShardedDoor: cannot commit $intent")
+    }
     val pinned = seedVectors.select(col(idCol), col(vecCol)).localCheckpoint()
     (0 until k).foreach { i =>
       val dest = new Path(ivfDir(rootDir, i))
@@ -170,6 +202,7 @@ object ShardedDoor {
     try out.write(s"k=$k,hash=$HashVersion".getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, layout), s"ShardedDoor: cannot commit $layout")
+    fs.delete(intent, false) // layout is the commit point; intent retires
     new ShardedDoor(spark, rootDir, k)
   }
 

@@ -90,6 +90,17 @@ class ForgetQueueSpec extends AnyFunSuite {
     assert(auditFiles(ledger).length === 1)
   }
 
+  test("an empty request batch is refused at submit — a drain would " +
+      "otherwise write a receipt naming an audit Forget never creates") {
+    val queue = tmp("fqe_q")
+    val ex = intercept[IllegalArgumentException] {
+      ForgetQueue.submit(spark, queue,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("empty request"))
+    assert(ForgetQueue.pending(spark, queue).isEmpty)
+  }
+
   test("a crash inside the coalesced walk replays to exactly-once " +
       "subtraction: the drain marker pins the id, the LM receipt stops " +
       "the double-subtract") {

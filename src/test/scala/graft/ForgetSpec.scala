@@ -316,6 +316,36 @@ class ForgetSpec extends AnyFunSuite {
     }.getMessage.contains("never both"))
   }
 
+  test("a request that would empty a semantic index fails BEFORE anything " +
+      "durable: clean ledger, untouched store, and a partial request " +
+      "still walks") {
+    val ledger = tmp("fge_ledger")
+    val seed = (1L to 6L).map(i => (i, vec((i % 8).toInt, 0.3, 2)))
+      .toDF("doc_id", "embedding")
+    val ivfDir = AnnIndex.ivfIndexDir(seed, "mem://forget_empty", "doc_id",
+      "embedding", nlist = 2, iters = 2, seed = 42L,
+      variant = s"fge_${java.util.UUID.randomUUID().toString.take(8)}")
+    val stores = CorpusStores(ivfDir = Some(ivfDir))
+    val all = (1L to 6L).map(i => (i, doc("alpha", i.toInt)))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Forget.forget(spark, ledger, stores, all, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("EVERY vector"))
+    // nothing durable: no pending marker, no request dir, store intact —
+    // the ledger is NOT wedged (the mid-walk alternative would replay
+    // this same failure on every later forget/heal forever)
+    val residue = new java.io.File(ledger).listFiles()
+    assert(residue == null || residue.isEmpty, residue.mkString(","))
+    assert(spark.read.parquet(s"$ivfDir/lists").count() === 6L)
+    // a partial request (leaves the index non-empty) walks normally
+    Forget.forget(spark, ledger, stores,
+      all.filter(col("doc_id") <= 3L), "doc_id", "text")
+    assert(spark.read.parquet(s"$ivfDir/lists")
+      .select("cid").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(4L, 5L, 6L))
+  }
+
   test("a replayed complete() with the tombstone already published skips " +
     "the rewrite instead of wedging the ledger (rename-to-existing is not " +
     "portable)") {

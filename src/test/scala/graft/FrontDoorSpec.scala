@@ -375,6 +375,32 @@ class FrontDoorSpec extends AnyFunSuite {
     assert(accS(1).toSeq == Seq(id1))
   }
 
+  test("a create that crashed mid-build refuses a retry with a DIFFERENT " +
+    "k: early shards were sliced by the old k and the new route would " +
+    "never visit their vectors") {
+    val seed = (for (c <- 0 until 8; k <- 0 until 6) yield
+      ((100 + c * 6 + k).toLong, vec(c, 0.15 * k, (c + 1) % 8)))
+      .toDF("doc_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("shintent").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the crashed-create state: intent committed, no _layout yet
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/._layout.intent"), true)
+    out.write("k=2".getBytes("UTF-8")); out.close()
+    val ex = intercept[IllegalArgumentException] {
+      ShardedDoor.create(spark, root, 4, seed, "doc_id", "embedding",
+        nlist = 8, iters = 2, seed = 42L)
+    }
+    assert(ex.getMessage.contains("k=4") && ex.getMessage.contains("k=2"))
+    // resuming with the ORIGINAL k completes and retires the intent
+    val door = ShardedDoor.create(spark, root, 2, seed, "doc_id",
+      "embedding", nlist = 8, iters = 2, seed = 42L)
+    assert(door.k == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/._layout.intent")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_layout")))
+  }
+
   test("a mis-wired store chain (layer fed with no gate epoch) fails " +
     "loudly instead of running the stores at epoch -1") {
     val seed = (for (c <- 0 until 8; k <- 0 until 6) yield

@@ -145,6 +145,38 @@ class FsckSpec extends AnyFunSuite {
     assert(fs.exists(new Path(s"$sigDir/.sigs_precompact")))
   }
 
+  test("fsck reads never heal: a crashed-compact aside (root moved away) " +
+      "stays exactly where it lay through every check that reads the store") {
+    val sigDir = seedSig((0L until 15L).toSeq)
+    val fs = new Path(sigDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the mid-compact crash state: live table moved aside, rewrite never
+    // published — store verbs heal this on entry; the AUDIT must not
+    assert(fs.rename(new Path(s"$sigDir/sigs"),
+      new Path(s"$sigDir/.sigs_precompact")))
+    Fsck.sigInternal(spark, sigDir).count() // sigs absent -> short-circuit
+    Fsck.censusAudit(spark, sigDir).count()
+    assert(!fs.exists(new Path(s"$sigDir/sigs")),
+      "an fsck read healed the aside back into place")
+    assert(fs.exists(new Path(s"$sigDir/.sigs_precompact")))
+    // and the residue listing still shows the operator the crash
+    val res = Fsck.residue(spark, Seq("sig" -> sigDir))
+      .select("detail").collect().map(_.getString(0)).toSet
+    assert(res === Set("unhealed: .sigs_precompact"))
+    // a bands-side aside exercises the read path itself (sigs present):
+    // restore sigs, move bands aside — sigInternal must report every sig
+    // id as missing its band rows, not resurrect the bands table
+    assert(fs.rename(new Path(s"$sigDir/.sigs_precompact"),
+      new Path(s"$sigDir/sigs")))
+    assert(fs.rename(new Path(s"$sigDir/bands"),
+      new Path(s"$sigDir/.bands_precompact")))
+    val findings2 = Fsck.sigInternal(spark, sigDir)
+      .select("check_name").collect().map(_.getString(0)).toSet
+    assert(findings2 === Set("sig_bands_missing"))
+    assert(!fs.exists(new Path(s"$sigDir/bands")))
+    assert(fs.exists(new Path(s"$sigDir/.bands_precompact")))
+  }
+
   test("misrouted: a shard holding ids that route elsewhere") {
     val k = 2
     val all = (0L until 30L).toSeq
@@ -191,10 +223,14 @@ class FsckSpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(s"$dir/scalars/stray"), true)
     out.write("-2,7".getBytes("UTF-8")); out.close()
+    // plant 3: an unparseable ledger file — the audit must report it,
+    // never crash on it
+    val out2 = fs.create(new Path(s"$dir/scalars/garbage"), true)
+    out2.write("not,a number".getBytes("UTF-8")); out2.close()
     val got = Fsck.bm25Internal(spark, dir)
       .select("check_name").collect().map(_.getString(0)).toSet
     assert(got === Set("bm25_df_mismatch", "bm25_ntok_mismatch",
-      "bm25_ndocs_undercount"))
+      "bm25_ndocs_undercount", "bm25_scalars_corrupt"))
   }
 
   test("lm internal: prefix marginals match bigram sums on an API-built " +
@@ -232,5 +268,11 @@ class FsckSpec extends AnyFunSuite {
     assert(got === Set(
       ("shard=1", "layout k=2 but shard dir missing"),
       ("shard=5", "shard dir past layout k=2")))
+    // a corrupt sidecar is a finding, not an exception
+    val out2 = fs.create(new Path(s"$root/_layout"), true)
+    out2.write("k=banana".getBytes("UTF-8")); out2.close()
+    val corrupt = Fsck.shardLayout(spark, root).collect()
+    assert(corrupt.length === 1 &&
+      corrupt(0).getString(3).contains("unparseable _layout"))
   }
 }
