@@ -32,8 +32,9 @@ object Decontam {
         TextFns.normTokens(
           TextFns.cleanText(col(textCol), removePunctuation = true)).as("toks"))
       .select(col("id"),
-        explode(TextFns.shinglesFromTokens(col("toks"), n)).as("sh0"))
-      .select(col("id"), xxhash64(col("sh0")).as("sh"))
+        explode_outer(TextFns.shingleZip(col("toks"), n)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), xxhash64(TextFns.shingleString(col("s"), n)).as("sh"))
       .distinct()
     val ev = shingled(evalSet).select(col("sh"), col("id").as("eval_id"))
     shingled(train).join(broadcast(ev), Seq("sh"))

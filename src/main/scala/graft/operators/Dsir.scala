@@ -81,10 +81,11 @@ object Dsir {
     requirePow2(buckets)
     toks
       .select(col("is_target"),
-        explode_outer(TextFns.shinglesFromTokens(col("toks"), 2)).as("g"))
-      .filter(col("g").isNotNull)
+        explode_outer(TextFns.shingleZip(col("toks"), 2)).as("s"))
+      .filter(col("s").isNotNull)
       .select(col("is_target"),
-        pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"))
+        pmod(xxhash64(TextFns.shingleString(col("s"), 2)),
+          lit(buckets.toLong)).as("b"))
       .groupBy("b").agg(
         sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
@@ -122,9 +123,10 @@ object Dsir {
     requirePow2(buckets)
     toks
       .select(col(idCol).as("id"),
-        explode_outer(TextFns.shinglesFromTokens(col("toks"), 2)).as("g"))
-      .filter(col("g").isNotNull)
-      .select(col("id"), pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"))
+        explode_outer(TextFns.shingleZip(col("toks"), 2)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), pmod(xxhash64(TextFns.shingleString(col("s"), 2)),
+        lit(buckets.toLong)).as("b"))
       .groupBy("id", "b")
       .agg(count(lit(1)).as("c"))
   }
@@ -138,10 +140,11 @@ object Dsir {
         TextFns.normTokens(TextFns.cleanText(col(textCol), removePunctuation = true))
           .as("toks"): _*)
       .select(keyCols :+
-        explode_outer(TextFns.shinglesFromTokens(col("toks"), 2)).as("g"): _*)
-      .filter(col("g").isNotNull)
+        explode_outer(TextFns.shingleZip(col("toks"), 2)).as("s"): _*)
+      .filter(col("s").isNotNull)
       .select(keyCols :+
-        pmod(xxhash64(col("g")), lit(buckets.toLong)).as("b"): _*)
+        pmod(xxhash64(TextFns.shingleString(col("s"), 2)),
+          lit(buckets.toLong)).as("b"): _*)
       .groupBy(keyCols :+ col("b"): _*)
       .agg(count(lit(1)).as("c"))
   }

@@ -56,8 +56,9 @@ object Quality {
         sum(col("c") * length(col("tok"))).as("sumlen"))
     def grams(n: Int) = toks
       .select(col(idCol),
-        explode_outer(TextFns.shinglesFromTokens(col("toks"), n)).as("g"))
-      .filter(col("g").isNotNull)
+        explode_outer(TextFns.shingleZip(col("toks"), n)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col(idCol), TextFns.shingleString(col("s"), n).as("g"))
       .groupBy(idCol)
       .agg(count(lit(1)).as(s"tot$n"), countDistinct(col("g")).as(s"dst$n"))
     toks.select(idCol)

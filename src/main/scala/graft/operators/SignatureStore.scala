@@ -476,8 +476,21 @@ object SignatureStore {
     // sig-computing callers (screenSink, appender, seed) pin it.
     checkParams(fsOf(spark, dir), dir, numHashes, -1, bands)
     def pin(df: DataFrame) = if (eager) df.localCheckpoint() else df
-    val bandsI = pin(Dedup.bandedSigs(probeSigs, "id_in", numHashes, bands)
-      .withColumn("bucket", bucketCol(col("band_hash"))))
+    // Pin the SIGNATURE frame, not the banded view: the probe consumes the
+    // sigs twice (banding below, candidate verify at the bottom), and a
+    // caller handing a raw plan (the delta queries) would otherwise re-run
+    // the whole shingle+hash chain for the verify side — one full batch
+    // hash pass saved per probe (r17 StageProfile: the verify re-hash was
+    // 7.5 s of executor time on dedup_delta_minhash_capped). Banding over
+    // the pinned sigs is a cheap projection, recomputed per consumer. A
+    // caller that already checkpointed its sigs (screenSink) is not
+    // re-pinned — its frame is already a materialized leaf.
+    val callerPinned = probeSigs.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val sigsP = if (callerPinned) probeSigs.select("id", "sig")
+                else pin(probeSigs.select("id", "sig"))
+    val bandsI = Dedup.bandedSigs(sigsP, "id_in", numHashes, bands)
+      .withColumn("bucket", bucketCol(col("band_hash")))
     val buckets = bandsI.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ NumBuckets rows
     val storeBands = readBands(spark, dir)
@@ -513,7 +526,7 @@ object SignatureStore {
          .join(broadcast(cands.select(col("id_base").as("id"))), Seq("id"),
            "left_semi"))
         .select("id", "sig")
-    Dedup.verifySigCandidates(cands, probeSigs, sigsB, numHashes, threshold)
+    Dedup.verifySigCandidates(cands, sigsP, sigsB, numHashes, threshold)
   }
 
   /** foreachBatch sink SCREENING each micro-batch against the store before

@@ -1779,14 +1779,15 @@ object Pipelines {
       TextFns.words(TextFns.cleanText(col("text"), removePunctuation = true))
         .as("toks"))
     val withBi = base.select(col("source"), col("toks"),
-      TextFns.shinglesFromTokens(col("toks"), 2).as("bis")).localCheckpoint()
+      TextFns.shingleZip(col("toks"), 2).as("biz")).localCheckpoint()
     val totals = withBi.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).cast("long").as("tot_toks"),
-      sum(size(col("bis"))).cast("long").as("tot_bigrams"))
+      sum(size(col("biz"))).cast("long").as("tot_bigrams"))
     val uToks = withBi.select(col("source"), explode(col("toks")).as("tok"))
       .groupBy("source").agg(countDistinct("tok").as("uniq_toks"))
-    val uBis = withBi.select(col("source"), explode(col("bis")).as("bi"))
+    val uBis = withBi.select(col("source"), explode(col("biz")).as("s"))
+      .select(col("source"), TextFns.shingleString(col("s"), 2).as("bi"))
       .groupBy("source").agg(countDistinct("bi").as("uniq_bigrams"))
     totals.join(uToks, Seq("source"), "left").join(uBis, Seq("source"), "left")
       .select(col("source"), col("n_docs"),
@@ -1840,7 +1841,7 @@ object Pipelines {
       TextFns.words(TextFns.cleanText(col("text"), removePunctuation = true))
         .as("toks"))
     val withBi = base.select(col("source"), col("toks"),
-      TextFns.shinglesFromTokens(col("toks"), 2).as("bis")).localCheckpoint()
+      TextFns.shingleZip(col("toks"), 2).as("biz")).localCheckpoint()
     val totals = withBi.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).cast("long").as("tot_toks"))
@@ -1848,7 +1849,8 @@ object Pipelines {
       .groupBy("source").agg(
         countDistinct("tok").as("uniq_toks"),
         hll_sketch_estimate(hll_sketch_agg(col("tok"), 12)).as("est_toks"))
-    val uBis = withBi.select(col("source"), explode(col("bis")).as("bi"))
+    val uBis = withBi.select(col("source"), explode(col("biz")).as("s"))
+      .select(col("source"), TextFns.shingleString(col("s"), 2).as("bi"))
       .groupBy("source").agg(
         countDistinct("bi").as("uniq_bigrams"),
         hll_sketch_estimate(hll_sketch_agg(col("bi"), 12)).as("est_bigrams"))
