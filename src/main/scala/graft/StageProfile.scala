@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.StageProfile <query> <sfDir> */
 object StageProfile {
   def main(args: Array[String]): Unit = {
-    val (name, sfDir) = (args(0), args(1))
+    args(0).split(',').map(_.trim).filter(_.nonEmpty)
+      .foreach(one(_, args(1)))
+  }
+
+  def one(name: String, sfDir: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

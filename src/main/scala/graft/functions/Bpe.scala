@@ -120,22 +120,56 @@ object Bpe {
     Model(merges.result())
   }
 
+  /** Per-task memo cap for the encode caches below: bounds worker memory on
+    * an unbounded-vocabulary corpus while still covering any realistic
+    * task-local working set (a Zipf head of 64k distinct words). */
+  private val EncodeCacheMax = 65536
+
   /** Per-WORD piece count — use over the same `explode(normTokens(clean))`
     * projection the trainer consumed, so train and encode tokenize
     * identically. Merge ranks ride as ONE broadcast into a narrow map (no
-    * shuffle; the scan partitioning is preserved). */
+    * shuffle; the scan partitioning is preserved).
+    *
+    * The UDF closure carries a per-task memo (deserialized empty with each
+    * task, single-threaded within it): token streams repeat words
+    * Zipf-style (sf0.1: 270k tokens over 31 distinct words), so the BPE
+    * merge loop runs once per DISTINCT word per task instead of once per
+    * token — guide §4.5's amortize-heavy-work-per-task rule applied to a
+    * deterministic function. Result-identical by determinism of
+    * encodeWord; size-capped so a web-scale task's vocabulary tail cannot
+    * grow the map unboundedly. */
   def pieceCountCol(model: org.apache.spark.broadcast.Broadcast[Model])
                    (word: Column): Column = {
-    val f = udf { w: String => model.value.encodeWord(Option(w).getOrElse("")).length.toLong }
+    val f = udf {
+      val cache = new java.util.HashMap[String, java.lang.Long]()
+      (w0: String) => {
+        val w = if (w0 == null) "" else w0
+        var v = cache.get(w)
+        if (v == null) {
+          v = Long.box(model.value.encodeWord(w).length.toLong)
+          if (cache.size < EncodeCacheMax) cache.put(w, v)
+        }
+        v.longValue()
+      }
+    }
     f(word)
   }
 
-  /** Per-word round-trip check: decode(encode(w)) == w. */
+  /** Per-word round-trip check: decode(encode(w)) == w. Same per-task memo
+    * as [[pieceCountCol]]. */
   def roundTripCol(model: org.apache.spark.broadcast.Broadcast[Model])
                   (word: Column): Column = {
-    val f = udf { w0: String =>
-      val w = Option(w0).getOrElse("")
-      model.value.decode(model.value.encodeWord(w)) == w
+    val f = udf {
+      val cache = new java.util.HashMap[String, java.lang.Boolean]()
+      (w0: String) => {
+        val w = if (w0 == null) "" else w0
+        var v = cache.get(w)
+        if (v == null) {
+          v = Boolean.box(model.value.decode(model.value.encodeWord(w)) == w)
+          if (cache.size < EncodeCacheMax) cache.put(w, v)
+        }
+        v.booleanValue()
+      }
     }
     f(word)
   }

@@ -50,7 +50,7 @@ object Bm25 {
       .filter(length(col("word")) > 0)
 
   /** The query-term probe frame: (qid, word), whitespace-split verbatim. */
-  private[operators] def qtermsOf(spark: SparkSession,
+  private[graft] def qtermsOf(spark: SparkSession,
                                   queries: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     queries.toDF("qid", "qtext")
@@ -58,6 +58,19 @@ object Bm25 {
       .filter(length(col("word")) > 0)
       .distinct()
   }
+
+  /** [[qtermsOf]]'s rows computed ON THE DRIVER — the probe queries are
+    * caller-typed literals (a handful of strings), so tokenizing them
+    * through a Spark job (checkpoint + two collects in the stored probe)
+    * spends three scheduler round-trips on ~10 rows. Spark's
+    * `split(c, " ")` is Java regex split on the literal space with
+    * trailing-empty drop differences erased by the nonEmpty filter, so
+    * this is the same row set (pinned in Bm25Spec). */
+  private[graft] def qtermRows(
+      queries: Seq[(Long, String)]): Seq[(Long, String)] =
+    queries.flatMap { case (q, t) =>
+      t.split(" ").filter(_.nonEmpty).map(q -> _)
+    }.distinct
 
   /** Shared scoring tail over the matched-postings frame
     * (qid, doc_id, word, tf, df, dlen, n_docs, n_tok) — the IDENTICAL

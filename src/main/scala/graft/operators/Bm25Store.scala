@@ -153,24 +153,28 @@ object Bm25Store {
     val (nDocs, nTok) = readScalars(fs, dir)
     healCompactAside(fs, dir, "postings")
     healCompactAside(fs, dir, "df")
-    val qterms = Bm25.qtermsOf(spark, queries).localCheckpoint()
-    // bounded: one row per distinct query-term bucket (≤ Buckets, and ≤ the
-    // literal term count the caller typed)
-    val wbs = qterms.select(bucketCol(col("word")).as("wb")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    // the term list itself is bounded by the literal query text, so it also
-    // rides as an IN predicate INTO the scans — parquet dictionary/row-group
-    // stats prune within the touched buckets (compact() sorts by word), so
-    // probe cost tracks the terms' postings, not the buckets' total rows
-    val qwords = qterms.select("word").distinct()
-      .collect().map(_.getString(0)).toSeq
+    // Query terms, buckets and the term IN-list all derive from the
+    // caller-typed literal query strings — computed on the driver (zero
+    // jobs; the old shape paid a checkpoint + two collect jobs for ~10
+    // literal rows). The bucket uses the exact Spark xxhash64 arithmetic
+    // (XxHash64Function, seed 42 — bucketCol's expression twin; pinned in
+    // Bm25Spec), so the partition prune is unchanged.
+    val termPairs = Bm25.qtermRows(queries)
+    import spark.implicits._
+    val qterms = termPairs.toDF("qid", "word")
+    val qwords = termPairs.map(_._2).distinct
+    val wbs = qwords.map(w => Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w),
+        org.apache.spark.sql.types.StringType, 42L),
+      Buckets.toLong)).distinct
     val scanFilter = col("wb").isin(wbs: _*) && col("word").isin(qwords: _*)
     val post = spark.read.parquet(s"$dir/postings")
       .filter(scanFilter)
       .join(broadcast(qterms), Seq("word"))
     val dfreq = spark.read.parquet(s"$dir/df")
       .filter(scanFilter)
-      .join(broadcast(qterms.select("word").distinct()), Seq("word"))
+      .join(broadcast(qwords.toDF("word")), Seq("word"))
       .groupBy("word").agg(sum("df").as("df"))
     val matched = post.join(broadcast(dfreq), Seq("word"))
       .withColumn("n_docs", lit(nDocs))

@@ -92,13 +92,25 @@ object Fsck {
                   layer: String = "sig"): DataFrame = {
     if (!fsOf(spark, sigDir).exists(new Path(s"$sigDir/sigs")))
       return emptyFindings(spark)
-    val sigIds = SignatureStore.readSigsIdsNoHeal(spark, sigDir).distinct()
-    val bandIds = SignatureStore.readBandsNoHeal(spark, sigDir)
-      .select("id").distinct()
-    shape(sigIds.join(bandIds, Seq("id"), "left_anti"),
-        "sig_bands_missing", layer, "id has signatures but no band rows")
-      .unionByName(shape(bandIds.join(sigIds, Seq("id"), "left_anti"),
-        "sig_bands_ghost", layer, "band rows with no backing signature"))
+    // Symmetric difference as ONE map-side-combinable aggregate instead of
+    // two distinct+anti-join passes (r17, guide §2.3 "aggregate before you
+    // shuffle"): tag each raw id row with its side, union, max per id. The
+    // max absorbs the distincts (duplicate ids combine in the map partial),
+    // each sub-table scans once, and no join — at any scale the whole check
+    // is two scans plus one 8-byte-keyed hash aggregate. Rows identical to
+    // the anti-join pair by construction (FsckSpec pins the findings).
+    SignatureStore.readSigsIdsNoHeal(spark, sigDir)
+      .select(col("id"), lit(1).as("in_sig"), lit(0).as("in_band"))
+      .unionByName(SignatureStore.readBandsNoHeal(spark, sigDir)
+        .select(col("id"), lit(0).as("in_sig"), lit(1).as("in_band")))
+      .groupBy("id").agg(max("in_sig").as("s"), max("in_band").as("b"))
+      .filter(col("s") === 0 || col("b") === 0)
+      .select(
+        when(col("b") === 0, lit("sig_bands_missing"))
+          .otherwise(lit("sig_bands_ghost")).as("check_name"),
+        lit(layer).as("layer"), col("id").cast("long").as("id"),
+        when(col("b") === 0, lit("id has signatures but no band rows"))
+          .otherwise(lit("band rows with no backing signature")).as("detail"))
   }
 
   /** Hot-band census sidecar vs the band table it summarizes: flag groups

@@ -164,12 +164,27 @@ object LmStore {
     checkParams(fs, dir)
     Seq("bigrams", "prefix", "vocab").foreach(healCompactAside(fs, dir, _))
     val arr = tokArr(docs, idCol, textCol).localCheckpoint()
-    val big = bigramsOf(arr).localCheckpoint()
+    // Regime gate FIRST (one cheap count over the checkpointed arr): bulk
+    // scoring (lm_fluency_stored — the whole corpus) touches essentially
+    // every bucket, so the bucket census would be a full corpus-bigram
+    // pass that prunes nothing, and the bigram frame has only ONE consumer
+    // (the scoring join) so its checkpoint would be a pure extra
+    // materialization. Both are probe-batch optimizations — r17 moved them
+    // behind the gate: the bulk regime now runs one bigram pass total.
+    val bulk = arr.count() > ProbeBatchMaxDocs
+    val big = if (bulk) bigramsOf(arr) else bigramsOf(arr).localCheckpoint()
     // bounded: ≤ Buckets distinct partition values, one narrow agg pass
-    val wbs = big.select(bucketCol(col("prev")).as("wb")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    // a transition-less batch names no buckets: read nothing, not IN ()
-    val wbFilter = if (wbs.isEmpty) lit(false) else col("wb").isin(wbs: _*)
+    val wbs =
+      if (bulk) Seq.empty[Long]
+      else big.select(bucketCol(col("prev")).as("wb")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+    // a transition-less batch names no buckets: read nothing, not IN ().
+    // Bulk regime: no pruning filter at all — the left joins ignore
+    // unmatched store rows, so the filter is cost-only, never semantics.
+    val wbFilter =
+      if (bulk) lit(true)
+      else if (wbs.isEmpty) lit(false)
+      else col("wb").isin(wbs: _*)
     // SMALL-probe regime: when the batch's prev-vocabulary is bounded, push
     // it into the scans as an IN predicate — parquet dictionary/row-group
     // stats then prune WITHIN the touched buckets (compact() sorts rows by
@@ -177,12 +192,9 @@ object LmStore {
     // O(rows in touched buckets). Capped: a corpus-sized literal list in
     // the plan is the r8 FingerprintStore failure shape (generated code
     // grows with the batch) — past the cap the bucket filter alone rules,
-    // the saturated regime BENCH_probe.json documents. GATED on batch size
-    // first: corpus-scale scoring (lm_fluency_stored) must not pay a
-    // corpus-wide distinct just to learn the cap doesn't apply — the doc
-    // count over the checkpointed arr is one cheap pass.
+    // the saturated regime BENCH_probe.json documents.
     val prevs =
-      if (arr.count() > ProbeBatchMaxDocs) Seq.empty[String]
+      if (bulk) Seq.empty[String]
       else big.select("prev").distinct()
         .limit(PrevPushdownCap + 1).collect().map(_.getString(0)).toSeq
     val prevFilter =

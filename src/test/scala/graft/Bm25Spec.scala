@@ -247,4 +247,28 @@ class Bm25Spec extends AnyFunSuite {
     // beat doc 1 (spark x3, no window)
     assert(order.indexOf(5L) < order.indexOf(1L), order.mkString(","))
   }
+
+  test("driver-side qtermRows + bucket hash match the Spark expressions " +
+    "(the stored probe's zero-job term prep)") {
+    import org.apache.spark.sql.functions._
+    val queries = Seq(1L -> "spark join window", 2L -> "  padded   terms ",
+      3L -> "dup dup dup", 4L -> "")
+    val viaDf = graft.operators.Bm25.qtermsOf(spark, queries)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaDriver = graft.operators.Bm25.qtermRows(queries).toSet
+    assert(viaDf === viaDriver)
+    // bucket parity: Spark's pmod(xxhash64(w), 64) vs the driver twin
+    import spark.implicits._
+    val words = viaDriver.map(_._2).toSeq
+    val exprBuckets = words.toDF("w")
+      .select(col("w"), pmod(xxhash64(col("w")), lit(64L)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      val drv = Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w),
+          org.apache.spark.sql.types.StringType, 42L), 64L)
+      assert(drv === exprBuckets(w), s"bucket mismatch for '$w'")
+    }
+  }
 }
