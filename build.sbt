@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Test JVM heap guard (r17 driver env: the accumulated full-suite session —
+// 500+ tests, one JVM — shut its SparkContext down mid-sf1-decade under the
+// 8g default). Appended AFTER the base -Xmx, so the last flag wins; the run
+// fork (bench contract) keeps the 8g default above.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}"

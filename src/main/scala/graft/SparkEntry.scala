@@ -22,9 +22,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     MLQueries.driftUnsupSignals(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY §2. */
+  /** One entry per implemented operator from SURVEY §2. Each entry applies
+    * [[Tuning.sessionDefaults]] first (local-FS listing threshold, guide §6)
+    * so every consumer — bench, verify, tests — runs under the same
+    * env-parameterised session tuning without touching the bench harness. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Corpus.queries ++ Pipelines.queries ++ MLQueries.queries ++ AdaptQueries.queries ++ MultimodalQueries.queries
+    (Relational.queries ++ Corpus.queries ++ Pipelines.queries ++ MLQueries.queries ++ AdaptQueries.queries ++ MultimodalQueries.queries)
+      .map { case (name, fn) =>
+        name -> { (spark: SparkSession, dir: String) =>
+          Tuning.sessionDefaults(spark); fn(spark, dir)
+        }
+      }
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (xxhash64-based

@@ -79,11 +79,36 @@ object GaussianNB {
     GnbModel(labels, mu, ve, labels.map(pMap))
   }
 
-  /** Fit end-to-end: sufficient statistics + priors, collected to a model. */
+  /** Fit end-to-end in ONE collect (guide §5 — fewer driver round-trips):
+    * the sufficient statistics already carry the per-class row count
+    * (`n` at dim i=0, every vector has a dim 0), so the class log-priors
+    * derive on the driver — cnt(label) = n(label, 0), tot = Σ cnt,
+    * logprior = ln(cnt.toDouble / tot.toDouble) — the EXACT doubles
+    * [[logPriors]] computes (same double divide, same Math.log), without
+    * its second aggregate job + broadcast. Bit-parity with
+    * collectModel(fitStats, logPriors) is pinned in MLTrainerSpec. */
   def fit(train: DataFrame, labelCol: String, vecCol: String,
-          varSmoothing: Double = DefaultVarSmoothing): GnbModel =
-    collectModel(fitStats(train, labelCol, vecCol, varSmoothing),
-      logPriors(train, labelCol))
+          varSmoothing: Double = DefaultVarSmoothing): GnbModel = {
+    val sRows = fitStats(train, labelCol, vecCol, varSmoothing)
+      .select(col("label").cast("int"), col("i").cast("int"),
+        col("mu").cast("double"), (col("v") + col("eps")).cast("double").as("ve"),
+        col("n").cast("long"))
+      .collect()
+    val labels = sRows.map(_.getInt(0)).distinct.sorted
+    val dims = sRows.map(_.getInt(1)).max + 1
+    val classIdx = labels.zipWithIndex.toMap
+    val mu = Array.ofDim[Double](labels.length, dims)
+    val ve = Array.ofDim[Double](labels.length, dims)
+    val cnt = Array.ofDim[Long](labels.length)
+    sRows.foreach { r =>
+      val (c, i) = (classIdx(r.getInt(0)), r.getInt(1))
+      mu(c)(i) = r.getDouble(2); ve(c)(i) = r.getDouble(3)
+      if (i == 0) cnt(c) = r.getLong(4)
+    }
+    val tot = cnt.sum
+    GnbModel(labels, mu, ve,
+      cnt.map(c => math.log(c.toDouble / tot.toDouble)))
+  }
 
   /** Score test vectors with a fitted model; returns (idCol, pred).
     *

@@ -109,14 +109,30 @@ object Adaptation {
 
   /** Train an MLP mapping on the collected pair dataset (driver-local, like the
     * reference). Returns (model, per-epoch mean MSE). */
-  def fitMlp(pairs: DataFrame, sourceCol: String, targetCol: String, dim: Int,
-             hidden: Int = 128, epochs: Int = 10, lr: Double = 0.05,
-             seed: Long = 42L): (MlpMapping, Seq[Double]) = {
-    val data = pairs.select(col(sourceCol).cast("array<double>"),
+  /** Collected (source, target) vector pairs — the mapping-fit input is
+    * model-sized (≤ topK words) by construction. Exposed so a caller that
+    * both fits and evaluates pays ONE collect (guide §5): the row order is
+    * the frame's deterministic partition order, identical to what two
+    * back-to-back collects of the same select would each see. */
+  def collectPairs(pairs: DataFrame, sourceCol: String, targetCol: String)
+      : Array[(DenseVector[Double], DenseVector[Double])] =
+    pairs.select(col(sourceCol).cast("array<double>"),
         col(targetCol).cast("array<double>"))
       .collect()
       .map(r => (DenseVector(r.getSeq[Double](0).toArray),
         DenseVector(r.getSeq[Double](1).toArray)))
+
+  def fitMlp(pairs: DataFrame, sourceCol: String, targetCol: String, dim: Int,
+             hidden: Int = 128, epochs: Int = 10, lr: Double = 0.05,
+             seed: Long = 42L): (MlpMapping, Seq[Double]) =
+    fitMlpData(collectPairs(pairs, sourceCol, targetCol), dim, hidden,
+      epochs, lr, seed)
+
+  /** [[fitMlp]] over already-collected pairs — same loop, same floats. */
+  def fitMlpData(data: Array[(DenseVector[Double], DenseVector[Double])],
+                 dim: Int, hidden: Int = 128, epochs: Int = 10,
+                 lr: Double = 0.05, seed: Long = 42L)
+      : (MlpMapping, Seq[Double]) = {
     val model = new MlpMapping(dim, hidden, seed)
     val losses = (1 to epochs).map { _ =>
       val epochLoss = data.map { case (x, y) => model.step(x, y, lr) }

@@ -142,6 +142,12 @@ object Drift {
     */
   def ddmScan(errors: DataFrame, batchIdCol: String, errCol: String,
               scale: Int = 6): DataFrame = {
+    // Single-partition window BY DESIGN, and bounded by contract: DDM's
+    // running (p, s, min) state is inherently sequential over the feed, and
+    // every caller feeds one row per REPORTING BATCH (corpus rows /
+    // DetectorBatch — the per-row scoring that is corpus-sized stays fully
+    // distributed upstream of this scan). A feed that grew to corpus scale
+    // would be a caller bug; detector feeds are telemetry-sized at any SF.
     val wOrd = Window.orderBy("batch_id")
     val st = errors.select(
         col(batchIdCol).cast("long").as("batch_id"),

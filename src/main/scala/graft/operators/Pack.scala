@@ -91,17 +91,41 @@ object Pack {
       .sortWithinPartitions("key", "ord")
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    // key-cardinality gate over the checkpointed frame (cheap second job on
-    // cached blocks) BEFORE the offsets collect below can grow to it
-    val nKeys = sorted.select("key").distinct().count()
+    // per-(key, partition) totals — |keys| × numPartitions rows. The key-
+    // cardinality contract is enforced on the COLLECT itself (the KeyedRank
+    // bounded-collect discipline): `limit(cap + 1)` bounds driver memory
+    // even against a corpus-cardinality key, and the loud require below
+    // fires before anything downstream consumes a truncated table. This
+    // replaces the r17 shape's separate distinct().count() gate — one fewer
+    // full pass + scheduler round-trip per pack (guide §5).
+    val numParts = sorted.rdd.getNumPartitions
+    val cap = maxKeys.toLong * math.max(numParts, 1)
+    val capInt = math.min(cap, Int.MaxValue - 1L).toInt
+    val totalsRaw = sorted.groupBy("key", "pid")
+      .agg(sum("n_tokens").as("ptot"))
+      .limit(capInt + 1).collect()
+    require(totalsRaw.length <= capInt,
+      s"packByBudgetKeyed: over $capInt ('$keyCol', partition) offset rows " +
+        s"(maxKeys=$maxKeys × $numParts partitions) — the offset collect is " +
+        "model-sized only for bucket-grade keys; pack per group or raise " +
+        "maxKeys deliberately")
+    val nKeys = totalsRaw.iterator.map(_.get(0)).toSet.size
     require(nKeys <= maxKeys,
       s"packByBudgetKeyed: $nKeys distinct '$keyCol' keys exceed maxKeys=" +
         s"$maxKeys — the per-(key, partition) offset collect is model-sized " +
         "only for bucket-grade keys; pack per group or raise maxKeys deliberately")
-    // per-(key, partition) totals — |keys| × numPartitions rows, bounded
-    val totals = sorted.groupBy("key", "pid")
-      .agg(sum("n_tokens").as("ptot"))
-      .orderBy("key", "pid").collect()
+    val totals = totalsRaw.sortWith { (a, b) =>
+      val ka = a.get(0); val kb = b.get(0)
+      val kc = (ka, kb) match {
+        case (null, null) => 0
+        case (null, _)    => -1
+        case (_, null)    => 1
+        case (x: Comparable[_], y) =>
+          x.asInstanceOf[Comparable[Any]].compareTo(y)
+        case (x, y) => x.toString.compareTo(y.toString)
+      }
+      if (kc != 0) kc < 0 else a.getInt(1) < b.getInt(1)
+    }
     val offs = scala.collection.mutable.ArrayBuffer[(Any, Int, Long)]()
     var curKey: Any = null
     var acc = 0L

@@ -42,13 +42,11 @@ object Report {
       col("accuracy").cast("double").as("accuracy"))
       .localCheckpoint()
     // Global time index = per-stream offset + rank within the stream. The
-    // offsets table is one row per stream; its window is over ≤ #streams rows.
-    val offsets = base.groupBy("stream_ord").count()
-      .withColumn("offset",
-        coalesce(sum("count").over(
-          Window.orderBy("stream_ord").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("stream_ord"), col("offset"))
+    // offsets table is one row per stream; its single-partition window is
+    // bounded BY CONSTRUCTION — the window input is the groupBy("stream_ord")
+    // aggregate, so at most |streams| (= 3 experiment phases) rows ever move
+    // to the one task, at any corpus scale. Pinned in ReportSpec.
+    val offsets = streamOffsets(base)
     val timed = base
       .withColumn("rk", row_number().over(
         Window.partitionBy("stream_ord").orderBy("batch_id")) - 1)
@@ -67,4 +65,17 @@ object Report {
           .otherwise("None").as("detection"))
       .orderBy("time")
   }
+
+  /** Per-stream timeline offsets: one row per stream, offset = total rows of
+    * all earlier streams. The input to the single-partition window is the
+    * `groupBy(stream_ord)` aggregate — ≤ |streams| rows at ANY corpus scale,
+    * the proven bound ReportSpec pins (plan: HashAggregate strictly below
+    * the window's single-partition exchange). */
+  private[graft] def streamOffsets(base: DataFrame): DataFrame =
+    base.groupBy("stream_ord").count()
+      .withColumn("offset",
+        coalesce(sum("count").over(
+          Window.orderBy("stream_ord").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("stream_ord"), col("offset"))
 }

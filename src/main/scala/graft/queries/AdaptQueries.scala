@@ -68,16 +68,17 @@ object AdaptQueries {
   val adaptMlpEval: Q = (s, dir) => {
     val pairs = AdaptCache.wordPairDataset(Tables.documents(s, dir), dir, "text",
       TopK, sourceProvider, targetProvider).cache()
-    val nPairs = pairs.count()
-    val (model, losses) = Adaptation.fitMlp(pairs, "source", "target", Dim,
+    // ONE collect of the model-sized pair frame feeds n_pairs, the fit, and
+    // the driver-side MLP evaluation (r17 shape: count + fit-collect +
+    // eval-collect, three jobs over the same ≤ topK rows — guide §5). The
+    // unmapped-MSE aggregate stays IN-ENGINE: its float-sum order is pinned
+    // (AdaptationSpec) and must not move to the driver.
+    val data = Adaptation.collectPairs(pairs, "source", "target")
+    val nPairs = data.length.toLong
+    val (model, losses) = Adaptation.fitMlpData(data, Dim,
       hidden = 64, epochs = 10, lr = 0.05)
     val mseUnmapped = Adaptation.mappingMse(pairs, "source", "target", None)
-    // evaluate the MLP driver-side over the collected pairs (same scale as fit)
-    val data = pairs.select(col("source").cast("array<double>"),
-      col("target").cast("array<double>")).collect()
-    val mseMlp = data.map { r =>
-      val x = breeze.linalg.DenseVector(r.getSeq[Double](0).toArray)
-      val y = breeze.linalg.DenseVector(r.getSeq[Double](1).toArray)
+    val mseMlp = data.map { case (x, y) =>
       val e = model.forward(x) - y
       (e dot e) / Dim
     }.sum / data.length
@@ -203,15 +204,21 @@ object AdaptQueries {
       .filter(length(col("w")) > 0)
     val counts = words.groupBy("source", "w").agg(count(lit(1)).as("n"))
       .localCheckpoint() // one tokenize+count pass feeds top AND rare
-    val top = counts
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("source")
-          .orderBy(col("n").desc, col("w"))))
-      .filter(col("rk") === 1)
-      .select("source", "w", "n")
-    val bp = s.sparkContext.broadcast(p)
-    val anchor = top.orderBy(col("n").desc, col("w")).select("w")
-      .head().getString(0)
+    // Per-source top word by (n DESC, w ASC) as ONE map-side-combinable
+    // aggregate — min of the (-n, w) struct, exactly the row_number tie-
+    // break — collected once (≤ |sources| rows, model-sized). r17 shape ran
+    // a per-source sort window THREE times over the checkpoint (anchor
+    // head, exclusion-set collect, final verdict pass) plus a broadcast +
+    // per-row UDFs; anchor, exclusion set, and verdict rows now all derive
+    // from this single job and the cosines compute on the driver with the
+    // same float→double sequential sums (bit-identical results).
+    val topRows = counts
+      .groupBy("source")
+      .agg(min(struct((-col("n")).as("nn"), col("w"))).as("t"))
+      .select(col("source"), col("t.w").as("w"), (-col("t.nn")).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val anchor = topRows.minBy { case (_, w, n) => (-n, w) }._2
     // the LEAST-trained in-vocab word (min global count >= minCount): a word
     // skip-gram barely updated, so it anchors the "training actually pulled
     // co-occurring words together" comparison below. Deterministic from the
@@ -221,7 +228,7 @@ object AdaptQueries {
     // anchor would give rareCos = 1.0 and fail the strict > on the anchor's
     // own row, turning corpus shape into an oracle mismatch. The top-word
     // exclusion set is ≤ |sources| rows (model-sized).
-    val topWords = top.select("w").collect().map(_.getString(0)).toSet + anchor
+    val topWords = topRows.map(_._2).toSet + anchor
     val rareWord = counts.groupBy("w").agg(sum("n").as("gn"))
       .filter(col("gn") >= 2 && !col("w").isInCollection(topWords))
       .orderBy(col("gn").asc, col("w").desc)
@@ -231,11 +238,7 @@ object AdaptQueries {
       val d = ad.zip(bd).map { case (x, y) => x * y }.sum
       d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
     }
-    val sim = udf { w: String =>
-      cosTo(bp.value.embedWord(w), bp.value.embedWord(anchor))
-    }
     val rareCos = cosTo(p.embedWord(rareWord), p.embedWord(anchor))
-    val inVocab = udf { w: String => bp.value.vocab.contains(w) }
     // Verdict reduction (m7_tsne_summary precedent): the engine-specific
     // floats become deterministic booleans DuckDB replays as TRUE. The first
     // two are sanity bounds; the last two are the NON-VACUOUS pair a broken
@@ -253,14 +256,18 @@ object AdaptQueries {
     // guardrails are structural (anchor/top words excluded from the rare
     // baseline above), but re-pinning on a new environment is expected,
     // exactly like the other learned-artifact verdicts.
-    top.withColumn("cos", sim(col("w")))
-      .select(col("source"), col("w"), col("n"),
-        (abs(col("cos")) <= 1.0 + 1e-9).as("cos_in_range"),
-        (col("w") =!= anchor || abs(col("cos") - 1.0) < 1e-6)
-          .as("anchor_self_sim"),
-        (inVocab(col("w")) && lit(p.vocab.contains(anchor)))
-          .as("top_in_vocab"),
-        (col("cos") > lit(rareCos)).as("closer_than_rare"))
+    val anchorInVocab = p.vocab.contains(anchor)
+    val out = topRows.map { case (source, w, n) =>
+      val cos = cosTo(p.embedWord(w), p.embedWord(anchor))
+      (source, w, n,
+        math.abs(cos) <= 1.0 + 1e-9,
+        w != anchor || math.abs(cos - 1.0) < 1e-6,
+        p.vocab.contains(w) && anchorInVocab,
+        cos > rareCos)
+    }.toSeq
+    import s.implicits._
+    out.toDF("source", "w", "n", "cos_in_range", "anchor_self_sim",
+        "top_in_vocab", "closer_than_rare")
       .orderBy("source")
   }
 

@@ -371,7 +371,8 @@ object Pipelines {
     *
     * Scale design: pure composition of the component plans — the gate and
     * drop list anti-join id-keyed (corpus-fraction-sized, never broadcast
-    * by hint), budgets from two sources-sized aggs broadcast back, the fill
+    * by hint), budgets from one bounded sources-sized collect + the
+    * [[graft.operators.Mix]] driver math (bit-parity pinned), the fill
     * a [[graft.operators.KeyedRank]] two-pass range-partitioned cumsum over
     * a narrow frame (a hot source spreads across range partitions; text
     * rides only the kept-id semi-join), per-bucket keyed pack with no
@@ -430,18 +431,15 @@ object Pipelines {
         TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
       .localCheckpoint() // feeds budgets + fill + the encode pass
     // per-source token budgets over the surviving corpus (mixTokenFill
-    // discipline: round-6-then-floor longs, integer cumsum comparisons)
+    // discipline: round-6-then-floor longs, integer cumsum comparisons).
+    // |sources| rows: one bounded collect over the kept0 checkpoint + the
+    // Mix driver math replaces the r17 per→tot→w→sw broadcast chain
+    // (guide §5; bit-parity pinned in PackSpec)
+    import s.implicits._
     val per = kept0.groupBy("source").agg(sum("n_toks").as("src_toks"))
-    val tot = per.agg(sum("src_toks").as("tot_toks"))
-    val wgt = per.crossJoin(broadcast(tot))
-      .select(col("source"), col("tot_toks"),
-        pow(col("src_toks").cast("double") / col("tot_toks").cast("double"),
-          lit(0.7)).as("w"))
-    val sw = wgt.agg(sum("w").as("sum_w"))
-    val budgets = wgt.crossJoin(broadcast(sw))
-      .select(col("source"),
-        floor(round(lit(0.5) * col("tot_toks").cast("double") * col("w") /
-          col("sum_w"), 6)).cast("long").as("budget_toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val budgets = graft.operators.Mix.flattenedBudgets(per)
+      .toDF("source", "budget_toks")
     // greedy fill decided on a NARROW frame (id, source, draw, n_toks) via
     // the KeyedRank two-pass cumsum — the range shuffle ships 32-byte rows,
     // never text, and a hot source spreads across all range partitions; the
@@ -475,10 +473,15 @@ object Pipelines {
         .as("n_bpe"))
       .withColumn("bucket", least(expr("n_bpe DIV 32"), lit(15L)))
       .localCheckpoint()
+    // No checkpoint on the pack output: packByBudgetKeyed freezes its own
+    // range layout internally (and its offset collect runs once, at
+    // construction), so the two consumers below (starts agg, final join)
+    // re-run only a cheap window+broadcast-join over that internal
+    // checkpoint — one fewer job AND one fewer corpus-sized pinned copy
+    // than the r17 shape (guide §5).
     val packed = graft.operators.Pack.packByBudgetKeyed(
         counts, "bucket", "doc_id", "n_bpe", budget = 512L)
       .select(col("doc_id"), col("bin_id"), col("bin_offset"))
-      .localCheckpoint()
     // verdict twins (oracle scale only): bucket-partitioned window cumsum
     // cross-check + every-bucket-starts-fresh independence
     val dw = Window.partitionBy("bucket").orderBy("doc_id")
@@ -1899,25 +1902,22 @@ object Pipelines {
     * pow/Σ-order ulp drift cannot flip a keep decision. Output is
     * per-source integer counts plus the rounded rate.
     *
-    * Scale design: rates come from a sources-sized dim (two tiny aggs +
-    * broadcast back); the corpus-side work is one projection + one
-    * map-side-combinable aggregation — no shuffle of documents, no rand(),
-    * no window. [SQL — staged xxhash64 replay]. */
+    * Scale design: rates come from a sources-sized dim (one bounded
+    * collect + [[graft.operators.Mix]] driver math — bit-parity pinned);
+    * the corpus-side work is one projection + one map-side-combinable
+    * aggregation — no shuffle of documents, no rand(), no window.
+    * [SQL — staged xxhash64 replay]. */
   val mixSample: Q = (s, dir) => {
     val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"),
       TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+    // per-source totals are |sources| rows (model-sized): one bounded
+    // collect + the Mix driver math replaces the r17 per→tot→w→sw broadcast
+    // chain (2-3 scheduler round-trips for a handful of rows — guide §5);
+    // float parity is term-exact, see [[graft.operators.Mix]]
     val per = docs.groupBy("source").agg(sum("n_toks").as("src_toks"))
-    val tot = per.agg(sum("src_toks").as("tot_toks"))
-    val w = per.crossJoin(broadcast(tot))
-      .select(col("source"), col("src_toks"), col("tot_toks"),
-        pow(col("src_toks").cast("double") / col("tot_toks").cast("double"),
-          lit(0.7)).as("w"))
-    val sw = w.agg(sum("w").as("sum_w"))
-    val rates = w.crossJoin(broadcast(sw))
-      .select(col("source"),
-        round(least(lit(1.0),
-          lit(0.5) * col("tot_toks").cast("double") * col("w") /
-            (col("sum_w") * col("src_toks").cast("double"))), 6).as("rate"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    import s.implicits._
+    val rates = graft.operators.Mix.flattenedRates(per).toDF("source", "rate")
     val thresh = (col("rate") * lit(4503599627370496.0)).cast("long")
     docs.join(broadcast(rates), Seq("source"))
       .withColumn("keep",
@@ -1971,8 +1971,9 @@ object Pipelines {
     * engines, and the keep decision compares integer cumulative sums against
     * that integer budget — pow/Σ-order ulp drift cannot flip a keep.
     *
-    * Scale design: budgets come from the same sources-sized dims as
-    * [[mixSample]] (two tiny aggs, broadcast back); the fill itself is the
+    * Scale design: budgets come from the same sources-sized dim as
+    * [[mixSample]] (one bounded collect + [[graft.operators.Mix]] driver
+    * math, bit-parity pinned); the fill itself is the
     * [[graft.operators.KeyedRank]] two-pass range-partitioned cumsum over
     * (source, draw desc, id) — a hot source's sort spreads across ALL range
     * partitions instead of hashing into one task (the r13 skew lesson), and
@@ -1982,26 +1983,24 @@ object Pipelines {
     * [[mixSample]] is the approximate twin. [SQL — staged xxhash64 replay +
     * the plain per-source window, which the composition equals exactly]. */
   val mixTokenFill: Q = (s, dir) => {
+    // ONE tokenize pass: the narrow (source, id, n_toks, draw) frame is
+    // checkpointed up front and feeds BOTH the budget dim and the fill
+    // (r17 shape tokenized twice — once under the budget subtree, once for
+    // KeyedRank's materialization — and chained the budgets through three
+    // broadcast exchanges; guide §5/§2.4)
     val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"),
-      TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+        TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+      .withColumn("draw", graft.operators.Sample.drawCol(col("doc_id"), 13L))
+      .localCheckpoint()
     val per = docs.groupBy("source").agg(sum("n_toks").as("src_toks"))
-    val tot = per.agg(sum("src_toks").as("tot_toks"))
-    val w = per.crossJoin(broadcast(tot))
-      .select(col("source"), col("src_toks"), col("tot_toks"),
-        pow(col("src_toks").cast("double") / col("tot_toks").cast("double"),
-          lit(0.7)).as("w"))
-    val sw = w.agg(sum("w").as("sum_w"))
-    val budgets = w.crossJoin(broadcast(sw))
-      .select(col("source"),
-        floor(round(lit(0.5) * col("tot_toks").cast("double") * col("w") /
-          col("sum_w"), 6)).cast("long").as("budget_toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    import s.implicits._
+    val budgets = graft.operators.Mix.flattenedBudgets(per)
+      .toDF("source", "budget_toks")
     val cum = graft.operators.KeyedRank.rankCumsum(
-      docs.withColumn("draw", graft.operators.Sample.drawCol(col("doc_id"), 13L)),
-      "source", Seq(col("draw").desc, col("doc_id")),
+      docs, "source", Seq(col("draw").desc, col("doc_id")),
       cum = Some(("n_toks", "cum_toks")),
-      // materialize for the same reason as qualityQuantiles: never pay the
-      // tokenize regex twice for the partitioner's sampling pass
-      materializeInput = true)
+      materializeInput = false) // docs is the checkpoint above
     val kept = col("cum_toks") - col("n_toks") < col("budget_toks")
     cum.join(broadcast(budgets), Seq("source"))
       .groupBy("source").agg(
@@ -2823,9 +2822,9 @@ object Pipelines {
     * over-splitting tokenizer breaks a side), `merges_applied` (global
     * STRICT words < bpe-total < chars: both a no-op encode (= chars) and a
     * whole-word collapse (= words) fail), and `bin_cross_checked` (the
-    * partition-composed bin/offset equals an independent single-window
-    * global cumsum — the spec twin of the prefix composition, oracle-scale
-    * only). [SQL] */
+    * partition-composed bin/offset equals an independent two-level
+    * value-ranged prefix sum — the spec twin of the prefix composition,
+    * itself scale-shaped: no single-partition window at any scale). [SQL] */
   val packBpeSequences: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val model = bpeMemo.getOrBuild(s, s"bpe|$dir|50|2") {
@@ -2845,17 +2844,35 @@ object Pipelines {
           .as("n_bpe"))
       .localCheckpoint()
     val tot = counts.agg(sum("n_words").cast("long"), sum("n_chars"),
-      sum("n_bpe")).head()
+      sum("n_bpe"), max("doc_id")).head()
     val (totW, totC, totB) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
     val packed = graft.operators.Pack.packByBudget(
       counts, "doc_id", "n_bpe", budget = 512L)
-    // spec twin of the prefix composition: one global window (oracle scale
-    // only — the declared operator never runs this shape at corpus scale)
-    val w = Window.orderBy("doc_id")
+    // Spec twin of the prefix composition, scale-shaped itself (r17 verdict
+    // #3: the old global `Window.orderBy(doc_id)` moved every count row to
+    // ONE task inside the declared query). Two-level prefix over VALUE
+    // ranges: `rng = doc_id DIV rw` (≤ RangeCap ranges by construction, so
+    // the per-range offset collect is bounded) + a window PARTITIONED by
+    // rng for the intra-range prefix. Mechanism stays independent of
+    // Pack.packByBudget (value-derived ranges + broadcast offsets vs
+    // physical-pid ranges), and prev is exact: rng is monotone in doc_id,
+    // so global-prefix(doc) = range-offset(rng) + intra-range-prefix(doc).
+    val rangeCap = 8192L
+    val rw = math.max(1L, tot.getLong(3) / rangeCap + 1L)
+    val ranged = counts.withColumn("rng", expr(s"doc_id DIV $rw"))
+    var roffAcc = 0L
+    val roffs = ranged.groupBy("rng").agg(sum("n_bpe").as("rtot"))
+      .orderBy("rng").collect()
+      .map { r => val t = (r.getLong(0), roffAcc); roffAcc += r.getLong(1); t }
+      .toSeq
+    import s.implicits._
+    val wi = Window.partitionBy("rng").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val direct = counts
-      .select(col("doc_id"),
-        coalesce(sum("n_bpe").over(w), lit(0L)).as("prev"))
+    val direct = ranged
+      .select(col("doc_id"), col("rng"),
+        coalesce(sum("n_bpe").over(wi), lit(0L)).as("iprev"))
+      .join(broadcast(roffs.toDF("rng", "roff")), Seq("rng"))
+      .select(col("doc_id"), (col("roff") + col("iprev")).as("prev"))
       .select(col("doc_id"), expr("prev DIV 512").as("d_bin"),
         pmod(col("prev"), lit(512L)).as("d_off"))
     counts.join(packed.select(col("doc_id"), col("bin_id"), col("bin_offset")),

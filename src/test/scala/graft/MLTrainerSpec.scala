@@ -38,6 +38,19 @@ class MLTrainerSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("GNB one-collect fit is bit-identical to collectModel(fitStats, " +
+    "logPriors) — the driver-derived log-priors are the exact same doubles") {
+    val df = clustered(240, 11).cache()
+    val one = GaussianNB.fit(df, "label", "vec")
+    val two = GaussianNB.collectModel(GaussianNB.fitStats(df, "label", "vec"),
+      GaussianNB.logPriors(df, "label"))
+    assert(one.labels.toSeq == two.labels.toSeq)
+    assert(one.logPrior.toSeq == two.logPrior.toSeq) // exact, not approx
+    assert(one.mu.map(_.toSeq).toSeq == two.mu.map(_.toSeq).toSeq)
+    assert(one.ve.map(_.toSeq).toSeq == two.ve.map(_.toSeq).toSeq)
+    df.unpersist()
+  }
+
   test("A9 randomSplit: seeded, disjoint, ~80/20, reproducible") {
     val df = clustered(1000, 1)
     val (tr1, te1) = Split.trainTest(df, seed = 7L)

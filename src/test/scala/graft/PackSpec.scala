@@ -114,6 +114,39 @@ class PackSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("Mix driver math is bit-identical to the Spark budget/rate subtree " +
+    "it replaced (pow, round-6 HALF_UP, floor, least)") {
+    import graft.operators.Mix
+    // adversarial totals: near-boundary ratios, one giant + tiny tail
+    val per = Seq(("a", 1L), ("b", 999999L), ("c", 31L), ("d", 123456789L),
+      ("e", 7L))
+    val perDf = per.toDF("source", "src_toks")
+    val tot = perDf.agg(sum("src_toks").as("tot_toks"))
+    val w = perDf.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_toks"), col("tot_toks"),
+        pow(col("src_toks").cast("double") / col("tot_toks").cast("double"),
+          lit(0.7)).as("w"))
+    val sw = w.agg(sum("w").as("sum_w"))
+    val sparkBudgets = w.crossJoin(broadcast(sw))
+      .select(col("source"),
+        floor(round(lit(0.5) * col("tot_toks").cast("double") * col("w") /
+          col("sum_w"), 6)).cast("long").as("budget_toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val sparkRates = w.crossJoin(broadcast(sw))
+      .select(col("source"),
+        round(least(lit(1.0),
+          lit(0.5) * col("tot_toks").cast("double") * col("w") /
+            (col("sum_w") * col("src_toks").cast("double"))), 6).as("rate"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    Mix.flattenedBudgets(per).foreach { case (s0, b) =>
+      assert(b == sparkBudgets(s0), s"budget $s0")
+    }
+    Mix.flattenedRates(per).foreach { case (s0, r) =>
+      assert(java.lang.Double.doubleToLongBits(r) ==
+        java.lang.Double.doubleToLongBits(sparkRates(s0)), s"rate $s0")
+    }
+  }
+
   test("packByBudgetKeyed enforces the key-cardinality contract loudly") {
     // a high-cardinality key (here: the doc id itself) would collect
     // |keys|·partitions offset rows — the guard must fail before that

@@ -608,4 +608,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), p)
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 6, p)
   }
+
+  test("file-listing threshold (guide §6): declared queries raise the " +
+    "parallel-discovery threshold so local partitioned-store reads list on " +
+    "the driver; the env override restores distributed listing") {
+    // env selection logic: local default 4096, object-store override honored
+    assert(Tuning.listingThreshold(None) == "4096")
+    assert(Tuning.listingThreshold(Some("32")) == "32")
+    // invoking any declared query applies the session default
+    SparkEntry.queries("a1_word_count")(spark, sf).count()
+    assert(spark.conf.get(Tuning.ListingThresholdKey) == "4096")
+  }
 }

@@ -35,6 +35,22 @@ class ReportSpec extends AnyFunSuite {
     assert(acc1 == acc1.sortBy(identity[Double]).reverse)
   }
 
+  test("offsets window is bounded by construction: its input is the " +
+    "per-stream aggregate (≤ |streams| rows), never the feed") {
+    val base = feed.select(col("streamOrd").cast("int").as("stream_ord"),
+      col("stream"), col("batch_id"), col("accuracy"))
+    val offs = Report.streamOffsets(base)
+    assert(offs.count() == 2) // one row per stream, not per batch
+    // plan proof: the single-partition window sits strictly ABOVE the
+    // stream_ord aggregate — the one task sees aggregate rows only
+    val lines = offs.queryExecution.executedPlan.toString.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("stream_ord"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      lines.mkString("\n"))
+  }
+
   test("detector firings appear on the ramp, mapped to Warning/Drift labels") {
     val out = Report.experimentReport(feed).collect()
     val det = out.map(r => r.getLong(0) -> r.getString(3)).toMap

@@ -30,7 +30,21 @@ object Sf1Corpus {
 }
 
 class ScalingSmokeSpec extends AnyFunSuite {
-  lazy val spark = SparkTestSession.spark
+  private def spark = SparkTestSession.spark
+
+  /** Bounded session for the sf1 decades (r17 driver env: the whole-suite
+    * accumulated context died mid-sf1 — "Job cancelled because SparkContext
+    * was shut down" — ~500 prior tests' pinned localCheckpoint blocks and
+    * codegen caches sharing one 8g JVM with a 10× corpus). Stopping the
+    * shared context drops every pinned block, and SessionMemo evicts that
+    * context's entries on application end; the next access rebuilds a fresh
+    * session, so the heavy test starts from a quiet block manager and later
+    * suites are unaffected (SparkTestSession rebuilds on demand). */
+  private def freshSpark: org.apache.spark.sql.SparkSession = {
+    val s = SparkTestSession.spark
+    if (!s.sparkContext.isStopped) s.stop()
+    SparkTestSession.spark
+  }
 
   private val watched = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -100,6 +114,7 @@ class ScalingSmokeSpec extends AnyFunSuite {
     // list-partitioned, probe-pruned index is the scale path end to end.
     import org.apache.spark.sql.functions._
     import graft.operators.{AnnIndex, Similarity}
+    val spark = freshSpark
     val sf1 = Sf1Corpus.dir(spark)
     val corpus = spark.read.parquet(s"$sf1/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -126,7 +141,7 @@ class ScalingSmokeSpec extends AnyFunSuite {
 
   test("dedup/ANN/chunk suite stays ~linear one decade further (sf0.1 -> sf1)",
       PerfSmoke) {
-    val sf1 = Sf1Corpus.dir(spark)
+    val sf1 = Sf1Corpus.dir(freshSpark)
     watchedSf1.foreach(time(_, "/root/testdata/sf0.01")) // warm codegen
     val curve = watchedSf1.map { q =>
       val t1 = time(q, "/root/testdata/sf0.1")
